@@ -1,0 +1,190 @@
+"""Hierarchical cell index + tile schemes (H3/S2-style, pure arithmetic).
+
+The engine's spatial primitives must run identically in three places:
+vectorized numpy (inside pandas UDFs), Spark SQL expressions (JVM-side,
+whole-stage codegen), and the DuckDB oracle SQL used by the correctness
+gate. To guarantee bit-identical results everywhere, the cell scheme is
+pure IEEE-double arithmetic (no trig in the oracle-checked paths) and each
+formula exists ONCE as a SQL-text builder that both engines execute.
+
+Scheme: an equirectangular quadtree. At resolution ``r`` the world splits
+into 2^r x 2^r cells:
+
+    ix = clamp(floor((lon + 180) / 360 * 2^r), 0, 2^r - 1)
+    iy = clamp(floor((lat +  90) / 180 * 2^r), 0, 2^r - 1)
+    cell_id = r * 2^52 + iy * 2^r + ix
+
+Hierarchy is exact: the parent at resolution r-1 is (iy >> 1, ix >> 1) —
+the same subdivision contract as S2/H3 cells (reference has no counterpart;
+mandated by BASELINE.json north_rule "H3/S2 index"). The resolution tag in
+the high bits makes ids from different resolutions disjoint, so mixed-
+resolution cell columns can't accidentally equi-join.
+
+Tiles: slippy-map z/x/y. The oracle-checked variant uses the equirectangular
+y (pure arithmetic); Web-Mercator y (the standard OSM scheme, needs tan/log
+whose libm results are not IEEE-reproducible across engines) is provided for
+real use and tested against known goldens in pytest instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_RES = 25
+RES_BASE = 1 << 52  # resolution tag stride in cell ids
+
+
+# ---------------------------------------------------------------------------
+# numpy kernels (used inside pandas UDFs and the python oracle)
+# ---------------------------------------------------------------------------
+
+def cell_of(lat, lon, res: int):
+    """Vectorized lat/lon -> cell id at resolution ``res``."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    n = np.int64(1) << np.int64(res)
+    ix = np.clip(np.floor((lon + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+    iy = np.clip(np.floor((lat + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+    return np.int64(res) * np.int64(RES_BASE) + iy * n + ix
+
+
+def cell_decompose(cell, res: int):
+    """cell id -> (iy, ix) integer grid coordinates."""
+    c = np.asarray(cell, dtype=np.int64) - np.int64(res) * np.int64(RES_BASE)
+    n = np.int64(1) << np.int64(res)
+    return c // n, c % n
+
+
+def cell_parent(cell, res: int, parent_res: int):
+    """Exact hierarchical parent (iy >> k, ix >> k)."""
+    iy, ix = cell_decompose(cell, res)
+    k = res - parent_res
+    n = np.int64(1) << np.int64(parent_res)
+    return np.int64(parent_res) * np.int64(RES_BASE) + (iy >> k) * n + (ix >> k)
+
+
+def cell_center(cell, res: int):
+    """cell id -> (lat, lon) of the cell center."""
+    iy, ix = cell_decompose(cell, res)
+    n = float(1 << res)
+    lat = (iy.astype(np.float64) + 0.5) / n * 180.0 - 90.0
+    lon = (ix.astype(np.float64) + 0.5) / n * 360.0 - 180.0
+    return lat, lon
+
+
+def cell_size_deg(res: int) -> tuple[float, float]:
+    """(lat_extent, lon_extent) of one cell in degrees."""
+    n = float(1 << res)
+    return 180.0 / n, 360.0 / n
+
+
+def ring_cells(cell: int, res: int, k: int) -> np.ndarray:
+    """All cells within Chebyshev distance k (the (2k+1)^2 disk), lon-wrapped.
+
+    The kNN ring-expansion primitive (BASELINE.json north_star). Latitude
+    clamps at the poles; longitude wraps modulo 2^res.
+    """
+    iy, ix = cell_decompose(np.asarray([cell]), res)
+    n = np.int64(1) << np.int64(res)
+    d = np.arange(-k, k + 1, dtype=np.int64)
+    yy = np.clip(iy[0] + d, 0, n - 1)
+    xx = (ix[0] + d) % n
+    gy, gx = np.meshgrid(np.unique(yy), np.unique(xx), indexing="ij")
+    return (np.int64(res) * np.int64(RES_BASE) + gy * n + gx).ravel()
+
+
+def cover_bbox(lat_min, lat_max, lon_min, lon_max, res: int) -> np.ndarray:
+    """All cells intersecting a bbox (polygon-covering prefilter)."""
+    n = np.int64(1) << np.int64(res)
+    x0 = int(np.clip(np.floor((lon_min + 180.0) / 360.0 * int(n)), 0, int(n) - 1))
+    x1 = int(np.clip(np.floor((lon_max + 180.0) / 360.0 * int(n)), 0, int(n) - 1))
+    y0 = int(np.clip(np.floor((lat_min + 90.0) / 180.0 * int(n)), 0, int(n) - 1))
+    y1 = int(np.clip(np.floor((lat_max + 90.0) / 180.0 * int(n)), 0, int(n) - 1))
+    gy, gx = np.meshgrid(
+        np.arange(y0, y1 + 1, dtype=np.int64),
+        np.arange(x0, x1 + 1, dtype=np.int64),
+        indexing="ij",
+    )
+    return (np.int64(res) * np.int64(RES_BASE) + gy * n + gx).ravel()
+
+
+def equirect_tile(lat, lon, z: int):
+    """(tx, ty) slippy tile with equirectangular y (arithmetic-only)."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    n = np.int64(1) << np.int64(z)
+    tx = np.clip(np.floor((lon + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+    ty = np.clip(np.floor((90.0 - lat) / 180.0 * n).astype(np.int64), 0, n - 1)
+    return tx, ty
+
+
+def mercator_tile(lat, lon, z: int):
+    """(tx, ty) standard OSM Web-Mercator slippy tile."""
+    lat = np.clip(np.asarray(lat, dtype=np.float64), -85.05112878, 85.05112878)
+    lon = np.asarray(lon, dtype=np.float64)
+    n = np.int64(1) << np.int64(z)
+    tx = np.clip(np.floor((lon + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+    lat_rad = np.radians(lat)
+    ty_f = (1.0 - np.log(np.tan(lat_rad) + 1.0 / np.cos(lat_rad)) / np.pi) / 2.0
+    ty = np.clip(np.floor(ty_f * n).astype(np.int64), 0, n - 1)
+    return tx, ty
+
+
+# ---------------------------------------------------------------------------
+# SQL-text builders — ONE formula, executed by Spark SQL and DuckDB alike
+# ---------------------------------------------------------------------------
+
+def sql_ix(lon_expr: str, res: int) -> str:
+    n = 1 << res
+    return (
+        f"GREATEST(LEAST(CAST(FLOOR(({lon_expr} + 180.0) / 360.0 * {n}) AS BIGINT),"
+        f" {n - 1}), 0)"
+    )
+
+
+def sql_iy(lat_expr: str, res: int) -> str:
+    n = 1 << res
+    return (
+        f"GREATEST(LEAST(CAST(FLOOR(({lat_expr} + 90.0) / 180.0 * {n}) AS BIGINT),"
+        f" {n - 1}), 0)"
+    )
+
+
+def sql_cell(lat_expr: str, lon_expr: str, res: int) -> str:
+    """cell_of as SQL text; identical result to the numpy kernel."""
+    n = 1 << res
+    return (
+        f"(CAST({res} AS BIGINT) * {RES_BASE} + "
+        f"{sql_iy(lat_expr, res)} * {n} + {sql_ix(lon_expr, res)})"
+    )
+
+
+def sql_cell_parent(cell_expr: str, res: int, parent_res: int) -> str:
+    """cell_parent as SQL text.
+
+    All divisions are by powers of two on integers < 2^52, done as
+    FLOOR(CAST(x AS DOUBLE) / 2^k) — exact in IEEE double and, unlike the
+    ``/`` operator (double in Spark, context-dependent in DuckDB), it
+    evaluates identically in both engines.
+    """
+    n = 1 << res
+    pn = 1 << parent_res
+    k2 = 1 << (res - parent_res)
+    local = f"({cell_expr} - CAST({res} AS BIGINT) * {RES_BASE})"
+    iy = f"CAST(FLOOR(CAST({local} AS DOUBLE) / {n}) AS BIGINT)"
+    ix = f"({local} % {n})"
+    piy = f"CAST(FLOOR(CAST({iy} AS DOUBLE) / {k2}) AS BIGINT)"
+    pix = f"CAST(FLOOR(CAST({ix} AS DOUBLE) / {k2}) AS BIGINT)"
+    return f"(CAST({parent_res} AS BIGINT) * {RES_BASE} + {piy} * {pn} + {pix})"
+
+
+def sql_equirect_tile_x(lon_expr: str, z: int) -> str:
+    return sql_ix(lon_expr, z)
+
+
+def sql_equirect_tile_y(lat_expr: str, z: int) -> str:
+    n = 1 << z
+    return (
+        f"GREATEST(LEAST(CAST(FLOOR((90.0 - {lat_expr}) / 180.0 * {n}) AS BIGINT),"
+        f" {n - 1}), 0)"
+    )

@@ -1,0 +1,78 @@
+"""Point-in-polygon join: cell-prefilter equi-join + exact ray-crossing refine.
+
+Two-phase plan mandated by BASELINE.json north_rule:
+
+1. **Coarse**: cover each admin polygon's bbox with grid cells at ``res``
+   (driver-side — the admin set is the small dimension), broadcast the
+   (cell, admin_id) covering, and equi-join against the points' cell column.
+   Catalyst turns this into a BroadcastHashJoin — no shuffle of the big side.
+2. **Refine**: exact even-odd ray-crossing test in an Arrow-batched
+   ``mapInPandas``, vectorized per admin_id group within each batch.
+
+The coarse phase can only produce false positives (bbox cover ⊇ polygon),
+never false negatives, so refine output equals the exact join.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..functions.cells import cover_bbox, sql_cell
+from ..functions.geometry import pip_mask, wire_bbox, wire_rings
+
+
+def polygon_coverings(admin_pdf: pd.DataFrame, res: int) -> pd.DataFrame:
+    """(admin_id, cell) bbox-cover rows for the broadcast side."""
+    rows = []
+    for admin_id, geom in zip(admin_pdf["admin_id"], admin_pdf["geom"]):
+        lon0, lat0, lon1, lat1 = wire_bbox(geom["dim"], geom["coords"])
+        for cell in cover_bbox(lat0, lat1, lon0, lon1, res):
+            rows.append((int(admin_id), int(cell)))
+    return pd.DataFrame(rows, columns=["admin_id", "cell"])
+
+
+def _rings_by_admin(admin_pdf: pd.DataFrame) -> dict[int, list[np.ndarray]]:
+    return {
+        int(admin_id): wire_rings(
+            geom["type"], geom["dim"], geom["lengths"], geom["coords"]
+        )
+        for admin_id, geom in zip(admin_pdf["admin_id"], admin_pdf["geom"])
+    }
+
+
+def pip_join(points_df, admin_pdf: pd.DataFrame, res: int = 8,
+             lon_col: str = "lon", lat_col: str = "lat"):
+    """Exact PIP join of a points DataFrame against a small polygon table.
+
+    ``admin_pdf`` is a pandas frame (admin_id, geom wire-struct) — the
+    broadcast dimension. Returns points rows + ``admin_id``, one output row
+    per (point, containing polygon).
+    """
+    spark = points_df.sparkSession
+    cover = spark.createDataFrame(polygon_coverings(admin_pdf, res))
+    rings = _rings_by_admin(admin_pdf)
+
+    pts = points_df.withColumn("cell", F.expr(sql_cell(lat_col, lon_col, res)))
+    candidates = pts.join(F.broadcast(cover), "cell")
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            px = pdf[lon_col].to_numpy(dtype=np.float64)
+            py = pdf[lat_col].to_numpy(dtype=np.float64)
+            for admin_id, idx in pdf.groupby("admin_id").indices.items():
+                keep[idx] = pip_mask(px[idx], py[idx], rings[int(admin_id)])
+            yield pdf[keep]
+
+    return candidates.mapInPandas(refine, out_schema).drop("cell")

@@ -1,0 +1,44 @@
+"""Explicit partitioning + skew mitigation (BASELINE.json north_rule).
+
+Web geometries cluster in cities, so a handful of cells carry most rows.
+Helpers here keep shuffles balanced without changing results:
+
+* ``repartition_by_cell_prefix`` — hash-shuffle on the cell's parent at a
+  coarser resolution, co-locating spatially-near rows (tile/cell pipelines
+  reuse the same partitioning across stages, avoiding repeat shuffles).
+* ``with_salt`` / ``salted_count`` — two-phase aggregation over a salted
+  key: partial agg on (key, salt), final agg on key. Identical results to
+  a plain groupBy, but the hot key's rows spread over ``n_salt`` reducers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cells import sql_cell_parent
+
+
+def repartition_by_cell_prefix(df: DataFrame, cell_col: str, res: int,
+                               prefix_res: int, num_partitions: int) -> DataFrame:
+    parent = F.expr(sql_cell_parent(cell_col, res, prefix_res))
+    return df.repartition(num_partitions, parent)
+
+
+def with_salt(df: DataFrame, n_salt: int, salt_col: str = "_salt") -> DataFrame:
+    """Deterministic salt derived from a stable row hash (no rand())."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*df.columns), F.lit(n_salt)).cast("int")
+    )
+
+
+def salted_count(df: DataFrame, key_cols: list[str], n_salt: int = 16) -> DataFrame:
+    """count() per key via two-phase salted aggregation.
+
+    Phase 1 shuffles on (key, salt) — the hot key fans out over ``n_salt``
+    partial aggregates; phase 2 merges the (at most n_salt) partials per
+    key. Result rows identical to ``df.groupBy(key).count()``.
+    """
+    salted = with_salt(df, n_salt)
+    partial = salted.groupBy(*key_cols, "_salt").agg(F.count("*").alias("_partial"))
+    return partial.groupBy(*key_cols).agg(F.sum("_partial").alias("count"))

@@ -1,0 +1,70 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Defaults target correctness-at-scale semantics that also hold on a
+multi-executor cluster: AQE on (runtime re-plan, skew-join splitting,
+partition coalescing), Arrow transfer for every pandas UDF boundary, and
+shuffle partitioning sized by the caller (tests/bench pass the local core
+count; a real cluster submit overrides via spark-submit --conf).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Distribute this package to executors (the --py-files path).
+
+    Python workers don't share the driver's sys.path, so any session that
+    runs the engine's pandas UDFs needs the package shipped — on a real
+    cluster via ``spark-submit --py-files engine.zip``, programmatically via
+    ``addPyFile``. Idempotent per session.
+    """
+    if getattr(spark, "_geobuf_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zip_path = os.path.join(tempfile.gettempdir(), "geobuf_cpp_spark_pkg.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zip_path)
+    spark._geobuf_pkg_shipped = True
+
+
+def get_spark(
+    app_name: str = "geobuf_cpp_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark

@@ -1,0 +1,198 @@
+"""End-to-end Spark tests: pages -> extract -> geobuf -> spatial operators.
+
+Mirrors the reference's round-trip methodology on the distributed path and
+checks the spatial operators against scalar python oracles.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geobuf_cpp_spark.codec import geobuf as gb
+from geobuf_cpp_spark.extract.html import extract_geometries, extract_text
+from geobuf_cpp_spark.functions import cells as C
+from geobuf_cpp_spark.functions.geometry import point_in_wire_polygon
+from geobuf_cpp_spark.functions.udfs import decode_features, encode_features, extract_features
+from geobuf_cpp_spark.operators.knn import knn_broadcast, knn_cell_rings
+from geobuf_cpp_spark.operators.pip_join import pip_join
+from geobuf_cpp_spark.operators.tiles import rasterize_tiles, vectorize_raster
+from geobuf_cpp_spark.sources.pages import (
+    generate_admin_polygons,
+    generate_pages_batch,
+    pages_dataframe,
+)
+
+N_PAGES = 600
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = pages_dataframe(spark, N_PAGES, partitions=4)
+    df.persist()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def features(spark, pages):
+    df = extract_features(pages)
+    df.persist()
+    yield df
+    df.unpersist()
+
+
+def test_pages_deterministic_and_partition_independent(spark):
+    a = pages_dataframe(spark, 100, partitions=2).orderBy("url").collect()
+    b = pages_dataframe(spark, 100, partitions=7).orderBy("url").collect()
+    assert a == b
+
+
+def test_extracted_text_byte_identical(pages):
+    # per-url invariant (BASELINE.json input_hint): stored text ==
+    # extractor output, byte for byte
+    rows = pages.select("url", "html", "text").limit(200).collect()
+    assert rows
+    for r in rows:
+        assert extract_text(bytes(r["html"]).decode("utf-8")) == r["text"]
+
+
+def test_extraction_matches_local_oracle(pages, features):
+    local = {}
+    for r in pages.select("url", "html").collect():
+        feats = extract_geometries(bytes(r["html"]).decode("utf-8"))
+        if feats:
+            local[r["url"]] = len(feats)
+    got = {
+        r["url"]: r["n"]
+        for r in features.groupBy("url").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == local
+    assert sum(local.values()) > 100  # corpus actually carries geometry
+
+
+def test_geobuf_spark_roundtrip_byte_identical(spark, features):
+    encoded = encode_features(features, max_precision=10**7)
+    decoded = decode_features(encoded)
+    # re-encode the decoded features: bytes must be identical (fixpoint,
+    # same methodology as reference tests/test_geobuf.py:360-364)
+    reencoded = encode_features(
+        decoded.select("url", "feature_idx", "geom", "properties"),
+        max_precision=10**7,
+    ).select("url", "feature_idx", F.col("geobuf").alias("geobuf2"))
+    joined = (
+        encoded.select("url", "feature_idx", "geobuf")
+        .join(reencoded, ["url", "feature_idx"])
+        .withColumn("same", F.col("geobuf") == F.col("geobuf2"))
+    )
+    stats = joined.agg(
+        F.count("*").alias("n"), F.sum(F.col("same").cast("int")).alias("ok")
+    ).collect()[0]
+    assert stats["n"] > 100 and stats["ok"] == stats["n"]
+
+
+def test_geobuf_blob_decodes_with_pure_python(spark, features):
+    rows = encode_features(features).limit(20).collect()
+    for r in rows:
+        doc = gb.decode(bytes(r["geobuf"]))
+        assert doc["type"] == "Feature"
+        assert doc["geometry"]["type"] in (
+            "Point", "MultiPoint", "LineString", "MultiLineString",
+            "Polygon", "MultiPolygon",
+        )
+
+
+def test_pip_join_matches_scalar_oracle(spark, features):
+    admin = generate_admin_polygons()
+    got = (
+        pip_join(features.select("url", "feature_idx", "lon", "lat"), admin, res=8)
+        .select("url", "feature_idx", "admin_id")
+        .collect()
+    )
+    got_set = {(r["url"], r["feature_idx"], r["admin_id"]) for r in got}
+    assert len(got_set) == len(got)  # no duplicate pairs from the cover join
+
+    pts = features.select("url", "feature_idx", "lon", "lat").collect()
+    expect = set()
+    for _, arow in admin.iterrows():
+        g = arow["geom"]
+        px = np.array([p["lon"] for p in pts])
+        py = np.array([p["lat"] for p in pts])
+        mask = point_in_wire_polygon(px, py, g["type"], g["dim"], g["lengths"], g["coords"])
+        for p, m in zip(pts, mask):
+            if m:
+                expect.add((p["url"], p["feature_idx"], arow["admin_id"]))
+    assert got_set == expect
+    assert len(expect) > 50  # join is non-trivial at this corpus size
+
+
+def test_knn_strategies_agree(spark, features):
+    queries = pd.DataFrame(
+        {
+            "query_id": range(10),
+            "lat": [40.8, 51.4, 35.6, 48.9, 55.7, 39.8, 19.5, -23.6, 28.7, 31.3],
+            "lon": [-74.1, -0.2, 139.7, 2.4, 37.7, 116.5, -99.0, -46.7, 77.3, 121.5],
+        }
+    )
+    pts = features.select("url", "feature_idx", "lon", "lat")
+    brute = knn_broadcast(pts, queries, k=5).toPandas()
+    rings = knn_cell_rings(pts, queries, k=5, res=7)
+    b = brute.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    r = rings.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        b[["query_id", "rank", "url", "feature_idx"]],
+        r[["query_id", "rank", "url", "feature_idx"]],
+    )
+    assert (b.groupby("query_id").size() == 5).all()
+
+
+def test_tiles_raster_vector_roundtrip(spark, features):
+    raster = rasterize_tiles(features, z=6)
+    rpdf = raster.toPandas()
+    assert rpdf["n_points"].sum() == features.count()
+    # grid sums match tile counts
+    assert all(sum(g) == n for g, n in zip(rpdf["grid"], rpdf["n_points"]))
+    vec = vectorize_raster(raster).toPandas()
+    assert vec["count"].sum() == rpdf["n_points"].sum()
+    # every vector pixel polygon actually contains its source points count
+    assert (vec["count"] > 0).all()
+
+
+def test_manifest_resume(spark, tmp_path, pages):
+    from geobuf_cpp_spark.plans.manifest import fingerprint, read_manifest, run_stage
+
+    root = str(tmp_path)
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return extract_features(pages)
+
+    fp = fingerprint("pages", str(N_PAGES))
+    df1 = run_stage(spark, root, "extract", fp, build)
+    n1 = df1.count()
+    m = read_manifest(root, "extract")
+    assert m["status"] == "COMPLETE" and m["rows"] == n1
+    assert m["partitions"] and all(p["bytes"] for p in m["partitions"])
+    # resume: build() must NOT run again
+    df2 = run_stage(spark, root, "extract", fp, build)
+    assert calls["n"] == 1
+    assert df2.count() == n1
+    # changed input fingerprint -> rebuild
+    run_stage(spark, root, "extract", fingerprint("pages", "other"), build)
+    assert calls["n"] == 2
+
+
+def test_salted_count_equals_plain(spark, features):
+    from geobuf_cpp_spark.plans.partitioning import salted_count
+
+    with_cell = features.withColumn("cell", F.expr(C.sql_cell("lat", "lon", 6)))
+    plain = {
+        r["cell"]: r["count"]
+        for r in with_cell.groupBy("cell").count().collect()
+    }
+    salted = {
+        r["cell"]: r["count"]
+        for r in salted_count(with_cell.select("cell", "url"), ["cell"], n_salt=8).collect()
+    }
+    assert plain == salted

@@ -1,0 +1,152 @@
+"""Pure-numpy spatial kernel tests (no Spark): cells, tiles, PIP."""
+
+import numpy as np
+import pytest
+
+from geobuf_cpp_spark.functions import cells as C
+from geobuf_cpp_spark.functions import geometry as G
+
+
+def test_cell_roundtrip_center():
+    lat = np.array([40.71, -33.86, 0.0, 89.999, -90.0])
+    lon = np.array([-74.0, 151.2, 0.0, 179.999, -180.0])
+    for res in (2, 8, 15):
+        cell = C.cell_of(lat, lon, res)
+        clat, clon = C.cell_center(cell, res)
+        dlat, dlon = C.cell_size_deg(res)
+        assert np.all(np.abs(clat - lat) <= dlat)
+        assert np.all(np.abs(clon - lon) <= dlon)
+
+
+def test_cell_hierarchy_exact():
+    lat = np.linspace(-89, 89, 50)
+    lon = np.linspace(-179, 179, 50)
+    child = C.cell_of(lat, lon, 12)
+    parent_direct = C.cell_of(lat, lon, 9)
+    assert np.array_equal(C.cell_parent(child, 12, 9), parent_direct)
+
+
+def test_cell_res_disjoint():
+    # same location, different res -> different id ranges
+    c8 = C.cell_of(10.0, 10.0, 8)
+    c9 = C.cell_of(10.0, 10.0, 9)
+    assert c8 // C.RES_BASE == 8 and c9 // C.RES_BASE == 9
+
+
+def test_ring_cells_counts_and_wrap():
+    cell = int(C.cell_of(0.0, 179.9, 4))
+    ring1 = C.ring_cells(cell, 4, 1)
+    assert len(ring1) == 9 and cell in ring1
+    # wraps the antimeridian: some cells on the far west side
+    iy, ix = C.cell_decompose(ring1, 4)
+    assert 0 in ix  # wrapped around
+    # pole clamp: fewer unique rows at the top
+    top = int(C.cell_of(89.9, 0.0, 4))
+    assert len(C.ring_cells(top, 4, 1)) == 6  # 2 rows x 3 cols
+
+
+def test_cover_bbox():
+    cover = C.cover_bbox(10.0, 12.0, 20.0, 23.0, 6)
+    n = 1 << 6
+    lat0 = np.floor((10.0 + 90) / 180 * n)
+    lat1 = np.floor((12.0 + 90) / 180 * n)
+    lon0 = np.floor((20.0 + 180) / 360 * n)
+    lon1 = np.floor((23.0 + 180) / 360 * n)
+    assert len(cover) == (lat1 - lat0 + 1) * (lon1 - lon0 + 1)
+
+
+def test_mercator_tile_known_values():
+    # well-known slippy goldens (OSM floor convention): (0,0) z1 -> (1,1)
+    tx, ty = C.mercator_tile(0.0, 0.0, 1)
+    assert (tx, ty) == (1, 1)
+    tx, ty = C.mercator_tile(40.7128, -74.0060, 10)
+    assert (int(tx), int(ty)) == (301, 385)
+    tx, ty = C.mercator_tile(51.5074, -0.1278, 12)
+    assert (int(tx), int(ty)) == (2046, 1362)
+
+
+def test_pip_square_with_hole():
+    shell = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+    hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], dtype=float)
+    px = np.array([5.0, 1.0, 11.0, 5.0, -0.1])
+    py = np.array([5.0, 1.0, 5.0, 9.0, 5.0])
+    inside = G.pip_mask(px, py, [shell, hole])
+    assert inside.tolist() == [False, True, False, True, False]
+
+
+def test_pip_matches_scalar_oracle():
+    rng = np.random.default_rng(3)
+    ring = np.array(
+        [[0, 0], [8, 2], [10, 8], [5, 11], [-1, 7], [0, 0]], dtype=float
+    )
+    px = rng.uniform(-2, 12, 500)
+    py = rng.uniform(-2, 13, 500)
+
+    def scalar_pip(x, y):
+        inside = False
+        for i in range(len(ring) - 1):
+            x1, y1 = ring[i]
+            x2, y2 = ring[i + 1]
+            if (y1 > y) != (y2 > y) and x < (x2 - x1) * (y - y1) / (y2 - y1) + x1:
+                inside = not inside
+        return inside
+
+    expect = np.array([scalar_pip(x, y) for x, y in zip(px, py)])
+    assert np.array_equal(G.pip_mask(px, py, [ring]), expect)
+
+
+def test_wire_struct_roundtrip():
+    geoms = [
+        {"type": "Point", "coordinates": [1.5, 2.5]},
+        {"type": "LineString", "coordinates": [[0.0, 0.0], [1.0, 1.0]]},
+        {
+            "type": "Polygon",
+            "coordinates": [
+                [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 0.0]],
+                [[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 1.0]],
+            ],
+        },
+        {
+            "type": "MultiPolygon",
+            "coordinates": [
+                [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 0.0]]],
+                [[[5.0, 5.0], [7.0, 5.0], [7.0, 7.0], [5.0, 5.0]]],
+            ],
+        },
+    ]
+    for g in geoms:
+        t, dim, lengths, coords = G.geojson_to_wire(g)
+        assert G.wire_to_geojson(t, dim, lengths, coords) == g
+
+
+def test_sql_formulas_match_numpy_via_duckdb():
+    """The SQL-text builders must produce the numpy kernel's results when
+    executed by DuckDB (the oracle engine)."""
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(-90, 90, 2000)
+    lon = rng.uniform(-180, 180, 2000)
+    con = duckdb.connect()
+    con.register("pts", __import__("pandas").DataFrame({"lat": lat, "lon": lon}))
+    for res in (4, 9, 14):
+        got = con.execute(
+            f"SELECT {C.sql_cell('lat', 'lon', res)} AS c FROM pts"
+        ).fetchnumpy()["c"]
+        assert np.array_equal(got, C.cell_of(lat, lon, res))
+    # parent formula
+    child_expr = C.sql_cell("lat", "lon", 14)
+    got = con.execute(
+        f"SELECT {C.sql_cell_parent(child_expr, 14, 9)} AS p FROM pts"
+    ).fetchnumpy()["p"]
+    assert np.array_equal(got, C.cell_of(lat, lon, 9))
+    # tiles
+    for z in (4, 8):
+        gx = con.execute(
+            f"SELECT {C.sql_equirect_tile_x('lon', z)} AS x FROM pts"
+        ).fetchnumpy()["x"]
+        gy = con.execute(
+            f"SELECT {C.sql_equirect_tile_y('lat', z)} AS y FROM pts"
+        ).fetchnumpy()["y"]
+        ex, ey = C.equirect_tile(lat, lon, z)
+        assert np.array_equal(gx, ex) and np.array_equal(gy, ey)
