@@ -1,0 +1,99 @@
+"""Benchmark harness — prints ONE JSON line the driver records per round.
+
+Two parts:
+1. headline pipeline: synthetic pages corpus -> extract geometries ->
+   geobuf encode -> PIP join against admin polygons (the BASELINE.json
+   metric, pages/sec). The corpus is pre-materialized to parquet so the
+   timed section measures the engine, not the generator.
+2. per-query timings of the oracle-checked operator surface at
+   $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Env knobs: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SF_DIR,
+SPARK_GRAFT_PAGES (default 100000), SPARK_GRAFT_BENCH_QUERIES (csv filter).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", "100000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    import __spark_entry__ as entrymod
+    from geobuf_cpp_spark.functions.udfs import encode_features, extract_features
+    from geobuf_cpp_spark.operators.pip_join import pip_join
+    from geobuf_cpp_spark.session import get_spark
+    from geobuf_cpp_spark.sources.pages import generate_admin_polygons, pages_dataframe
+
+    spark = get_spark("bench", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # -- headline: pages -> extract -> encode -> PIP join ------------------
+    tmp = tempfile.mkdtemp(prefix="bench_pages_")
+    try:
+        pages_path = os.path.join(tmp, "pages")
+        pages_dataframe(spark, n_pages, partitions=cpus * 2).write.mode(
+            "overwrite"
+        ).parquet(pages_path)
+        pages = spark.read.parquet(pages_path)
+        admin = generate_admin_polygons()
+
+        t0 = time.time()
+        encoded = encode_features(extract_features(pages))
+        joined = pip_join(
+            encoded.select("url", "feature_idx", "lon", "lat", "geobuf"),
+            admin,
+            res=8,
+        )
+        n_matches = joined.count()
+        pipeline_sec = time.time() - t0
+        pages_per_sec = n_pages / pipeline_sec
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # -- operator surface at sf_dir ----------------------------------------
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",") if s
+    }
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()) + pipeline_sec, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "encode+pip_pipeline_plus_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "pipeline_sec": round(pipeline_sec, 3),
+                "pages": n_pages,
+                "pages_per_sec": round(pages_per_sec, 1),
+                "pip_matches": n_matches,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Text analysis operators — language-ID heuristic, quality scoring, token
+counting, document fingerprinting.
+
+Everything here stays JVM-side (pyspark.sql.functions only — no Python in
+the hot path): at 100 TB these are full-corpus scans whose cost must be
+whole-stage-codegen string ops, not Arrow round trips.
+
+The arithmetic uses only engine-portable primitives (length/replace/substr/
+md5/integer ops) so the same formulas serve as DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# occurrence count of a literal inside a string, portable formula:
+#   (length(s) - length(replace(s, lit))) / length(lit)
+def _occ(col, lit: str):
+    return (F.length(col) - F.length(F.replace(col, F.lit(lit), F.lit("")))) / len(lit)
+
+
+ENGLISH_STOPWORDS = [" the ", " a ", " of ", " and ", " to "]
+
+
+def doc_stats(docs_df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document counts: chars, tokens, punctuation, stopword hits."""
+    t = F.col(text_col)
+    token_count = (
+        F.length(F.trim(t)) - F.length(F.replace(F.trim(t), F.lit(" "), F.lit("")))
+        + F.when(F.length(F.trim(t)) > 0, F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    stop_hits = None
+    for sw in ENGLISH_STOPWORDS:
+        occ = _occ(t, sw)
+        stop_hits = occ if stop_hits is None else stop_hits + occ
+    return docs_df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars_measured"),
+        token_count.alias("n_tokens"),
+        F.floor(_occ(t, ".")).cast("long").alias("n_periods"),
+        F.floor(_occ(t, ",")).cast("long").alias("n_commas"),
+        F.floor(stop_hits).cast("long").alias("n_stopword_hits"),
+    )
+
+
+def quality_score(docs_df, id_col: str = "doc_id", text_col: str = "text",
+                  min_tokens: int = 10, max_tokens: int = 100_000):
+    """Heuristic quality gate in the C4/Gopher style, integer-exact.
+
+    keep = tokens in range AND mean token length in [2, 12] (x100 as an
+    integer ratio to stay float-free for oracle parity).
+    """
+    stats = doc_stats(docs_df, id_col, text_col)
+    # FLOOR before the cast: Spark's double->long cast truncates while
+    # DuckDB's rounds — floor+cast is portable
+    mean_tok_len_x100 = F.floor(
+        (F.col("n_chars_measured") - (F.col("n_tokens") - 1))
+        * 100
+        / F.greatest(F.col("n_tokens"), F.lit(1))
+    ).cast("long")
+    return stats.select(
+        id_col,
+        "n_tokens",
+        mean_tok_len_x100.alias("mean_token_len_x100"),
+        (
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+            & (mean_tok_len_x100 >= 200)
+            & (mean_tok_len_x100 <= 1200)
+        ).alias("keep"),
+    )
+
+
+def lang_signal(docs_df, id_col: str = "doc_id", text_col: str = "text",
+                lang_col: str = "lang"):
+    """n-gram language-ID heuristic vs the labeled lang column.
+
+    predicts 'en' when English stopword density clears a threshold —
+    deterministic and portable; on synthetic word-salad corpora this is a
+    plumbing check, on real text the stopword lists do the work.
+    """
+    t = F.col(text_col)
+    stop_hits = None
+    for sw in ENGLISH_STOPWORDS:
+        occ = _occ(t, sw)
+        stop_hits = occ if stop_hits is None else stop_hits + occ
+    tokens = (
+        F.length(F.trim(t)) - F.length(F.replace(F.trim(t), F.lit(" "), F.lit("")))
+        + F.lit(1)
+    )
+    return docs_df.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.floor(stop_hits).cast("long").alias("stop_hits"),
+        F.floor(stop_hits * 1000 / tokens).cast("long").alias("stop_density_x1000"),
+        (stop_hits * 1000 / tokens >= 30).alias("pred_en"),
+    )
+
+
+def fingerprints(docs_df, id_col: str = "doc_id", text_col: str = "text",
+                 prefix_len: int = 64):
+    """Stable document fingerprints: full-text md5 + prefix md5 (clusters
+    shared boilerplate heads)."""
+    t = F.col(text_col)
+    return docs_df.select(
+        F.col(id_col),
+        F.md5(t.cast("binary")).alias("fp_full"),
+        F.md5(F.substring(t, 1, prefix_len).cast("binary")).alias("fp_prefix"),
+        F.length(t).cast("long").alias("n_chars_measured"),
+    )

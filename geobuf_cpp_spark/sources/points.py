@@ -1,0 +1,91 @@
+"""Deterministic geo derivations over the driver's TPC-H-ish testdata.
+
+The correctness gate runs each Spark query against DuckDB executing the
+oracle SQL on the same parquet files, comparing value hashes — so any
+derived coordinate must be the product of *engine-portable* arithmetic:
+integer ops plus IEEE double division/subtraction in a fixed order. These
+SQL fragments are built once here and consumed verbatim by BOTH sides
+(the Spark query via ``selectExpr``/``F.expr`` and the DuckDB oracle by
+string substitution), which makes cross-engine drift structurally
+impossible rather than merely tested-for.
+
+``orders`` rows become a synthetic point cloud (two coprime multipliers
+spread orderkeys over the globe at 0.01° granularity); ``nation`` rows
+become 25 disjoint-ish lon/lat boxes for the PIP range join; box centers
+double as kNN query sites.
+"""
+
+from __future__ import annotations
+
+# one point per order; 0.01-degree lattice, pure integer -> double math
+POINT_LON_SQL = "CAST((o_orderkey * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0"
+POINT_LAT_SQL = "CAST((o_orderkey * 9973) % 17000 AS DOUBLE) / 100.0 - 85.0"
+
+POINTS_SELECT = (
+    "SELECT o_orderkey AS point_id, "
+    f"{POINT_LON_SQL} AS lon, {POINT_LAT_SQL} AS lat FROM orders"
+)
+
+# nation -> lon/lat boxes: 12 x 9 degrees, half-open [lo, hi)
+BOX_LON0_SQL = "CAST((n_nationkey * 89) % 300 AS DOUBLE) - 180.0"
+BOX_LAT0_SQL = "CAST((n_nationkey * 53) % 150 AS DOUBLE) - 85.0"
+BOX_W = 12.0
+BOX_H = 9.0
+
+BOXES_SELECT = (
+    "SELECT CAST(n_nationkey AS BIGINT) AS admin_id, "
+    f"{BOX_LON0_SQL} AS lon0, {BOX_LAT0_SQL} AS lat0, "
+    f"{BOX_LON0_SQL} + {BOX_W} AS lon1, {BOX_LAT0_SQL} + {BOX_H} AS lat1 "
+    "FROM nation"
+)
+
+# kNN query sites = box centers
+QUERIES_SELECT = (
+    "SELECT CAST(n_nationkey AS BIGINT) AS query_id, "
+    f"{BOX_LON0_SQL} + {BOX_W} / 2.0 AS q_lon, "
+    f"{BOX_LAT0_SQL} + {BOX_H} / 2.0 AS q_lat FROM nation"
+)
+
+
+def points_df(spark, sf_dir: str):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(POINTS_SELECT)
+
+
+def boxes_df(spark, sf_dir: str):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation.createOrReplaceTempView("nation")
+    return spark.sql(BOXES_SELECT)
+
+
+def queries_df(spark, sf_dir: str):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation.createOrReplaceTempView("nation")
+    return spark.sql(QUERIES_SELECT)
+
+
+def boxes_as_wire_polygons(spark, sf_dir: str):
+    """The nation boxes as wire-struct Polygons (for the exact PIP path)."""
+    import pandas as pd
+
+    b = boxes_df(spark, sf_dir).toPandas()
+    rows = []
+    for _, r in b.iterrows():
+        ring = [
+            r["lon0"], r["lat0"], r["lon1"], r["lat0"],
+            r["lon1"], r["lat1"], r["lon0"], r["lat1"],
+            r["lon0"], r["lat0"],
+        ]
+        rows.append(
+            {
+                "admin_id": int(r["admin_id"]),
+                "geom": {
+                    "type": 4,
+                    "dim": 2,
+                    "lengths": [5],
+                    "coords": [float(c) for c in ring],
+                },
+            }
+        )
+    return pd.DataFrame(rows)

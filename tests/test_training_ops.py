@@ -1,0 +1,153 @@
+"""Training-data operators: dedup (exact/minhash/simhash), ANN, text stats.
+
+Each approximate operator is validated against a brute-force oracle on a
+synthetic corpus with planted near-duplicates.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geobuf_cpp_spark.operators.ann import build_ivf, cosine_topk, ivf_topk
+from geobuf_cpp_spark.operators.dedup import (
+    exact_dedup,
+    jaccard,
+    minhash_lsh_pairs,
+    shingle_hashes,
+    simhash64,
+    simhash_pairs,
+)
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _corpus():
+    rng = np.random.default_rng(7)
+    docs = []
+    for i in range(40):
+        docs.append(" ".join(rng.choice(WORDS, size=30)))
+    # planted near-duplicates: copy with 1-2 word edits
+    for i in range(10):
+        base = docs[i].split()
+        base[5] = "mutated"
+        docs.append(" ".join(base))
+    # exact duplicates
+    docs.append(docs[0])
+    docs.append(docs[0])
+    return pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.createDataFrame(_corpus())
+    df.persist()
+    yield df
+    df.unpersist()
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).toPandas()
+    dup_groups = out[out["n_docs"] > 1]
+    assert len(dup_groups) == 1 and dup_groups.iloc[0]["n_docs"] == 3
+    assert dup_groups.iloc[0]["keeper_id"] == 0
+    assert out["n_docs"].sum() == docs.count()
+
+
+def test_minhash_recall_vs_bruteforce(spark, docs):
+    pdf = _corpus()
+    # brute-force truth at jaccard >= 0.7
+    truth = set()
+    hashes = {r.doc_id: shingle_hashes(r.text) for r in pdf.itertuples()}
+    ids = list(pdf["doc_id"])
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if jaccard(hashes[ids[i]], hashes[ids[j]]) >= 0.7:
+                truth.add((ids[i], ids[j]))
+    got = minhash_lsh_pairs(docs, threshold=0.7).toPandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+    assert truth, "corpus must contain planted near-duplicates"
+    # verify step makes precision exact; banding gives high recall at 0.7
+    assert got_pairs <= truth
+    recall = len(got_pairs & truth) / len(truth)
+    assert recall >= 0.9, (recall, len(truth))
+
+
+def test_simhash_pairs_match_bruteforce(spark, docs):
+    pdf = _corpus()
+    sh = {r.doc_id: simhash64(r.text) & ((1 << 64) - 1) for r in pdf.itertuples()}
+    truth = set()
+    ids = list(pdf["doc_id"])
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if bin(sh[ids[i]] ^ sh[ids[j]]).count("1") <= 3:
+                truth.add((ids[i], ids[j]))
+    got = simhash_pairs(docs, max_hamming=3).toPandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+    # banding is exact for hamming <= 3 (pigeonhole over 4 chunks)
+    assert got_pairs == truth
+    assert truth  # planted dups must collide
+
+
+def _emb_frame(n=200, d=32, seed=5):
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, d))
+    return pd.DataFrame(
+        {"vec_id": range(n), "embedding": [row.tolist() for row in mat]}
+    )
+
+
+def test_cosine_topk_matches_numpy(spark):
+    pdf = _emb_frame()
+    emb = spark.createDataFrame(pdf).repartition(4)
+    queries = pd.DataFrame(
+        {"query_id": [0, 1, 2], "vec": pdf["embedding"][:3].tolist()}
+    )
+    got = cosine_topk(emb, queries, k=5).toPandas()
+    mat = np.vstack(pdf["embedding"])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qid in range(3):
+        sims = mat @ mat[qid]
+        order = np.lexsort((np.arange(len(sims)), -sims))[:5]
+        expect = list(order)
+        g = got[got["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        assert g == expect
+        assert g[0] == qid  # self is its own nearest neighbor
+
+
+def test_ivf_recall(spark):
+    pdf = _emb_frame(n=400)
+    emb = spark.createDataFrame(pdf).repartition(4)
+    queries = pd.DataFrame(
+        {"query_id": range(10), "vec": pdf["embedding"][:10].tolist()}
+    )
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    centroids, assignments = build_ivf(emb, n_lists=8)
+    approx = ivf_topk(emb, assignments, centroids, queries, k=10, nprobe=3).toPandas()
+    recalls = []
+    for qid in range(10):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls  # random gaussian data is the
+    # worst case for IVF; clustered real embeddings fare far better
+
+
+def test_textstats_formulas(spark):
+    from geobuf_cpp_spark.operators.textstats import doc_stats, quality_score
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "the cat sat on the mat.",
+                "x",
+                "a of and to the a of and to the words here, more words.",
+            ],
+        }
+    )
+    out = doc_stats(spark.createDataFrame(pdf)).orderBy("doc_id").toPandas()
+    assert out["n_tokens"].tolist() == [6, 1, 14]
+    assert out["n_periods"].tolist() == [1, 0, 1]
+    q = quality_score(spark.createDataFrame(pdf), min_tokens=3).orderBy("doc_id").toPandas()
+    assert q["keep"].tolist() == [True, False, True]
