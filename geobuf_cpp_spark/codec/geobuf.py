@@ -602,3 +602,26 @@ def normalize_json(obj: dict | str, sort_keys: bool = True, indent: int | None =
 def normalize_geobuf(data: bytes, max_precision: int = 10**8) -> bytes:
     """decode -> re-encode (pybind11_geobuf/__main__.py:54-80)."""
     return encode(decode(data), max_precision=max_precision)
+
+
+def str2json2str(text: str, indent: bool = False, sort_keys: bool = False) -> str:
+    """string -> DOM -> string (parity with src/main.cpp:46-62)."""
+    return json.dumps(
+        json.loads(text), indent=4 if indent else None,
+        sort_keys=sort_keys, ensure_ascii=False,
+        separators=None if indent else (",", ":"),
+    )
+
+
+def str2geojson2str(text: str, indent: bool = False, sort_keys: bool = False) -> str:
+    """string -> geojson round trip -> string (src/main.cpp:64-84).
+
+    Routes the document through encode∘decode at max precision so the
+    output reflects the engine's geojson normalization (coordinate
+    quantization, property value canonicalization).
+    """
+    doc = decode(encode(json.loads(text), max_precision=10**8))
+    return json.dumps(
+        doc, indent=4 if indent else None, sort_keys=sort_keys,
+        ensure_ascii=False, separators=None if indent else (",", ":"),
+    )

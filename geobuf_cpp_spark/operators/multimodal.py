@@ -1,0 +1,158 @@
+"""Multimodal column handling: opaque binary media + typed metadata.
+
+Image/audio/video payloads ride as ``binary`` columns with a typed metadata
+struct; all Spark-side plumbing (schema, partitioning by media kind, Arrow
+batch shape through ``mapInPandas``) is real and tested. The actual
+image/audio decoding libraries are not available in this container, so the
+decode kernel is STUBBED: by default a clearly-marked deterministic fake
+parses the synthetic payload header; requesting a real codec raises
+``NotImplementedError`` at the decode call site, never silently.
+
+Synthetic payload format (deterministic, seeded):
+    bytes 0..3   magic b"FIMG" | b"FAUD"
+    bytes 4..7   width / sample-rate  (uint32 LE)
+    bytes 8..11  height / n-samples   (uint32 LE)
+    bytes 12..   mix64 keystream bytes (the fake "pixels")
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..sources.pages import mix64
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width: int, height: int, n_bytes: int>"
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, width int, height int, "
+    "mean_byte double, feature array<float>"
+)
+
+
+def synth_media_batch(ids: np.ndarray) -> pd.DataFrame:
+    """Deterministic fake media rows (pure function of id)."""
+    rows = []
+    for i in ids.tolist():
+        kind = "image" if i % 3 else "audio"
+        w = 16 + int(mix64(np.asarray([i], dtype=np.uint64))[0] % 48)
+        h = 16 + int(mix64(np.asarray([i + 7], dtype=np.uint64))[0] % 48)
+        n = w * h if kind == "image" else w * 256
+        stream = mix64(np.arange(i, i + (n + 7) // 8, dtype=np.uint64))
+        body = stream.tobytes()[:n]
+        magic = b"FIMG" if kind == "image" else b"FAUD"
+        payload = magic + struct.pack("<II", w, h) + body
+        rows.append(
+            {
+                "media_id": i,
+                "kind": kind,
+                "payload": payload,
+                "meta": {"width": w, "height": h, "n_bytes": len(payload)},
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def media_dataframe(spark, n: int, partitions: int | None = None):
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield synth_media_batch(pdf["id"].to_numpy())
+
+    return spark.range(0, n, numPartitions=parts).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_stub(payload: bytes, codec: str = "fake") -> tuple[int, int, np.ndarray]:
+    """STUB decode. ``codec='fake'`` parses the synthetic format; any real
+    codec name documents exactly what's missing in this environment."""
+    if codec != "fake":
+        raise NotImplementedError(
+            f"media codec '{codec}' requires imaging/audio libraries not "
+            "present in this container; only the deterministic 'fake' codec "
+            "is available"
+        )
+    magic, w, h = payload[:4], *struct.unpack("<II", payload[4:12])
+    if magic not in (b"FIMG", b"FAUD"):
+        raise ValueError(f"bad magic {magic!r}")
+    body = np.frombuffer(payload, dtype=np.uint8, offset=12)
+    return w, h, body
+
+
+def extract_media_features(media_df, codec: str = "fake", n_features: int = 8):
+    """Arrow-batched decode + feature extraction (a pooled byte histogram —
+    the stand-in for an embedding model's output, shape-correct end to end).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                w, h, body = decode_stub(bytes(payload), codec)
+                hist, _ = np.histogram(body, bins=n_features, range=(0, 256))
+                denom = max(int(body.size), 1)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "kind": kind,
+                        "width": int(w),
+                        "height": int(h),
+                        "mean_byte": float(body.mean()) if body.size else 0.0,
+                        "feature": (hist / denom).astype(np.float32).tolist(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "width", "height", "mean_byte", "feature"],
+            )
+
+    return media_df.select("media_id", "kind", "payload").mapInPandas(
+        gen, FEATURE_SCHEMA
+    )
+
+
+def frame_sample(media_df, every_n: int = 4):
+    """Video-style frame sampling over the binary payload: one row per
+    sampled "frame" (stride slices of the byte stream) — the explode shape
+    a real frame sampler produces."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, body = decode_stub(bytes(payload))
+                frame_len = max(w, 1)
+                n_frames = max(body.size // frame_len, 1)
+                for f in range(0, n_frames, every_n):
+                    chunk = body[f * frame_len : (f + 1) * frame_len]
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": f,
+                            "frame_bytes": chunk.tobytes(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_bytes"])
+
+    return media_df.select("media_id", "payload").mapInPandas(
+        gen, "media_id long, frame_idx int, frame_bytes binary"
+    )
+
+
+def media_stats(media_df):
+    """JVM-side metadata aggregation — no decode, pure column pruning:
+    the scan should read meta+kind only, never the payload bytes."""
+    return media_df.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum("meta.n_bytes").alias("total_bytes"),
+        F.avg("meta.width").alias("avg_width"),
+    )

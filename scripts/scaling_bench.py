@@ -1,0 +1,93 @@
+"""Two-parallelism scaling evidence (BASELINE.json north_rule).
+
+A real multi-executor cluster is unavailable in this sandbox, so — per the
+driver's instruction — the same encode+PIP pipeline runs at N and 4N cores
+(local[8] vs local[32]) on the same input, and scaling efficiency is
+    (throughput_4N / throughput_N) / 4.
+Each level runs in its own process (a Spark master is fixed per JVM).
+Results are appended to BENCH/BASELINE.md.
+
+    python scripts/scaling_bench.py [n_pages]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def generate_corpus(n_pages: int, out_dir: str) -> None:
+    """Generate the shared corpus once at full parallelism (untimed)."""
+    code = (
+        "import sys; sys.path.insert(0, '.');"
+        "from geobuf_cpp_spark.session import get_spark;"
+        "from geobuf_cpp_spark.sources.pages import pages_dataframe;"
+        "s = get_spark('gen', master='local[32]');"
+        "s.sparkContext.setLogLevel('ERROR');"
+        f"pages_dataframe(s, {n_pages}, partitions=64)"
+        f".write.mode('overwrite').parquet({out_dir!r}); s.stop()"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=1200,
+                   cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_level(cpus: int, n_pages: int, pages_dir: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_PAGES=str(n_pages),
+        SPARK_GRAFT_PIPELINE_ONLY="1",
+        SPARK_GRAFT_PAGES_DIR=pages_dir,
+        SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True, text=True, env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=1800,
+    )
+    line = [l for l in out.stdout.splitlines() if l.strip().startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
+    levels = (
+        tuple(int(c) for c in sys.argv[2].split(","))
+        if len(sys.argv) > 2
+        else (2, 8)
+    )
+    n, n4 = levels
+    import tempfile, shutil
+
+    corpus = tempfile.mkdtemp(prefix="scaling_pages_") + "/pages"
+    generate_corpus(n_pages, corpus)
+    results = {}
+    try:
+        for cpus in levels:
+            t0 = time.time()
+            results[cpus] = run_level(cpus, n_pages, corpus)
+            print(f"local[{cpus}]: {results[cpus]['pages_per_sec']} pages/sec "
+                  f"(pipeline {results[cpus]['pipeline_sec']}s, wall {time.time()-t0:.0f}s)")
+    finally:
+        shutil.rmtree(os.path.dirname(corpus), ignore_errors=True)
+    eff = (results[n4]["pages_per_sec"] / results[n]["pages_per_sec"]) / (n4 / n)
+    summary = {
+        "n_pages": n_pages,
+        "levels": list(levels),
+        f"pages_per_sec_{n}": results[n]["pages_per_sec"],
+        f"pages_per_sec_{n4}": results[n4]["pages_per_sec"],
+        f"pipeline_sec_{n}": results[n]["pipeline_sec"],
+        f"pipeline_sec_{n4}": results[n4]["pipeline_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "pip_matches": results[n4]["pip_matches"],
+    }
+    print(json.dumps(summary))
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Structured Streaming: file-source windowed aggregation equals batch."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from geobuf_cpp_spark.streaming.events import (
+    read_event_stream,
+    run_to_memory,
+    windowed_counts,
+)
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "stream_src")
+    # land the data as three separate "arrivals"
+    events.filter("event_id % 3 = 0").write.parquet(os.path.join(src, "a"))
+    events.filter("event_id % 3 = 1").write.parquet(os.path.join(src, "b"))
+    events.filter("event_id % 3 = 2").write.parquet(os.path.join(src, "c"))
+
+    stream = read_event_stream(spark, src + "/*", max_files_per_trigger=2)
+    agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
+    q = run_to_memory(agg, "ev_counts", str(tmp_path / "ckpt"))
+    try:
+        got = spark.table("ev_counts").toPandas()
+    finally:
+        q.stop()
+
+    expect = (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n",
+                "min_value", "max_value")
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    expect = expect.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(expect) and len(got) > 0
+    assert (got["n"].to_numpy() == expect["n"].to_numpy()).all()
+    assert (got["min_value"].to_numpy() == expect["min_value"].to_numpy()).all()
+
+
+def test_stream_resume_from_checkpoint(spark, tmp_path):
+    """Kill the query, land more data, restart with the same checkpoint —
+    counts reflect everything exactly once."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "src2")
+    ckpt = str(tmp_path / "ckpt2")
+    events.filter("event_id % 2 = 0").write.parquet(os.path.join(src, "a"))
+
+    stream = read_event_stream(spark, src + "/*")
+    q = run_to_memory(windowed_counts(stream), "ev_resume", ckpt)
+    first = spark.table("ev_resume").agg(F.sum("n")).collect()[0][0]
+    q.stop()
+
+    events.filter("event_id % 2 = 1").write.parquet(os.path.join(src, "b"))
+    q2 = run_to_memory(
+        windowed_counts(read_event_stream(spark, src + "/*")), "ev_resume", ckpt
+    )
+    try:
+        total = spark.table("ev_resume").agg(F.sum("n")).collect()[0][0]
+    finally:
+        q2.stop()
+    assert first < total == events.count()
