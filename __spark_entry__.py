@@ -25,6 +25,7 @@ from geobuf_cpp_spark.functions.cells import (
     sql_equirect_tile_y,
 )
 from geobuf_cpp_spark.functions.sql_codec import sql_roundtrip
+from geobuf_cpp_spark.plans.partitioning import spread
 from geobuf_cpp_spark.session import ship_package
 from geobuf_cpp_spark.sources import points as P
 
@@ -92,7 +93,7 @@ def q_pip_boxes_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geobuf_cpp_spark.operators.knn import knn_broadcast
 
-    pts = P.points_df(spark, sf_dir)
+    pts = spread(P.points_df(spark, sf_dir))
     queries = (
         P.queries_df(spark, sf_dir)
         .toPandas()
@@ -174,7 +175,7 @@ def q_geobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"point_id": pdf["point_id"], "rt_lon": out_lon, "rt_lat": out_lat}
             )
 
-    return P.points_df(spark, sf_dir).mapInPandas(
+    return spread(P.points_df(spark, sf_dir)).mapInPandas(
         rt, "point_id long, rt_lon double, rt_lat double"
     )
 
@@ -200,7 +201,7 @@ def q_geobuf_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((int(round(__import__("math").log10(enc.e))), len(blob)))
             yield pd.DataFrame(rows, columns=["precision", "nbytes"])
 
-    sized = P.points_df(spark, sf_dir).mapInPandas(sz, "precision int, nbytes int")
+    sized = spread(P.points_df(spark, sf_dir)).mapInPandas(sz, "precision int, nbytes int")
     return sized.groupBy("precision").agg(
         F.count("*").alias("n"),
         F.sum("nbytes").alias("total_bytes"),
@@ -295,6 +296,26 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, qp, k=10).select("query_id", "rank", "vec_id")
 
 
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: metadata aggregation over the synthetic multimodal table
+    (payload column pruned from the scan)."""
+    from geobuf_cpp_spark.operators.multimodal import media_dataframe, media_stats
+
+    return media_stats(media_dataframe(spark, 2000))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: stubbed decode + histogram features per media row."""
+    from geobuf_cpp_spark.operators.multimodal import (
+        extract_media_features,
+        media_dataframe,
+    )
+
+    return extract_media_features(media_dataframe(spark, 2000)).select(
+        "media_id", "kind", "width", "height"
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geobuf_cpp_spark.operators.ann import build_ivf, ivf_topk
 
@@ -348,6 +369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "media_stats": q_media_stats,
+        "media_features": q_media_features,
     }
 
 

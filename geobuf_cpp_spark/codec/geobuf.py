@@ -155,9 +155,10 @@ class Encoder:
         if depth == 0:
             self._analyze_point(coords)
         elif depth == 1 and coords:
-            arr = np.asarray(coords, dtype=np.float64)
-            if arr.ndim == 2:  # homogeneous 2D/3D point list -> vectorized
-                self._analyze_matrix(arr)
+            k = len(coords[0])
+            if all(len(pt) == k for pt in coords):
+                # homogeneous 2D/3D point list -> vectorized
+                self._analyze_matrix(np.asarray(coords, dtype=np.float64))
             else:  # ragged (mixed 2/3-coord points): per-point fallback
                 for pt in coords:
                     self._analyze_point(pt)
@@ -302,7 +303,16 @@ class Encoder:
 
     def _deltas(self, line, closed: bool) -> np.ndarray:
         """Quantize + per-ring delta (running sum resets here, geobuf.cpp:537-552)."""
-        arr = _pad(np.asarray(line, dtype=np.float64).reshape(len(line), -1), self.dim)
+        k0 = len(line[0]) if line else 0
+        if line and not all(len(pt) == k0 for pt in line):
+            # ragged mixed 2/3-coord points: missing z defaults to 0
+            # (reference stores every point as xyz in memory)
+            mat = np.zeros((len(line), 3), dtype=np.float64)
+            for i, pt in enumerate(line):
+                mat[i, : len(pt)] = pt[:3]
+        else:
+            mat = np.asarray(line, dtype=np.float64).reshape(len(line), -1)
+        arr = _pad(mat, self.dim)
         if closed:
             arr = arr[:-1]
         q = _quantize(arr, self.e)

@@ -121,7 +121,9 @@ def minhash_bands(docs_df, id_col: str = "doc_id", text_col: str = "text",
                     out.append((int(doc_id), band, bucket))
             yield pd.DataFrame(out, columns=["doc_id", "band", "bucket"])
 
-    return docs_df.select(id_col, text_col).mapInPandas(gen, BANDS_SCHEMA)
+    from ..plans.partitioning import spread
+
+    return spread(docs_df.select(id_col, text_col)).mapInPandas(gen, BANDS_SCHEMA)
 
 
 def minhash_lsh_pairs(docs_df, id_col: str = "doc_id", text_col: str = "text",
@@ -202,7 +204,9 @@ def simhash_pairs(docs_df, id_col: str = "doc_id", text_col: str = "text",
                     )
             yield pd.DataFrame(rows, columns=["doc_id", "simhash", "band", "chunk"])
 
-    bands = docs_df.select(id_col, text_col).mapInPandas(
+    from ..plans.partitioning import spread
+
+    bands = spread(docs_df.select(id_col, text_col)).mapInPandas(
         gen, "doc_id long, simhash long, band int, chunk int"
     )
     left = bands.select(

@@ -19,6 +19,17 @@ from pyspark.sql import functions as F
 from ..functions.cells import sql_cell_parent
 
 
+def spread(df: DataFrame, multiple: int = 1) -> DataFrame:
+    """Round-robin repartition to cluster parallelism.
+
+    Heavy per-row UDF stages and wide joins must not inherit the scan's
+    split count (a small dimension table is often ONE parquet split, which
+    would serialize the stage on a single core). One cheap shuffle buys
+    full-width execution; results are unchanged.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism * multiple)
+
+
 def repartition_by_cell_prefix(df: DataFrame, cell_col: str, res: int,
                                prefix_res: int, num_partitions: int) -> DataFrame:
     parent = F.expr(sql_cell_parent(cell_col, res, prefix_res))

@@ -106,9 +106,33 @@ def generate_pages_batch(ids: np.ndarray) -> pd.DataFrame:
                     parts.append(f'<meta name="geo.position" content="{pla};{plo}">')
                     parts.append(f'<meta name="ICBM" content="{pla}, {plo}">')
                 elif kind == 1:
+                    # rotate Point / LineString / Polygon payloads so the
+                    # pipeline exercises every codec geometry path
+                    shape = i % 3
+                    if shape == 0:
+                        geom = {"type": "Point", "coordinates": [plo, pla]}
+                    elif shape == 1:
+                        geom = {
+                            "type": "LineString",
+                            "coordinates": [
+                                [plo, pla],
+                                [round(plo + 0.002, 6), round(pla + 0.001, 6)],
+                                [round(plo + 0.004, 6), round(pla - 0.001, 6)],
+                            ],
+                        }
+                    else:
+                        geom = {
+                            "type": "Polygon",
+                            "coordinates": [[
+                                [plo, pla],
+                                [round(plo + 0.003, 6), pla],
+                                [round(plo + 0.003, 6), round(pla + 0.002, 6)],
+                                [plo, pla],
+                            ]],
+                        }
                     feature = {
                         "type": "Feature",
-                        "geometry": {"type": "Point", "coordinates": [plo, pla]},
+                        "geometry": geom,
                         "properties": {"page": i, "p": p},
                     }
                     parts.append(
