@@ -156,10 +156,11 @@ class Encoder:
             self._analyze_point(coords)
         elif depth == 1 and coords:
             k = len(coords[0])
-            if all(len(pt) == k for pt in coords):
-                # homogeneous 2D/3D point list -> vectorized
+            if len(coords) >= 24 and all(len(pt) == k for pt in coords):
+                # homogeneous 2D/3D point list, big enough to amortize the
+                # numpy kernel setup -> vectorized
                 self._analyze_matrix(np.asarray(coords, dtype=np.float64))
-            else:  # ragged (mixed 2/3-coord points): per-point fallback
+            else:  # small or ragged: per-point scalar loop is faster
                 for pt in coords:
                     self._analyze_point(pt)
         else:
@@ -275,7 +276,13 @@ class Encoder:
         coords = geom.get("coordinates")
         if t == "Point":
             pbf.add_enum(1, 0)
-            pbf.add_packed_sint64(3, _quantize(_pad(np.asarray([coords], dtype=np.float64), self.dim), self.e).ravel())
+            # scalar path: Points dominate web corpora and numpy setup
+            # costs more than the 2-3 values themselves
+            q = [round_half_away(coords[i] if i < len(coords) else 0.0, self.e)
+                 for i in range(self.dim)]
+            from .pbf import pack_sint64_array
+
+            pbf.add_bytes(3, pack_sint64_array(np.asarray(q, dtype=np.int64)))
         elif t == "MultiPoint":
             pbf.add_enum(1, 1)
             pbf.add_bytes(3, self._pack_line(coords, closed=False))
@@ -303,6 +310,19 @@ class Encoder:
 
     def _deltas(self, line, closed: bool) -> np.ndarray:
         """Quantize + per-ring delta (running sum resets here, geobuf.cpp:537-552)."""
+        if 0 < len(line) <= 16:  # scalar path for short rings (see pbf.py note)
+            n = len(line) - (1 if closed else 0)
+            out = np.empty(n * self.dim, dtype=np.int64)
+            prev = [0] * self.dim
+            at = 0
+            for i in range(n):
+                pt = line[i]
+                for j in range(self.dim):
+                    q = round_half_away(pt[j] if j < len(pt) else 0.0, self.e)
+                    out[at] = q - prev[j]
+                    prev[j] = q
+                    at += 1
+            return out
         k0 = len(line[0]) if line else 0
         if line and not all(len(pt) == k0 for pt in line):
             # ragged mixed 2/3-coord points: missing z defaults to 0

@@ -90,7 +90,25 @@ def decode_varints(buf: bytes | memoryview) -> np.ndarray:
 
 
 def pack_sint64_array(vals: np.ndarray) -> bytes:
-    """zigzag + varint a signed int64 array (packed field payload)."""
+    """zigzag + varint a signed int64 array (packed field payload).
+
+    Small arrays (single Points and short rings dominate web corpora) take
+    a scalar path: the numpy kernel's setup costs ~70us regardless of n,
+    while the scalar loop is ~1us per value.
+    """
+    if vals.size <= 16:
+        out = bytearray()
+        for n in vals.tolist():
+            z = ((n << 1) ^ (n >> 63)) & 0xFFFFFFFFFFFFFFFF
+            while True:
+                b = z & 0x7F
+                z >>= 7
+                if z:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    break
+        return bytes(out)
     return encode_varints(zigzag_encode(vals))
 
 
