@@ -233,6 +233,42 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-k (ties broken by key)."""
+    _prep(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        "SELECT c.c_custkey, c.c_mktsegment, count(*) AS n_orders "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_custkey, c.c_mktsegment "
+        "ORDER BY n_orders DESC, c.c_custkey ASC LIMIT 10"
+    )
+
+
+def q_last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-1 per key (deduplication-by-recency, a standard pipeline op)."""
+    _prep(spark, sf_dir, "events")
+    return spark.sql(
+        "SELECT user_id, event_id, event_type FROM ("
+        "SELECT user_id, event_id, event_type, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+        "FROM events) t WHERE rn = 1"
+    )
+
+
+def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way dim join rollup (broadcast-friendly star shape)."""
+    _prep(spark, sf_dir, "region", "nation", "customer", "orders")
+    return spark.sql(
+        "SELECT r.r_name, count(*) AS n_orders, "
+        "count(DISTINCT c.c_custkey) AS n_customers "
+        "FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY r.r_name"
+    )
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geobuf_cpp_spark.operators.dedup import exact_dedup
 
@@ -360,6 +396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geobuf_size_stats": wrap(q_geobuf_size_stats),
         "events_hourly": q_events_hourly,
         "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "last_event_per_user": q_last_event_per_user,
+        "region_rollup": q_region_rollup,
         "exact_dedup": q_exact_dedup,
         "doc_stats": q_doc_stats,
         "quality_score": q_quality_score,
@@ -454,6 +493,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, count(*) AS n, "
             "sum(l_quantity) AS sum_qty, count(DISTINCT l_orderkey) AS n_orders "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_customers": (
+            "SELECT c.c_custkey, c.c_mktsegment, count(*) AS n_orders "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_custkey, c.c_mktsegment "
+            "ORDER BY n_orders DESC, c.c_custkey ASC LIMIT 10"
+        ),
+        "last_event_per_user": (
+            "SELECT user_id, event_id, event_type FROM ("
+            "SELECT user_id, event_id, event_type, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM events) t WHERE rn = 1"
+        ),
+        "region_rollup": (
+            "SELECT r.r_name, count(*) AS n_orders, "
+            "count(DISTINCT c.c_custkey) AS n_customers "
+            "FROM orders o "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "GROUP BY r.r_name"
         ),
         "exact_dedup": (
             "SELECT md5(text) AS dup_key, count(*) AS n_docs, "

@@ -165,6 +165,44 @@ def extract_encode_features(pages_df, max_precision: int = 10**7):
     )
 
 
+def encode_feature_collections(features_df, max_precision: int = 10**7):
+    """Group features per url into one FeatureCollection geobuf blob.
+
+    The distributed twin of the reference's writeFeatureCollection
+    (geobuf.cpp:374-384): ``groupBy(url).applyInPandas`` — one shuffle on
+    url, then a single encode per group so the collection shares one keys
+    table and one precision header.
+    """
+    import pandas as pd
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        enc = gb.Encoder(max_precision=max_precision)
+        pdf = pdf.sort_values("feature_idx")
+        features = []
+        for geom, props in zip(pdf["geom"], pdf["properties"]):
+            features.append(
+                {
+                    "type": "Feature",
+                    "geometry": wire_to_geojson(
+                        geom["type"], geom["dim"], geom["lengths"], geom["coords"]
+                    ),
+                    "properties": _json_map_to_props(props),
+                }
+            )
+        blob = enc.encode({"type": "FeatureCollection", "features": features})
+        return pd.DataFrame(
+            {
+                "url": [pdf["url"].iloc[0]],
+                "n_features": [len(features)],
+                "geobuf": [blob],
+            }
+        )
+
+    return features_df.groupBy("url").applyInPandas(
+        encode_group, "url string, n_features int, geobuf binary"
+    )
+
+
 def decode_features(encoded_df):
     """Decode ``geobuf`` binaries back to wire-shaped geometry + props."""
 

@@ -196,3 +196,27 @@ def test_salted_count_equals_plain(spark, features):
         for r in salted_count(with_cell.select("cell", "url"), ["cell"], n_salt=8).collect()
     }
     assert plain == salted
+
+
+def test_encode_feature_collections(spark, features):
+    from geobuf_cpp_spark.functions.udfs import encode_feature_collections
+
+    fc = encode_feature_collections(features)
+    rows = fc.limit(10).collect()
+    assert rows
+    total = fc.agg(F.sum("n_features")).collect()[0][0]
+    assert total == features.count()
+    for r in rows:
+        doc = gb.decode(bytes(r["geobuf"]))
+        assert doc["type"] == "FeatureCollection"
+        assert len(doc["features"]) == r["n_features"]
+
+
+def test_read_pages_parquet_fallback(spark, pages, tmp_path):
+    from geobuf_cpp_spark.sources.readers import read_pages
+
+    path = str(tmp_path / "pages_pq")
+    pages.write.parquet(path)
+    got = read_pages(spark, path, fmt="auto")
+    assert got.count() == pages.count()
+    assert set(got.columns) == set(pages.columns)
