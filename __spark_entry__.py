@@ -548,4 +548,16 @@ def oracle_sql() -> dict[str, str]:
             "md5(substr(text, 1, 64)) AS fp_prefix, "
             "CAST(length(text) AS BIGINT) AS n_chars_measured FROM documents"
         ),
+        # rank-only compare: similarity VALUES are float-summation-order
+        # dependent across engines, but the resulting order is stable on
+        # this corpus (verified empirically) and ties break on vec_id
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qv "
+            "FROM embeddings WHERE vec_id < 20) "
+            "SELECT query_id, rank, vec_id FROM ("
+            "SELECT q.query_id, e.vec_id, "
+            "ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY "
+            "list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id ASC) AS rank "
+            "FROM q CROSS JOIN embeddings e) t WHERE rank <= 10"
+        ),
     }

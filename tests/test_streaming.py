@@ -70,3 +70,43 @@ def test_stream_resume_from_checkpoint(spark, tmp_path):
     finally:
         q2.stop()
     assert first < total == events.count()
+
+
+def test_streaming_geo_pipeline_matches_batch(spark, tmp_path):
+    """pages stream -> extract -> windowed cell counts == batch answer."""
+    from geobuf_cpp_spark.functions.cells import sql_cell
+    from geobuf_cpp_spark.sources.pages import pages_dataframe
+    from geobuf_cpp_spark.streaming.pages_stream import (
+        extract_features_with_ts,
+        read_pages_stream,
+        streaming_cell_counts,
+    )
+
+    pages = pages_dataframe(spark, 400, partitions=4)
+    src = str(tmp_path / "pages_src")
+    pages.filter("length(url) % 2 = 0").write.parquet(os.path.join(src, "a"))
+    pages.filter("length(url) % 2 = 1").write.parquet(os.path.join(src, "b"))
+
+    stream = read_pages_stream(spark, src + "/*", max_files_per_trigger=3)
+    agg = streaming_cell_counts(stream, res=6, window="1 day", watermark="2 days")
+    from geobuf_cpp_spark.streaming.events import run_to_memory
+
+    q = run_to_memory(agg, "geo_counts", str(tmp_path / "ckpt"))
+    try:
+        got = spark.table("geo_counts").toPandas()
+    finally:
+        q.stop()
+
+    batch = (
+        extract_features_with_ts(pages)
+        .withColumn("cell", F.expr(sql_cell("lat", "lon", 6)))
+        .groupBy(F.window("warc_ts", "1 day").alias("w"), "cell")
+        .agg(F.count("*").alias("n_features"))
+        .select(F.col("w.start").alias("window_start"), "cell", "n_features")
+        .toPandas()
+    )
+    key = ["window_start", "cell"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(batch) > 0
+    assert (got["n_features"].to_numpy() == batch["n_features"].to_numpy()).all()
