@@ -532,15 +532,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_tokens, "
             "CAST(FLOOR((n_chars - (n_tokens - 1)) * 100 / GREATEST(n_tokens, 1)) AS BIGINT)"
             " AS mean_token_len_x100, "
-            "(n_tokens >= 10 AND n_tokens <= 100000 "
+            "CAST((n_tokens >= 10 AND n_tokens <= 100000 "
             "AND FLOOR((n_chars - (n_tokens - 1)) * 100 / GREATEST(n_tokens, 1)) >= 200 "
-            "AND FLOOR((n_chars - (n_tokens - 1)) * 100 / GREATEST(n_tokens, 1)) <= 1200)"
+            "AND FLOOR((n_chars - (n_tokens - 1)) * 100 / GREATEST(n_tokens, 1)) <= 1200) AS INT)"
             " AS keep FROM s"
         ),
         "lang_signal": (
             f"SELECT doc_id, lang, CAST(FLOOR({stop_sum}) AS BIGINT) AS stop_hits, "
             f"CAST(FLOOR(({stop_sum}) * 1000 / ({tokens} * 1.0)) AS BIGINT) AS stop_density_x1000, "
-            f"(({stop_sum}) * 1000 / ({tokens} * 1.0) >= 30) AS pred_en "
+            f"CAST((({stop_sum}) * 1000 / ({tokens} * 1.0) >= 30) AS INT) AS pred_en "
             "FROM documents"
         ),
         "fingerprints": (

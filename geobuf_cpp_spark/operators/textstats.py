@@ -67,7 +67,8 @@ def quality_score(docs_df, id_col: str = "doc_id", text_col: str = "text",
             & (F.col("n_tokens") <= max_tokens)
             & (mean_tok_len_x100 >= 200)
             & (mean_tok_len_x100 <= 1200)
-        ).alias("keep"),
+        ).cast("int").alias("keep"),  # int not bool: engines stringify
+        # booleans differently (True vs true), ints hash identically
     )
 
 
@@ -93,7 +94,7 @@ def lang_signal(docs_df, id_col: str = "doc_id", text_col: str = "text",
         F.col(lang_col),
         F.floor(stop_hits).cast("long").alias("stop_hits"),
         F.floor(stop_hits * 1000 / tokens).cast("long").alias("stop_density_x1000"),
-        (stop_hits * 1000 / tokens >= 30).alias("pred_en"),
+        (stop_hits * 1000 / tokens >= 30).cast("int").alias("pred_en"),
     )
 
 
