@@ -434,6 +434,15 @@ class Decoder:
         self.precision = DEFAULT_PRECISION
 
     def decode(self, data: bytes) -> dict:
+        import struct
+
+        try:
+            return self._decode(data)
+        except (IndexError, ValueError, UnicodeDecodeError, KeyError,
+                struct.error) as ex:
+            raise ValueError(f"malformed geobuf ({len(data)} bytes): {ex}") from ex
+
+    def _decode(self, data: bytes) -> dict:
         self.dim = DEFAULT_DIM
         self.e = 10.0**DEFAULT_PRECISION
         self.precision = DEFAULT_PRECISION

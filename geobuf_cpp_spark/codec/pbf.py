@@ -243,6 +243,11 @@ class PbfReader:
 
     def get_bytes(self) -> memoryview:
         n = self._read_varint()
+        if self._pos + n > self._end:  # slicing would silently clamp
+            raise ValueError(
+                f"truncated length-delimited field: need {n} bytes, "
+                f"{self._end - self._pos} remain"
+            )
         out = self._buf[self._pos : self._pos + n]
         self._pos += n
         return out

@@ -102,6 +102,22 @@ def extract_geometries(html: str) -> list[dict]:
     return out
 
 
+def _valid_coords(coords) -> bool:
+    """Finite, non-empty coordinate structure (malformed payloads skip)."""
+    if not isinstance(coords, list) or not coords:
+        return False
+
+    def walk(c):
+        if isinstance(c, (int, float)):
+            return isinstance(c, (int, float)) and not isinstance(c, bool) and \
+                -1e308 < float(c) < 1e308 and float(c) == float(c)
+        if isinstance(c, list) and c:
+            return all(walk(s) for s in c)
+        return False
+
+    return walk(coords)
+
+
 def _parse_latlon(a: str, b: str):
     try:
         lat, lon = float(a.strip()), float(b.strip())
@@ -113,7 +129,12 @@ def _parse_latlon(a: str, b: str):
 
 
 def _flatten_geojson(doc: dict):
-    """GeoJSON document -> [(geometry, properties)] rows."""
+    """GeoJSON document -> [(geometry, properties)] rows.
+
+    GeometryCollections explode to one row per member geometry (the wire
+    geometry struct is flat; collections are rows, not objects — SURVEY
+    §1.4 Spark mapping).
+    """
     if not isinstance(doc, dict):
         return
     t = doc.get("type")
@@ -121,8 +142,18 @@ def _flatten_geojson(doc: dict):
         for f in doc.get("features", []):
             yield from _flatten_geojson(f)
     elif t == "Feature":
-        if doc.get("geometry"):
-            yield doc["geometry"], (doc.get("properties") or {})
+        geom = doc.get("geometry")
+        props = doc.get("properties") or {}
+        if isinstance(geom, dict) and geom.get("type") == "GeometryCollection":
+            for sub in geom.get("geometries", []):
+                for g, _ in _flatten_geojson(sub):
+                    yield g, props
+        elif geom:
+            yield geom, props
+    elif t == "GeometryCollection":
+        for sub in doc.get("geometries", []):
+            yield from _flatten_geojson(sub)
     elif t in ("Point", "MultiPoint", "LineString", "MultiLineString",
                "Polygon", "MultiPolygon"):
-        yield doc, {}
+        if _valid_coords(doc.get("coordinates")):
+            yield doc, {}

@@ -44,6 +44,81 @@ def _rings_by_admin(admin_pdf: pd.DataFrame) -> dict[int, list[np.ndarray]]:
     }
 
 
+def pip_join_large(points_df, polygons_df, res: int = 8,
+                   lon_col: str = "lon", lat_col: str = "lat",
+                   point_keys: tuple[str, ...] = ("url", "feature_idx")):
+    """PIP join where BOTH sides are distributed tables.
+
+    The broadcast variant (``pip_join``) assumes the polygon side fits on
+    the driver; at 100 TB the polygon table can itself be huge (parcel or
+    building footprints), so here:
+
+    1. each polygon row explodes to its bbox cell cover in an Arrow stage
+       (cover size bounded by the polygon's extent at ``res``);
+    2. points get their cell column JVM-side (one expression, no UDF);
+    3. a shuffle equi-join on cell co-locates candidates — AQE splits
+       skewed cells; optionally pre-salt hot cells upstream;
+    4. exact refine runs co-grouped per cell with the polygon geometry
+       carried alongside, so no second pass over the polygon table.
+
+    ``polygons_df`` needs (admin_id, geom wire-struct). Output: point key
+    columns + admin_id, exact (bbox cover ⊇ polygon ⇒ no false negatives;
+    refine removes false positives). Duplicate candidates (a point meeting
+    the same polygon in several cover cells) are impossible: a point lies
+    in exactly one cell at ``res``.
+    """
+    from typing import Iterator
+
+    spark = points_df.sparkSession
+
+    cover_schema = (
+        "admin_id long, cell long, "
+        "geom struct<type: tinyint, dim: tinyint, lengths: array<int>, coords: array<double>>"
+    )
+
+    def cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for admin_id, geom in zip(pdf["admin_id"], pdf["geom"]):
+                lon0, lat0, lon1, lat1 = wire_bbox(geom["dim"], geom["coords"])
+                for cell in cover_bbox(lat0, lat1, lon0, lon1, res):
+                    rows.append(
+                        {"admin_id": int(admin_id), "cell": int(cell), "geom": geom}
+                    )
+            yield pd.DataFrame(rows, columns=["admin_id", "cell", "geom"])
+
+    poly_cover = polygons_df.select("admin_id", "geom").mapInPandas(
+        cover, cover_schema
+    )
+    pts = points_df.withColumn("cell", F.expr(sql_cell(lat_col, lon_col, res)))
+    candidates = pts.join(poly_cover, "cell")
+
+    out_cols = [*point_keys, "admin_id"]
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.geometry import wire_rings
+
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf[out_cols]
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            px = pdf[lon_col].to_numpy(dtype=np.float64)
+            py = pdf[lat_col].to_numpy(dtype=np.float64)
+            for admin_id, idx in pdf.groupby("admin_id").indices.items():
+                g = pdf["geom"].iloc[idx[0]]
+                rings = wire_rings(g["type"], g["dim"], g["lengths"], g["coords"])
+                keep[idx] = pip_mask(px[idx], py[idx], rings)
+            yield pdf.loc[keep, out_cols]
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in candidates.schema.fields
+        if f.name in out_cols
+    )
+    return candidates.mapInPandas(refine, out_schema)
+
+
 def pip_join(points_df, admin_pdf: pd.DataFrame, res: int = 8,
              lon_col: str = "lon", lat_col: str = "lat"):
     """Exact PIP join of a points DataFrame against a small polygon table.

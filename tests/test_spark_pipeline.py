@@ -220,3 +220,34 @@ def test_read_pages_parquet_fallback(spark, pages, tmp_path):
     got = read_pages(spark, path, fmt="auto")
     assert got.count() == pages.count()
     assert set(got.columns) == set(pages.columns)
+
+
+def test_pip_join_large_matches_broadcast(spark, features):
+    from geobuf_cpp_spark.operators.pip_join import pip_join_large
+    from geobuf_cpp_spark.sources.pages import ADMIN_SCHEMA
+
+    admin = generate_admin_polygons()
+    admin_df = spark.createDataFrame(admin.to_dict("records"), schema=ADMIN_SCHEMA)
+    pts = features.select("url", "feature_idx", "lon", "lat")
+    broadcast_out = {
+        (r["url"], r["feature_idx"], r["admin_id"])
+        for r in pip_join(pts, admin, res=8).select("url", "feature_idx", "admin_id").collect()
+    }
+    large_out = {
+        (r["url"], r["feature_idx"], r["admin_id"])
+        for r in pip_join_large(pts, admin_df, res=8).collect()
+    }
+    assert large_out == broadcast_out and len(large_out) > 50
+
+
+def test_decode_malformed_blob():
+    # empty input decodes to the empty document (reference geobuf.cpp:588)
+    assert gb.decode(b"") == {}
+    # structurally broken inputs raise a clean ValueError, never IndexError
+    for bad in (
+        b"\x0a\x50short",          # length-delimited field longer than buffer
+        b"\xff\xff\xff\xff",       # wire type 7
+        bytes.fromhex("2a03080f"), # truncated nested message
+    ):
+        with pytest.raises(ValueError):
+            gb.decode(bad)
