@@ -108,6 +108,30 @@ def cover_bbox(lat_min, lat_max, lon_min, lon_max, res: int) -> np.ndarray:
     return (np.int64(res) * np.int64(RES_BASE) + gy * n + gx).ravel()
 
 
+def cover_polygon(rings: list[np.ndarray], res: int) -> np.ndarray:
+    """Exact cell cover: bbox cells that actually intersect the polygon.
+
+    For large polygons the bbox cover over-fans candidates quadratically;
+    this keeps a cell iff (a) its center or any corner is inside, (b) any
+    polygon vertex falls inside the cell, or (c) a polygon edge crosses a
+    cell edge — conservative (superset of true intersection is preserved
+    via the rectangle-edge crossing test), so PIP refine stays exact.
+    """
+    from .geometry_cover import rect_intersects_rings  # local import: cycle
+
+    xs = np.concatenate([r[:, 0] for r in rings])
+    ys = np.concatenate([r[:, 1] for r in rings])
+    cells = cover_bbox(ys.min(), ys.max(), xs.min(), xs.max(), res)
+    n = np.int64(1) << np.int64(res)
+    iy, ix = cell_decompose(cells, res)
+    lat0 = iy.astype(np.float64) / float(n) * 180.0 - 90.0
+    lat1 = (iy + 1).astype(np.float64) / float(n) * 180.0 - 90.0
+    lon0 = ix.astype(np.float64) / float(n) * 360.0 - 180.0
+    lon1 = (ix + 1).astype(np.float64) / float(n) * 360.0 - 180.0
+    keep = rect_intersects_rings(lon0, lat0, lon1, lat1, rings)
+    return cells[keep]
+
+
 def equirect_tile(lat, lon, z: int):
     """(tx, ty) slippy tile with equirectangular y (arithmetic-only)."""
     lat = np.asarray(lat, dtype=np.float64)

@@ -203,6 +203,49 @@ def encode_feature_collections(features_df, max_precision: int = 10**7):
     )
 
 
+def decode_feature_collections(fc_df, blob_col: str = "geobuf",
+                               key_col: str = "url"):
+    """Inverse of ``encode_feature_collections``: one FC blob row ->
+    feature rows (explode), geometry back in wire shape."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = gb.Decoder()
+        for pdf in batches:
+            rows = []
+            for key, blob in zip(pdf[key_col], pdf[blob_col]):
+                doc = dec.decode(bytes(blob))
+                for idx, feat in enumerate(doc.get("features", [])):
+                    geom_json = feat.get("geometry")
+                    if not geom_json:
+                        continue
+                    t, dim, lengths, coords = geojson_to_wire(geom_json)
+                    rows.append(
+                        {
+                            key_col: key,
+                            "feature_idx": idx,
+                            "geom": {
+                                "type": t,
+                                "dim": dim,
+                                "lengths": lengths,
+                                "coords": coords,
+                            },
+                            "properties": _props_to_json_map(
+                                feat.get("properties") or {}
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[key_col, "feature_idx", "geom", "properties"]
+            )
+
+    return fc_df.select(key_col, blob_col).mapInPandas(
+        gen,
+        f"{key_col} string, feature_idx int, geom {GEOM_STRUCT}, "
+        "properties map<string,string>",
+    )
+
+
 def decode_features(encoded_df):
     """Decode ``geobuf`` binaries back to wire-shaped geometry + props."""
 

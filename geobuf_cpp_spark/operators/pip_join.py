@@ -21,16 +21,30 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
-from ..functions.cells import cover_bbox, sql_cell
+from ..functions.cells import cover_bbox, cover_polygon, sql_cell
 from ..functions.geometry import pip_mask, wire_bbox, wire_rings
 
 
-def polygon_coverings(admin_pdf: pd.DataFrame, res: int) -> pd.DataFrame:
-    """(admin_id, cell) bbox-cover rows for the broadcast side."""
+def polygon_coverings(admin_pdf: pd.DataFrame, res: int,
+                      exact: bool = False) -> pd.DataFrame:
+    """(admin_id, cell) cover rows for the broadcast side.
+
+    ``exact=True`` keeps only cells actually intersecting the polygon
+    (functions.cells.cover_polygon) — worth it when polygons are much
+    smaller than their bbox (coastlines, multipolygons); bbox cover is
+    cheaper to build for compact shapes.
+    """
     rows = []
     for admin_id, geom in zip(admin_pdf["admin_id"], admin_pdf["geom"]):
-        lon0, lat0, lon1, lat1 = wire_bbox(geom["dim"], geom["coords"])
-        for cell in cover_bbox(lat0, lat1, lon0, lon1, res):
+        if exact:
+            cells = cover_polygon(
+                wire_rings(geom["type"], geom["dim"], geom["lengths"], geom["coords"]),
+                res,
+            )
+        else:
+            lon0, lat0, lon1, lat1 = wire_bbox(geom["dim"], geom["coords"])
+            cells = cover_bbox(lat0, lat1, lon0, lon1, res)
+        for cell in cells:
             rows.append((int(admin_id), int(cell)))
     return pd.DataFrame(rows, columns=["admin_id", "cell"])
 
@@ -120,7 +134,8 @@ def pip_join_large(points_df, polygons_df, res: int = 8,
 
 
 def pip_join(points_df, admin_pdf: pd.DataFrame, res: int = 8,
-             lon_col: str = "lon", lat_col: str = "lat"):
+             lon_col: str = "lon", lat_col: str = "lat",
+             exact_cover: bool = False):
     """Exact PIP join of a points DataFrame against a small polygon table.
 
     ``admin_pdf`` is a pandas frame (admin_id, geom wire-struct) — the
@@ -128,7 +143,7 @@ def pip_join(points_df, admin_pdf: pd.DataFrame, res: int = 8,
     per (point, containing polygon).
     """
     spark = points_df.sparkSession
-    cover = spark.createDataFrame(polygon_coverings(admin_pdf, res))
+    cover = spark.createDataFrame(polygon_coverings(admin_pdf, res, exact_cover))
     rings = _rings_by_admin(admin_pdf)
 
     pts = points_df.withColumn("cell", F.expr(sql_cell(lat_col, lon_col, res)))

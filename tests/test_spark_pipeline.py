@@ -251,3 +251,33 @@ def test_decode_malformed_blob():
     ):
         with pytest.raises(ValueError):
             gb.decode(bad)
+
+
+def test_pip_join_exact_cover_same_result(spark, features):
+    admin = generate_admin_polygons()
+    pts = features.select("url", "feature_idx", "lon", "lat")
+    a = {(r["url"], r["feature_idx"], r["admin_id"])
+         for r in pip_join(pts, admin, res=8).select("url", "feature_idx", "admin_id").collect()}
+    b = {(r["url"], r["feature_idx"], r["admin_id"])
+         for r in pip_join(pts, admin, res=8, exact_cover=True).select("url", "feature_idx", "admin_id").collect()}
+    assert a == b
+
+
+def test_fc_encode_decode_roundtrip(spark, features):
+    from geobuf_cpp_spark.functions.udfs import (
+        decode_feature_collections,
+        encode_feature_collections,
+    )
+
+    fc = encode_feature_collections(features)
+    back = decode_feature_collections(fc)
+    # every non-null-geometry feature comes back
+    assert back.count() == features.count()
+    # spot-check geometry equality on a url
+    url = features.first()["url"]
+    orig = {r["feature_idx"]: r["geom"] for r in features.filter(F.col("url") == url).collect()}
+    dec = {r["feature_idx"]: r["geom"] for r in back.filter(F.col("url") == url).collect()}
+    assert set(dec) == set(orig)
+    for idx in orig:
+        assert dec[idx]["type"] == orig[idx]["type"]
+        assert len(dec[idx]["coords"]) == len(orig[idx]["coords"])

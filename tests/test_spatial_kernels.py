@@ -150,3 +150,22 @@ def test_sql_formulas_match_numpy_via_duckdb():
         ).fetchnumpy()["y"]
         ex, ey = C.equirect_tile(lat, lon, z)
         assert np.array_equal(gx, ex) and np.array_equal(gy, ey)
+
+
+def test_cover_polygon_subset_of_bbox_and_sufficient():
+    # a thin diagonal polygon: exact cover should drop many bbox cells
+    ring = np.array(
+        [[0.0, 0.0], [10.0, 10.0], [10.5, 10.0], [0.5, 0.0], [0.0, 0.0]]
+    )
+    res = 8
+    exact = set(C.cover_polygon([ring], res).tolist())
+    bbox = set(C.cover_bbox(0.0, 10.0, 0.0, 10.5, res).tolist())
+    assert exact <= bbox
+    assert len(exact) < len(bbox) * 0.6  # thin shape -> real reduction
+    # sufficiency: every random point inside the polygon maps to a kept cell
+    rng = np.random.default_rng(2)
+    px = rng.uniform(0, 10.5, 2000)
+    py = rng.uniform(0, 10.0, 2000)
+    inside = G.pip_mask(px, py, [ring])
+    cells = C.cell_of(py[inside], px[inside], res)
+    assert set(cells.tolist()) <= exact
