@@ -35,7 +35,9 @@ N_BANDS = 16  # x 4 rows per band
 
 def _perm_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, MERSENNE_P, size=N_PERM, dtype=np.uint64)
+    # a < 2^31 keeps every intermediate product below 2^63: a*hi < 2^60 and
+    # a*lo < 2^63, so the mod-P arithmetic is exact in uint64 (no wrapping)
+    a = rng.integers(1, 1 << 31, size=N_PERM, dtype=np.uint64)
     b = rng.integers(0, MERSENNE_P, size=N_PERM, dtype=np.uint64)
     return a, b
 
@@ -59,24 +61,22 @@ def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.nd
     """(N_PERM,) signature: min over shingles of (a*h + b) mod p."""
     if hashes.size == 0:
         return np.full(N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
-    # (n_perm, n_shingles) in python-int space to avoid uint64 overflow:
-    # split multiply mod 2^61-1 using numpy objects is slow; use modular
-    # trick on 128-bit via two 32-bit halves.
-    h = hashes % MERSENNE_P
-    lo = h & np.uint64(0xFFFFFFFF)
-    hi = h >> np.uint64(32)
-    sig = np.empty(N_PERM, dtype=np.uint64)
-    for i in range(N_PERM):
-        ai = a[i]
-        # a*h mod p with p = 2^61-1: (a*hi << 32 + a*lo) mod p, pieces < 2^93
-        t_hi = (ai * hi) % np.uint64(MERSENNE_P)
-        t = (
-            ((t_hi << np.uint64(32)) % np.uint64(MERSENNE_P))
-            + (ai * lo) % np.uint64(MERSENNE_P)
-            + b[i]
-        ) % np.uint64(MERSENNE_P)
-        sig[i] = t.min()
-    return sig
+    # fully broadcast (n_perm, n_shingles): a*h mod p split as
+    # ((a*hi mod p) << 32 mod p) + (a*lo mod p); with a < 2^31 every
+    # product stays below 2^63 so uint64 arithmetic is exact
+    p = np.uint64(MERSENNE_P)
+    h = hashes % p
+    lo = (h & np.uint64(0xFFFFFFFF))[None, :]
+    hi = (h >> np.uint64(32))[None, :]
+    A = a[:, None]
+    t_hi = (A * hi) % p  # < 2^61
+    # (t_hi * 2^32) mod p without overflow: with p = 2^61 - 1, 2^61 ≡ 1,
+    # so split t_hi = u_hi*2^29 + u_lo -> t_hi*2^32 ≡ u_hi + u_lo*2^32
+    u_hi = t_hi >> np.uint64(29)
+    u_lo = t_hi & np.uint64((1 << 29) - 1)
+    shifted = (u_hi + (u_lo << np.uint64(32))) % p
+    t = (shifted + (A * lo) % p + b[:, None]) % p
+    return t.min(axis=1)
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
