@@ -104,6 +104,20 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer as q_knn via the distributed cell-disk strategy."""
+    from geobuf_cpp_spark.operators.knn import knn_distributed
+
+    pts = spread(P.points_df(spark, sf_dir))
+    queries = P.queries_df(spark, sf_dir).selectExpr(
+        "query_id", "q_lat AS lat", "q_lon AS lon"
+    )
+    return knn_distributed(pts, queries, KNN_K, res=7, radius=2,
+                           id_cols=("point_id",)).select(
+        "query_id", "rank", "point_id", "dist2"
+    )
+
+
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geobuf_cpp_spark.operators.tiles import assign_tiles
 
@@ -388,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_boxes_join": wrap(q_pip_boxes_join),
         "pip_boxes_agg": wrap(q_pip_boxes_agg),
         "knn": wrap(q_knn),
+        "knn_rings": wrap(q_knn_rings),
         "tile_assign": wrap(q_tile_assign),
         "tile_stats": wrap(q_tile_stats),
         "bbox_filter": wrap(q_bbox_filter),
@@ -449,6 +464,17 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY b.admin_id"
         ),
         "knn": (
+            f"{POINTS_CTE}, {QUERIES_CTE} "
+            "SELECT query_id, rank, point_id, dist2 FROM ("
+            "SELECT q.query_id, p.point_id, "
+            "(p.lon - q.q_lon) * (p.lon - q.q_lon) + (p.lat - q.q_lat) * (p.lat - q.q_lat) AS dist2, "
+            "ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY "
+            "(p.lon - q.q_lon) * (p.lon - q.q_lon) + (p.lat - q.q_lat) * (p.lat - q.q_lat) ASC, "
+            "p.point_id ASC) AS rank "
+            "FROM qs q CROSS JOIN points p) t "
+            f"WHERE rank <= {KNN_K}"
+        ),
+        "knn_rings": (
             f"{POINTS_CTE}, {QUERIES_CTE} "
             "SELECT query_id, rank, point_id, dist2 FROM ("
             "SELECT q.query_id, p.point_id, "

@@ -54,6 +54,73 @@ def knn_broadcast(points_df, queries_pdf: pd.DataFrame, k: int,
     )
 
 
+def knn_distributed(points_df, queries_df, k: int, res: int = 7,
+                    radius: int = 2,
+                    lon_col: str = "lon", lat_col: str = "lat",
+                    id_cols: tuple[str, ...] = ("url", "feature_idx")):
+    """Exact kNN with BOTH sides as DataFrames and no driver-side loop.
+
+    One pass: each query explodes to its Chebyshev-``radius`` cell disk
+    (Arrow stage), candidates arrive by cell equi-join, a window takes the
+    per-query top-k. Queries whose kth distance is not certified by the
+    searched disk (kth > radius * min-cell-extent, or fewer than k
+    candidates) fall back to a broadcast cross join — still set-exact, and
+    at a sane ``radius`` the fallback set is a sliver. This is the shape
+    that serves a large query TABLE, where the driver-looped ring expansion
+    (knn_cell_rings) would serialize.
+    """
+    from typing import Iterator
+
+    min_extent, _ = cell_size_deg(res)
+    certify2 = float((radius * min_extent) ** 2)
+
+    def disks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for qid, qlat, qlon in zip(pdf["query_id"], pdf["lat"], pdf["lon"]):
+                qcell = int(cell_of(float(qlat), float(qlon), res))
+                for cell in ring_cells(qcell, res, radius):
+                    rows.append((int(qid), float(qlat), float(qlon), int(cell)))
+            yield pd.DataFrame(
+                rows, columns=["query_id", "q_lat", "q_lon", "cell"]
+            )
+
+    disk = queries_df.select("query_id", "lat", "lon").mapInPandas(
+        disks, "query_id long, q_lat double, q_lon double, cell long"
+    )
+    pts = points_df.withColumn("cell", F.expr(sql_cell(lat_col, lon_col, res)))
+    cand = pts.join(disk, "cell").withColumn(
+        "dist2", _dist2(lon_col, lat_col, "q_lon", "q_lat")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), *[F.col(c).asc() for c in id_cols]
+    )
+    topk = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", *id_cols, "dist2")
+    )
+    per_query = topk.groupBy("query_id").agg(
+        F.count("*").alias("_n"), F.max("dist2").alias("_kth")
+    )
+    certified_ids = per_query.filter(
+        (F.col("_n") >= k) & (F.col("_kth") <= F.lit(certify2))
+    ).select("query_id")
+    certified = topk.join(F.broadcast(certified_ids), "query_id")
+
+    uncertified_q = queries_df.join(
+        F.broadcast(certified_ids), "query_id", "left_anti"
+    )
+    fallback_pdf = uncertified_q.select("query_id", "lat", "lon").toPandas()
+    if fallback_pdf.empty:
+        return certified
+    fallback = knn_broadcast(
+        points_df, fallback_pdf, k, lon_col=lon_col, lat_col=lat_col,
+        id_cols=id_cols,
+    )
+    return certified.unionByName(fallback)
+
+
 def knn_cell_rings(points_df, queries_pdf: pd.DataFrame, k: int, res: int = 7,
                    lon_col: str = "lon", lat_col: str = "lat",
                    id_cols: tuple[str, ...] = ("url", "feature_idx"),
