@@ -135,19 +135,36 @@ def pip_join_large(points_df, polygons_df, res: int = 8,
 
 def pip_join(points_df, admin_pdf: pd.DataFrame, res: int = 8,
              lon_col: str = "lon", lat_col: str = "lat",
-             exact_cover: bool = False):
+             exact_cover: bool = False, n_salt: int = 1):
     """Exact PIP join of a points DataFrame against a small polygon table.
 
     ``admin_pdf`` is a pandas frame (admin_id, geom wire-struct) — the
     broadcast dimension. Returns points rows + ``admin_id``, one output row
     per (point, containing polygon).
+
+    ``n_salt > 1`` replicates each cover row across ``n_salt`` salt values
+    and keys points by a stable row hash, so a hot cell's candidates land
+    on ``n_salt`` reducers instead of one (BASELINE.json north_rule salted
+    skew mitigation). Results are identical — every (point, cover) pair
+    still meets exactly once, on exactly one salt.
     """
     spark = points_df.sparkSession
-    cover = spark.createDataFrame(polygon_coverings(admin_pdf, res, exact_cover))
+    cover_pdf = polygon_coverings(admin_pdf, res, exact_cover)
     rings = _rings_by_admin(admin_pdf)
 
     pts = points_df.withColumn("cell", F.expr(sql_cell(lat_col, lon_col, res)))
-    candidates = pts.join(F.broadcast(cover), "cell")
+    if n_salt > 1:
+        cover_pdf = cover_pdf.loc[cover_pdf.index.repeat(n_salt)].reset_index(drop=True)
+        cover_pdf["_salt"] = list(range(n_salt)) * (len(cover_pdf) // n_salt)
+        cover = spark.createDataFrame(cover_pdf)
+        pts = pts.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(*points_df.columns), F.lit(n_salt)).cast("int"),
+        )
+        candidates = pts.join(F.broadcast(cover), ["cell", "_salt"]).drop("_salt")
+    else:
+        cover = spark.createDataFrame(cover_pdf)
+        candidates = pts.join(F.broadcast(cover), "cell")
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields

@@ -281,3 +281,13 @@ def test_fc_encode_decode_roundtrip(spark, features):
     for idx in orig:
         assert dec[idx]["type"] == orig[idx]["type"]
         assert len(dec[idx]["coords"]) == len(orig[idx]["coords"])
+
+
+def test_pip_join_salted_same_result(spark, features):
+    admin = generate_admin_polygons()
+    pts = features.select("url", "feature_idx", "lon", "lat")
+    plain = {(r["url"], r["feature_idx"], r["admin_id"])
+             for r in pip_join(pts, admin, res=8).select("url", "feature_idx", "admin_id").collect()}
+    salted = {(r["url"], r["feature_idx"], r["admin_id"])
+              for r in pip_join(pts, admin, res=8, n_salt=8).select("url", "feature_idx", "admin_id").collect()}
+    assert plain == salted and len(plain) > 50
