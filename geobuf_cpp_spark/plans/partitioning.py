@@ -36,6 +36,35 @@ def repartition_by_cell_prefix(df: DataFrame, cell_col: str, res: int,
     return df.repartition(num_partitions, parent)
 
 
+def materialize_geobuf(features_df, out_dir: str, res: int = 8,
+                       prefix_res: int = 3,
+                       lon_col: str = "lon", lat_col: str = "lat",
+                       num_partitions: int | None = None):
+    """Write encoded features as parquet laid out by cell prefix.
+
+    The storage layout stage of the 100 TB pipeline: rows hash-shuffle on
+    their coarse cell (`repartition_by_cell_prefix`) so spatially-near
+    features co-locate, then land under `cell_prefix=` directories —
+    subsequent spatial reads prune partitions by prefix (verified via
+    PushedFilters/partition pruning on the read side).
+    """
+    from ..functions.cells import sql_cell, sql_cell_parent
+    from ..functions.udfs import encode_features
+
+    spark = features_df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    encoded = encode_features(features_df)
+    laid_out = (
+        encoded.withColumn("cell", F.expr(sql_cell(lat_col, lon_col, res)))
+        .withColumn(
+            "cell_prefix", F.expr(sql_cell_parent("cell", res, prefix_res))
+        )
+    )
+    laid_out = laid_out.repartition(n, F.col("cell_prefix"))
+    laid_out.write.mode("overwrite").partitionBy("cell_prefix").parquet(out_dir)
+    return spark.read.parquet(out_dir)
+
+
 def with_salt(df: DataFrame, n_salt: int, salt_col: str = "_salt") -> DataFrame:
     """Deterministic salt derived from a stable row hash (no rand())."""
     return df.withColumn(

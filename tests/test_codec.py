@@ -272,3 +272,11 @@ def test_normalize_geobuf_idempotent():
     data = gb.encode(LOSSLESS["sample1"])
     once = gb.normalize_geobuf(data)
     assert gb.normalize_geobuf(once) == once
+
+
+def test_geometry_level_custom_properties():
+    # tag-15 on a bare geometry (geobuf.cpp:443-445)
+    doc = {"type": "Point", "coordinates": [1.5, 2.5], "extra_key": "extra", "n": 7}
+    decoded = gb.decode(gb.encode(doc))
+    assert decoded["extra_key"] == "extra" and decoded["n"] == 7
+    assert decoded["coordinates"] == [1.5, 2.5]

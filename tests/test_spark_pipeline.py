@@ -291,3 +291,24 @@ def test_pip_join_salted_same_result(spark, features):
     salted = {(r["url"], r["feature_idx"], r["admin_id"])
               for r in pip_join(pts, admin, res=8, n_salt=8).select("url", "feature_idx", "admin_id").collect()}
     assert plain == salted and len(plain) > 50
+
+
+def test_materialize_geobuf_partition_pruning(spark, features, tmp_path):
+    from geobuf_cpp_spark.functions.cells import cell_of, cell_parent
+    from geobuf_cpp_spark.plans.partitioning import materialize_geobuf
+
+    out = str(tmp_path / "geobuf_store")
+    stored = materialize_geobuf(features, out, res=8, prefix_res=3)
+    assert stored.count() == features.count()
+    # pick the prefix of the first row; a prefix-filtered read must prune
+    one_prefix = stored.select("cell_prefix").first()[0]
+    q = stored.filter(F.col("cell_prefix") == one_prefix)
+    n_filtered = q.count()
+    assert 0 < n_filtered < stored.count()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan_lines and any("cell_prefix" in l for l in scan_lines)
+    # prefix derived consistently with the kernels
+    row = stored.select("lon", "lat", "cell_prefix").first()
+    expect = int(cell_parent(cell_of(row["lat"], row["lon"], 8), 8, 3))
+    assert row["cell_prefix"] == expect
