@@ -1,0 +1,50 @@
+"""North-rule evidence in pytest: the same job at N and 4N parallelism
+(local[2] vs local[8] — the sandbox stand-in for two cluster sizes)
+produces identical results. Each level runs in its own process because a
+Spark master is fixed per JVM."""
+
+import json
+import subprocess
+import sys
+
+JOB = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+from geobuf_cpp_spark.session import get_spark
+from geobuf_cpp_spark.sources.pages import pages_dataframe, generate_admin_polygons
+from geobuf_cpp_spark.functions.udfs import extract_encode_features
+from geobuf_cpp_spark.operators.pip_join import pip_join
+import pyspark.sql.functions as F
+
+cpus = int(sys.argv[1])
+spark = get_spark(f"lvl{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+pages = pages_dataframe(spark, 1500, partitions=8)
+enc = extract_encode_features(pages)
+joined = pip_join(enc.select("url", "feature_idx", "lon", "lat"), generate_admin_polygons(), res=8)
+rows = sorted(
+    (r["url"], int(r["feature_idx"]), int(r["admin_id"]))
+    for r in joined.select("url", "feature_idx", "admin_id").collect()
+)
+total_bytes = enc.agg(F.sum(F.octet_length("geobuf"))).collect()[0][0]
+print("RESULT " + json.dumps({"n": len(rows), "head": rows[:5], "tail": rows[-5:],
+                               "bytes": int(total_bytes)}))
+spark.stop()
+"""
+
+
+def _run(cpus: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", JOB, str(cpus)],
+        capture_output=True, text=True, timeout=400, cwd="/root/repo",
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
+    assert lines, out.stderr[-2000:]
+    return json.loads(lines[-1][len("RESULT "):])
+
+
+def test_same_results_at_n_and_4n():
+    a = _run(2)
+    b = _run(8)
+    assert a == b
+    assert a["n"] > 100  # non-trivial join
