@@ -46,11 +46,17 @@ def cosine_topk(emb_df, queries_pdf: pd.DataFrame, k: int,
         for pdf in batches:
             if pdf.empty:
                 continue
+            # sort the batch by vec_id, then pick top-k with a STABLE sort:
+            # ties across the local top-k boundary (duplicate embeddings)
+            # resolve to the smaller vec_id, matching the global
+            # (sim DESC, vec_id ASC) window — the local cut can never drop
+            # a vector the exact answer would keep
+            pdf = pdf.sort_values(id_col)
             ids = pdf[id_col].to_numpy()
             mat = _normalize(_as_matrix(pdf[vec_col]))
             sims = q_mat @ mat.T  # (n_q, n_vec)
             take = min(k, sims.shape[1])
-            idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :take]
             rows = {
                 "query_id": np.repeat(q_ids, take),
                 "vec_id": ids[idx].ravel(),
@@ -134,29 +140,34 @@ def ivf_topk(emb_df, assignments, centroids: np.ndarray,
         .join(F.broadcast(probe_df.select("list_id").distinct()), "list_id")
         .select(id_col, vec_col, "list_id")
     )
-    allowed = {(q, l) for q, l in probe_rows}
     q_ids = queries_pdf["query_id"].to_numpy()
+    # (n_queries, n_lists) boolean probe mask — the batch filter below is a
+    # pure-numpy fancy index, no per-row Python
+    probe_mask = np.zeros((len(q_ids), centroids.shape[0]), dtype=bool)
+    probe_mask[np.arange(len(q_ids))[:, None], probe] = True
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
+            pdf = pdf.sort_values(id_col)  # stable (sim, vec_id) ties
             ids = pdf[id_col].to_numpy()
             lists = pdf["list_id"].to_numpy()
             mat = _normalize(_as_matrix(pdf[vec_col]))
-            sims = q_mat @ mat.T
-            rows = []
-            for qi, qid in enumerate(q_ids):
-                mask = np.array([(int(qid), int(l)) in allowed for l in lists])
-                if not mask.any():
-                    continue
-                s = sims[qi][mask]
-                vids = ids[mask]
-                take = min(k, s.shape[0])
-                idx = np.argpartition(-s, take - 1)[:take]
-                for j in idx:
-                    rows.append((int(qid), int(vids[j]), float(s[j])))
-            yield pd.DataFrame(rows, columns=["query_id", "vec_id", "sim"])
+            sims = q_mat @ mat.T                      # (n_q, n_vec)
+            sims = np.where(probe_mask[:, lists], sims, -np.inf)
+            take = min(k, sims.shape[1])
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+            top = np.take_along_axis(sims, idx, axis=1)
+            keep = np.isfinite(top).ravel()
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, take),
+                    "vec_id": ids[idx].ravel(),
+                    "sim": top.ravel(),
+                }
+            )
+            yield out[keep]
 
     partials = probed_vecs.mapInPandas(partial, TOPK_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))

@@ -98,45 +98,71 @@ def exact_dedup(docs_df, id_col: str = "doc_id", text_col: str = "text"):
 
 
 BANDS_SCHEMA = "doc_id long, band int, bucket long"
+SIG_SCHEMA = "doc_id long, sig array<long>"
 
 
-def minhash_bands(docs_df, id_col: str = "doc_id", text_col: str = "text",
-                  w: int = 3, seed: int = 42):
-    """(doc_id, band, bucket) rows — the LSH shuffle key table."""
+def minhash_signatures(docs_df, id_col: str = "doc_id", text_col: str = "text",
+                       w: int = 3, seed: int = 42):
+    """(doc_id, sig array<long>) — one Arrow pass; the signature is the
+    reusable LSH artifact (at 100 TB it would be checkpointed via
+    plans.manifest and every downstream stage reads it back)."""
     a, b = _perm_params(seed)
-    rows_per_band = N_PERM // N_BANDS
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
+            ids, sigs = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 sig = minhash_signature(shingle_hashes(text, w), a, b)
-                for band in range(N_BANDS):
-                    chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                    bucket = int.from_bytes(
-                        hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(),
-                        "little",
-                        signed=True,
-                    )
-                    out.append((int(doc_id), band, bucket))
-            yield pd.DataFrame(out, columns=["doc_id", "band", "bucket"])
+                ids.append(int(doc_id))
+                sigs.append(sig.view(np.int64).tolist())
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
     from ..plans.partitioning import spread
 
-    return spread(docs_df.select(id_col, text_col)).mapInPandas(gen, BANDS_SCHEMA)
+    return spread(docs_df.select(id_col, text_col)).mapInPandas(gen, SIG_SCHEMA)
+
+
+def minhash_bands(docs_df, id_col: str = "doc_id", text_col: str = "text",
+                  w: int = 3, seed: int = 42, sigs=None):
+    """(doc_id, band, bucket) rows — the LSH shuffle key table.
+
+    Band buckets are derived JVM-side (xxhash64 over the signature slice —
+    whole-stage codegen, no second Python pass over the corpus)."""
+    if sigs is None:
+        sigs = minhash_signatures(docs_df, id_col, text_col, w, seed)
+    rpb = N_PERM // N_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(F.slice("sig", band * rpb + 1, rpb)).alias("bucket"),
+            )
+            for band in range(N_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
 
 
 def minhash_lsh_pairs(docs_df, id_col: str = "doc_id", text_col: str = "text",
                       threshold: float = 0.7, w: int = 3, seed: int = 42,
-                      max_bucket: int = 64):
+                      max_bucket: int = 64, prefilter_margin: float = 0.25):
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
-    Bucket-join candidate generation, then exact shingle-Jaccard verify on
-    the joined texts. ``max_bucket`` caps degenerate buckets (e.g. empty
-    docs) — a skew guard; capped buckets are dropped, trading recall on
-    pathological keys for bounded work, logged via the returned plan.
+    Bucket-join candidate generation, then a SIGNATURE prefilter (estimated
+    Jaccard = matching-row fraction, computed JVM-side on the 512-byte
+    signatures), and only the survivors join the full texts for the exact
+    shingle-Jaccard verify — at scale the candidate shuffle carries
+    signatures, never the corpus. ``prefilter_margin`` keeps any pair whose
+    estimate is within 4 sigma (64 perms -> sigma ~= 0.0625) of the
+    threshold, so a true pair passing the exact verify is never dropped.
+    ``max_bucket`` caps degenerate buckets (e.g. boilerplate shingles) — a
+    skew guard: capped buckets are dropped, trading recall on pathological
+    keys for bounded work.
     """
-    bands = minhash_bands(docs_df, id_col, text_col, w, seed)
+    sigs = minhash_signatures(docs_df, id_col, text_col, w, seed)
+    bands = minhash_bands(docs_df, id_col, text_col, w, seed, sigs=sigs)
     sized = bands.withColumn(
         "bsize", F.count("*").over(Window.partitionBy("band", "bucket"))
     ).filter(F.col("bsize") <= max_bucket)
@@ -148,9 +174,22 @@ def minhash_lsh_pairs(docs_df, id_col: str = "doc_id", text_col: str = "text",
         .select("id_a", "id_b")
         .distinct()
     )
+    sig_a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(N_PERM)
+    survivors = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .filter(est >= F.lit(threshold - prefilter_margin))
+        .select("id_a", "id_b")
+    )
     texts = docs_df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_text"))
     joined = (
-        cand.join(texts.withColumnRenamed("_tid", "id_a").withColumnRenamed("_text", "text_a"), "id_a")
+        survivors.join(texts.withColumnRenamed("_tid", "id_a").withColumnRenamed("_text", "text_a"), "id_a")
         .join(texts.withColumnRenamed("_tid", "id_b").withColumnRenamed("_text", "text_b"), "id_b")
     )
 
@@ -172,19 +211,46 @@ def minhash_lsh_pairs(docs_df, id_col: str = "doc_id", text_col: str = "text",
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over word hashes."""
-    acc = np.zeros(64, dtype=np.int64)
-    for word in text.split():
-        h = int.from_bytes(
-            hashlib.blake2b(word.encode("utf-8"), digest_size=8).digest(), "little"
-        )
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+def word_hash_md5_low(word: str) -> int:
+    """uint64 word hash == DuckDB's ``md5_number_lower``: little-endian of
+    md5 digest bytes 8..16 — the oracle computes the IDENTICAL hash in SQL,
+    so the whole SimHash pipeline is cross-engine checkable."""
+    return int.from_bytes(hashlib.md5(word.encode("utf-8")).digest()[8:16], "little")
+
+
+def simhash64(text: str, _cache: dict | None = None) -> int:
+    """64-bit SimHash over word hashes — vectorized.
+
+    Per document: hash the DISTINCT words once (with an optional cross-doc
+    cache), unpack all 64 bits of every hash in one ``np.unpackbits``, and
+    reduce with a single (+-1 weight x count) matmul — no per-word Python
+    beyond the md5 call itself.
+    """
+    words = text.split()
+    if not words:
+        return 0
+    uniq, counts = np.unique(words, return_counts=True)
+    hv = np.empty(len(uniq), dtype=np.uint64)
+    if _cache is None:
+        for i, w in enumerate(uniq):
+            hv[i] = word_hash_md5_low(w)
+    else:
+        for i, w in enumerate(uniq):
+            h = _cache.get(w)
+            if h is None:
+                h = word_hash_md5_low(w)
+                _cache[w] = h
+            hv[i] = h
+    # bit j of flat row == (h >> j) & 1: little-endian byte view + little
+    # bitorder keeps numpy's layout aligned with the arithmetic definition
+    bits = np.unpackbits(
+        hv.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    ).astype(np.int64)
+    acc = (2 * bits - 1).T @ counts.astype(np.int64)  # (64,) signed sums
+    out = int(
+        np.packbits((acc > 0).astype(np.uint8), bitorder="little")
+        .view(np.uint64)[0]
+    )
     return out - (1 << 64) if out >= (1 << 63) else out
 
 
@@ -193,10 +259,11 @@ def simhash_pairs(docs_df, id_col: str = "doc_id", text_col: str = "text",
     """Pairs at Hamming distance <= max_hamming (banded exact search)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                sh = simhash64(text)
+                sh = simhash64(text, cache)
                 u = sh & 0xFFFFFFFFFFFFFFFF
                 for band in range(4):
                     rows.append(

@@ -103,20 +103,29 @@ def knn_distributed(points_df, queries_df, k: int, res: int = 7,
     per_query = topk.groupBy("query_id").agg(
         F.count("*").alias("_n"), F.max("dist2").alias("_kth")
     )
+    # STRICT bound: a point just outside the searched disk can sit at
+    # exactly radius*min_extent and, under the (dist2, id) tie-break,
+    # displace the kth result — ties at the certification radius must fall
+    # back to the exact path.
     certified_ids = per_query.filter(
-        (F.col("_n") >= k) & (F.col("_kth") <= F.lit(certify2))
+        (F.col("_n") >= k) & (F.col("_kth") < F.lit(certify2))
     ).select("query_id")
     certified = topk.join(F.broadcast(certified_ids), "query_id")
 
+    # Lazy in-plan fallback (no driver-side toPandas/eager job): the
+    # uncertified queries — normally an empty sliver — broadcast into a
+    # cross join with the full table, window top-k, union. An empty
+    # broadcast side makes the nested-loop join a per-partition no-op.
     uncertified_q = queries_df.join(
         F.broadcast(certified_ids), "query_id", "left_anti"
+    ).selectExpr("query_id", "lat AS q_lat", "lon AS q_lon")
+    fb_pairs = points_df.crossJoin(F.broadcast(uncertified_q)).withColumn(
+        "dist2", _dist2(lon_col, lat_col, "q_lon", "q_lat")
     )
-    fallback_pdf = uncertified_q.select("query_id", "lat", "lon").toPandas()
-    if fallback_pdf.empty:
-        return certified
-    fallback = knn_broadcast(
-        points_df, fallback_pdf, k, lon_col=lon_col, lat_col=lat_col,
-        id_cols=id_cols,
+    fallback = (
+        fb_pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", *id_cols, "dist2")
     )
     return certified.unionByName(fallback)
 
@@ -176,8 +185,10 @@ def knn_cell_rings(points_df, queries_pdf: pd.DataFrame, k: int, res: int = 7,
             counts = topk.groupby("query_id").agg(
                 n=("rank", "size"), kth=("dist2", "max")
             )
+            # strict <: a tie at the certification radius could be displaced
+            # by an unseen point at exactly that distance with a smaller id
             ok_ids = set(
-                counts[(counts["n"] >= k) & (counts["kth"] <= certify)].index
+                counts[(counts["n"] >= k) & (counts["kth"] < certify)].index
             )
             if ok_ids:
                 done.append(topk[topk["query_id"].isin(ok_ids)])

@@ -142,29 +142,31 @@ def pip_join(points_df, admin_pdf: pd.DataFrame, res: int = 8,
     broadcast dimension. Returns points rows + ``admin_id``, one output row
     per (point, containing polygon).
 
-    ``n_salt > 1`` replicates each cover row across ``n_salt`` salt values
-    and keys points by a stable row hash, so a hot cell's candidates land
-    on ``n_salt`` reducers instead of one (BASELINE.json north_rule salted
-    skew mitigation). Results are identical — every (point, cover) pair
-    still meets exactly once, on exactly one salt.
+    The broadcast hash join itself has no reducers — candidates stay in the
+    points' partitions — so skew here is COMPUTE skew: a partition dense in
+    hot-cell points does disproportionate refine work. ``n_salt > 1`` opts
+    into one explicit shuffle of the candidate rows on (cell, salt) — salt
+    from the row position, so a hot cell's candidates genuinely fan out
+    over ``n_salt`` reducers before the refine stage. Results are identical
+    (refine is row-local); the default skips the shuffle because on
+    roughly-uniform corpora the scan partitioning is already balanced.
     """
     spark = points_df.sparkSession
     cover_pdf = polygon_coverings(admin_pdf, res, exact_cover)
     rings = _rings_by_admin(admin_pdf)
 
     pts = points_df.withColumn("cell", F.expr(sql_cell(lat_col, lon_col, res)))
+    cover = spark.createDataFrame(cover_pdf)
+    candidates = pts.join(F.broadcast(cover), "cell")
     if n_salt > 1:
-        cover_pdf = cover_pdf.loc[cover_pdf.index.repeat(n_salt)].reset_index(drop=True)
-        cover_pdf["_salt"] = list(range(n_salt)) * (len(cover_pdf) // n_salt)
-        cover = spark.createDataFrame(cover_pdf)
-        pts = pts.withColumn(
-            "_salt",
-            F.pmod(F.xxhash64(*points_df.columns), F.lit(n_salt)).cast("int"),
+        from ..plans.partitioning import with_salt
+
+        parallelism = spark.sparkContext.defaultParallelism
+        candidates = (
+            with_salt(candidates, n_salt)
+            .repartition(parallelism, F.col("cell"), F.col("_salt"))
+            .drop("_salt")
         )
-        candidates = pts.join(F.broadcast(cover), ["cell", "_salt"]).drop("_salt")
-    else:
-        cover = spark.createDataFrame(cover_pdf)
-        candidates = pts.join(F.broadcast(cover), "cell")
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields

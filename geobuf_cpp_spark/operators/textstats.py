@@ -85,9 +85,11 @@ def lang_signal(docs_df, id_col: str = "doc_id", text_col: str = "text",
     for sw in ENGLISH_STOPWORDS:
         occ = _occ(t, sw)
         stop_hits = occ if stop_hits is None else stop_hits + occ
+    # same conditional token count as doc_stats (and the DuckDB oracle):
+    # an empty/whitespace-only document has 0 tokens, not 1
     tokens = (
         F.length(F.trim(t)) - F.length(F.replace(F.trim(t), F.lit(" "), F.lit("")))
-        + F.lit(1)
+        + F.when(F.length(F.trim(t)) > 0, F.lit(1)).otherwise(F.lit(0))
     )
     return docs_df.select(
         F.col(id_col),

@@ -105,6 +105,13 @@ def run_stage(
             }
         )
 
+    # Invalidate the previous manifest BEFORE swapping data into place: a
+    # crash between the swap and the new manifest write must never leave an
+    # old-fingerprint COMPLETE manifest pointing at new data (which a later
+    # run with the old fingerprint would silently "resume").
+    mpath = _manifest_path(root, stage)
+    if os.path.exists(mpath):
+        os.remove(mpath)
     shutil.rmtree(data, ignore_errors=True)
     os.replace(tmp, data)
 
@@ -118,6 +125,12 @@ def run_stage(
         "wall_sec": round(time.time() - t0, 3),
         "written_at": time.time(),
     }
-    with open(_manifest_path(root, stage), "w") as f:
+    # durable manifest write: own tmp file + atomic rename, so a reader can
+    # never observe a torn/partial manifest
+    mtmp = mpath + ".tmp"
+    with open(mtmp, "w") as f:
         json.dump(manifest, f, indent=2)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(mtmp, mpath)
     return spark.read.parquet(data)

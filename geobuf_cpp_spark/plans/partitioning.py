@@ -19,15 +19,24 @@ from pyspark.sql import functions as F
 from ..functions.cells import sql_cell_parent
 
 
-def spread(df: DataFrame, multiple: int = 1) -> DataFrame:
-    """Round-robin repartition to cluster parallelism.
+def spread(df: DataFrame, multiple: int = 1, force: bool = False) -> DataFrame:
+    """Round-robin repartition to cluster parallelism — only when needed.
 
     Heavy per-row UDF stages and wide joins must not inherit the scan's
     split count (a small dimension table is often ONE parquet split, which
     would serialize the stage on a single core). One cheap shuffle buys
     full-width execution; results are unchanged.
+
+    Conditional by design: when the input already has at least
+    ``parallelism * multiple`` splits (the normal case at 100 TB, where the
+    scan's split count exceeds cluster parallelism), repartitioning would be
+    a pure-waste full shuffle of the corpus — so it is skipped. ``force``
+    restores the unconditional behavior for layout-sensitive callers.
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism * multiple)
+    target = df.sparkSession.sparkContext.defaultParallelism * multiple
+    if not force and df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def repartition_by_cell_prefix(df: DataFrame, cell_col: str, res: int,
@@ -65,20 +74,37 @@ def materialize_geobuf(features_df, out_dir: str, res: int = 8,
     return spark.read.parquet(out_dir)
 
 
-def with_salt(df: DataFrame, n_salt: int, salt_col: str = "_salt") -> DataFrame:
-    """Deterministic salt derived from a stable row hash (no rand())."""
-    return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*df.columns), F.lit(n_salt)).cast("int")
-    )
+def with_salt(df: DataFrame, n_salt: int, salt_col: str = "_salt",
+              salt_cols: list[str] | None = None) -> DataFrame:
+    """Add a salt column that is genuinely row-spreading.
+
+    Default source is the row's physical position
+    (``monotonically_increasing_id`` = partition id << 33 + in-partition
+    counter), so consecutive rows of a hot key cycle through all ``n_salt``
+    values — a hot key's rows always fan out, even when the frame was
+    already projected down to just the group key (the failure mode of
+    hashing column values: every row of a hot key hashes identically).
+    Pass ``salt_cols`` to derive the salt from column content instead when
+    a content-deterministic salt is required (e.g. co-salting two sides of
+    a join); callers must then include a row-unique column.
+    """
+    if salt_cols:
+        src = F.pmod(F.xxhash64(*salt_cols), F.lit(n_salt))
+    else:
+        src = F.pmod(F.monotonically_increasing_id(), F.lit(n_salt))
+    return df.withColumn(salt_col, src.cast("int"))
 
 
-def salted_count(df: DataFrame, key_cols: list[str], n_salt: int = 16) -> DataFrame:
+def salted_count(df: DataFrame, key_cols: list[str], n_salt: int = 16,
+                 salt_cols: list[str] | None = None) -> DataFrame:
     """count() per key via two-phase salted aggregation.
 
     Phase 1 shuffles on (key, salt) — the hot key fans out over ``n_salt``
-    partial aggregates; phase 2 merges the (at most n_salt) partials per
-    key. Result rows identical to ``df.groupBy(key).count()``.
+    partial aggregates (position-derived salt, see ``with_salt``); phase 2
+    merges the (at most n_salt) partials per key. Result rows identical to
+    ``df.groupBy(key).count()`` for any salt assignment, so task retries
+    that reassign salts cannot change the answer.
     """
-    salted = with_salt(df, n_salt)
+    salted = with_salt(df, n_salt, salt_cols=salt_cols)
     partial = salted.groupBy(*key_cols, "_salt").agg(F.count("*").alias("_partial"))
     return partial.groupBy(*key_cols).agg(F.sum("_partial").alias("count"))

@@ -312,3 +312,87 @@ def test_materialize_geobuf_partition_pruning(spark, features, tmp_path):
     row = stored.select("lon", "lat", "cell_prefix").first()
     expect = int(cell_parent(cell_of(row["lat"], row["lon"], 8), 8, 3))
     assert row["cell_prefix"] == expect
+
+
+def test_salt_spreads_hot_key(spark):
+    """The round-1 placebo regression: a frame already projected down to
+    just the group key must STILL fan a hot key's rows over many salts."""
+    from geobuf_cpp_spark.plans.partitioning import salted_count, with_salt
+
+    hot = spark.range(0, 10_000, numPartitions=8).selectExpr("'HOT' AS k")
+    salted = with_salt(hot, 16)
+    n_salts = salted.select("_salt").distinct().count()
+    assert n_salts == 16, f"hot key only spans {n_salts} salt values"
+    # partial aggregates per (key, salt) — the phase-1 reducers — must be >1
+    partials = salted.groupBy("k", "_salt").count().count()
+    assert partials == 16
+    # and the final result is still the plain count
+    assert salted_count(hot, ["k"], n_salt=16).collect()[0]["count"] == 10_000
+
+
+def test_pip_join_salt_spreads_hot_cell(spark, features):
+    """n_salt>1 must put a hot cell's candidate rows on >1 partition."""
+    from pyspark.sql.functions import spark_partition_id
+
+    admin = generate_admin_polygons()
+    pts = features.select("url", "feature_idx", "lon", "lat")
+    # reconstruct the candidate frame exactly as pip_join does, with salt
+    out = pip_join(pts, admin, res=8, n_salt=8)
+    # results unchanged (covered elsewhere); here inspect the physical
+    # spread: re-run the pre-refine frame and count partitions per cell
+    from geobuf_cpp_spark.functions.cells import sql_cell
+    from geobuf_cpp_spark.operators.pip_join import polygon_coverings
+    from geobuf_cpp_spark.plans.partitioning import with_salt
+
+    cover = spark.createDataFrame(polygon_coverings(admin, 8))
+    cand = pts.withColumn("cell", F.expr(sql_cell("lat", "lon", 8))).join(
+        F.broadcast(cover), "cell"
+    )
+    salted = (
+        with_salt(cand, 8)
+        .repartition(8, F.col("cell"), F.col("_salt"))
+        .withColumn("pid", spark_partition_id())
+    )
+    per_cell = (
+        salted.groupBy("cell")
+        .agg(F.countDistinct("pid").alias("nparts"), F.count("*").alias("n"))
+        .filter(F.col("n") >= 32)
+        .collect()
+    )
+    assert per_cell, "expected at least one dense cell in the fixture"
+    assert any(r["nparts"] > 1 for r in per_cell), (
+        "no dense cell spans more than one partition — salting is a placebo"
+    )
+    assert out.count() > 0
+
+
+def test_knn_distributed_boundary_tie_uses_fallback(spark):
+    """kth distance exactly equal to the certification radius must NOT be
+    certified (strict <): the query takes the exact fallback path and the
+    answer still matches brute force."""
+    import pandas as pd
+
+    from geobuf_cpp_spark.functions.cells import cell_size_deg
+    from geobuf_cpp_spark.operators.knn import knn_distributed
+
+    res, radius = 7, 1
+    ext = cell_size_deg(res)[0]  # 1.40625, exactly representable
+    # query at a cell corner; nearest point at EXACTLY radius*ext
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "point_id": [1, 2, 3],
+                "lon": [0.0, 0.0, 50.0],
+                "lat": [ext, 4.0, 50.0],
+            }
+        )
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0], "lat": [0.0], "lon": [0.0]})
+    )
+    got = knn_distributed(
+        pts, queries, k=1, res=res, radius=radius, id_cols=("point_id",)
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["point_id"] == 1
+    assert got[0]["dist2"] == ext * ext
