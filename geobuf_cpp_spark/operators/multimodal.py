@@ -37,13 +37,43 @@ FEATURE_SCHEMA = (
 )
 
 
+KNUTH = 2654435761  # Knuth multiplicative hash constant
+
+
+def media_dims(i: int) -> tuple[int, int]:
+    """width/height as bounded-product integer hashes of the id.
+
+    Deliberately expressible in portable 64-bit SQL (i * KNUTH < 2^63 for
+    any realistic id, then mod 2^32 / mod 48) so the DuckDB oracle of the
+    media queries can regenerate the metadata independently from
+    ``range(n)`` — a hard cross-engine signal without reading any payload.
+    """
+    w = 16 + ((i * KNUTH) % (1 << 32)) % 48
+    h = 16 + (((i + 7) * KNUTH) % (1 << 32)) % 48
+    return w, h
+
+
+def sql_media_meta(n: int) -> str:
+    """DuckDB SELECT regenerating (media_id, kind, width, height, n_bytes)."""
+    return (
+        "SELECT range AS media_id, "
+        "CASE WHEN range % 3 = 0 THEN 'audio' ELSE 'image' END AS kind, "
+        f"CAST(16 + ((range * {KNUTH}) % 4294967296) % 48 AS INT) AS width, "
+        f"CAST(16 + (((range + 7) * {KNUTH}) % 4294967296) % 48 AS INT) AS height, "
+        "CAST(12 + CASE WHEN range % 3 = 0 "
+        f"THEN (16 + ((range * {KNUTH}) % 4294967296) % 48) * 256 "
+        f"ELSE (16 + ((range * {KNUTH}) % 4294967296) % 48) "
+        f"   * (16 + (((range + 7) * {KNUTH}) % 4294967296) % 48) END AS INT) AS n_bytes "
+        f"FROM range(0, {n})"
+    )
+
+
 def synth_media_batch(ids: np.ndarray) -> pd.DataFrame:
     """Deterministic fake media rows (pure function of id)."""
     rows = []
     for i in ids.tolist():
         kind = "image" if i % 3 else "audio"
-        w = 16 + int(mix64(np.asarray([i], dtype=np.uint64))[0] % 48)
-        h = 16 + int(mix64(np.asarray([i + 7], dtype=np.uint64))[0] % 48)
+        w, h = media_dims(i)
         n = w * h if kind == "image" else w * 256
         stream = mix64(np.arange(i, i + (n + 7) // 8, dtype=np.uint64))
         body = stream.tobytes()[:n]

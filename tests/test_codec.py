@@ -280,3 +280,56 @@ def test_geometry_level_custom_properties():
     decoded = gb.decode(gb.encode(doc))
     assert decoded["extra_key"] == "extra" and decoded["n"] == 7
     assert decoded["coordinates"] == [1.5, 2.5]
+
+
+def test_point_feature_size_formula():
+    """The SQL wire-size model (oracle of geobuf_size_stats) must predict
+    the real encoder's byte count for every corpus point and for edge
+    coordinates (zero, negative, varint-length boundaries, max precision).
+    """
+    import math
+
+    import duckdb
+
+    from geobuf_cpp_spark.functions.sql_codec import sql_point_feature_size
+
+    model = sql_point_feature_size("lon", "lat", 10**6)
+    con = duckdb.connect()
+
+    def predicted(lon, lat):
+        row = con.execute(
+            f"SELECT {model['precision']}, {model['nbytes']} FROM "
+            "(SELECT ? AS lon, ? AS lat)",
+            [lon, lat],
+        ).fetchone()
+        return int(row[0]), int(row[1])
+
+    cases = [
+        (0.0, 0.0),
+        (-180.0, -85.0),
+        (179.99, 84.99),
+        (0.005, -0.005),      # rounding at the half
+        (1.0, -1.0),          # precision 0
+        (0.1, 0.2),           # float wobble -> escalates e
+        (127.0, 128.0),       # varint length boundary at e=1
+        (0.123456, -0.654321),  # needs the full 1e6
+        (163.84, -163.84),    # zigzag boundary region at e=100
+    ]
+    # plus a slice of the real corpus lattice
+    for k in range(1, 400, 7):
+        lon = float((k * 7919) % 36000) / 100.0 - 180.0
+        lat = float((k * 9973) % 17000) / 100.0 - 85.0
+        cases.append((lon, lat))
+
+    for lon, lat in cases:
+        enc = gb.Encoder(max_precision=10**6)
+        blob = enc.encode(
+            {
+                "type": "Feature",
+                "geometry": {"type": "Point", "coordinates": [lon, lat]},
+                "properties": {"src": "orders"},
+            }
+        )
+        p, nb = predicted(lon, lat)
+        assert nb == len(blob), (lon, lat, nb, len(blob))
+        assert p == round(math.log10(enc.e)), (lon, lat, p, enc.e)

@@ -151,3 +151,105 @@ def test_textstats_formulas(spark):
     assert out["n_periods"].tolist() == [1, 0, 1]
     q = quality_score(spark.createDataFrame(pdf), min_tokens=3).orderBy("doc_id").toPandas()
     assert q["keep"].tolist() == [True, False, True]
+
+
+def _clustered_emb_frame(n=400, d=32, n_clusters=8, seed=7):
+    """Tight clusters around random unit centers — the corpus shape where
+    IVF pruning earns its keep (real embedding corpora are clustered; the
+    driver's isotropic table is the worst case, see q_ann_ivf)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = centers[np.arange(n) % n_clusters] + 0.05 * rng.normal(size=(n, d))
+    return pd.DataFrame(
+        {"vec_id": range(n), "embedding": [r.tolist() for r in rows]}
+    )
+
+
+def test_ivf_pruned_probe_recall_on_clustered_data(spark):
+    from geobuf_cpp_spark.operators.ann import build_ivf, cosine_topk, ivf_topk
+
+    pdf = _clustered_emb_frame()
+    emb = spark.createDataFrame(pdf).repartition(4)
+    queries = pd.DataFrame(
+        {"query_id": range(10), "vec": pdf["embedding"][:10].tolist()}
+    )
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    centroids, assignments = build_ivf(emb, n_lists=8)
+    # probe only 2 of 8 lists: 4x less distance work than brute force
+    approx = ivf_topk(emb, assignments, centroids, queries, k=10, nprobe=2).toPandas()
+    recalls = []
+    for qid in range(10):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.95, recalls
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    """nprobe == n_lists must reproduce brute force EXACTLY (ranks and all)
+    — the correctness configuration the driver gate runs."""
+    from geobuf_cpp_spark.operators.ann import build_ivf, cosine_topk, ivf_topk
+
+    pdf = _emb_frame(n=300)
+    emb = spark.createDataFrame(pdf).repartition(4)
+    queries = pd.DataFrame(
+        {"query_id": range(8), "vec": pdf["embedding"][:8].tolist()}
+    )
+    exact = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    centroids, assignments = build_ivf(emb, n_lists=8)
+    full = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_topk(emb, assignments, centroids, queries, k=10, nprobe=8).collect()
+    }
+    assert full == exact
+
+
+def test_simhash_matches_duckdb_oracle():
+    """The Python simhash (md5-low-64 word hash) must equal an independent
+    DuckDB SQL computation word-for-word, bit-for-bit."""
+    import duckdb
+
+    from geobuf_cpp_spark.operators.dedup import simhash64
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "repeated words words words and more words",
+        "unicode snowman ☃ and accents café naïve",
+    ]
+    con = duckdb.connect()
+    for t in texts:
+        sql = (
+            "WITH w AS (SELECT unnest(string_split(?, ' ')) AS word), "
+            "h AS (SELECT md5_number_lower(word) AS hv FROM w WHERE word <> ''), "
+            "b AS (SELECT hv, unnest(generate_series(0, 63)) AS bit FROM h), "
+            "acc AS (SELECT bit, sum(CASE WHEN (hv >> CAST(bit AS INT)) & 1 = 1 "
+            "THEN 1 ELSE -1 END) AS s FROM b GROUP BY 1) "
+            "SELECT CAST(sum(CASE WHEN s > 0 AND bit < 63 "
+            "THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) "
+            "+ CAST(sum(CASE WHEN s > 0 AND bit = 63 "
+            "THEN -9223372036854775808 ELSE 0 END) AS BIGINT) FROM acc"
+        )
+        expect = con.execute(sql, [t]).fetchone()[0]
+        assert simhash64(t) == expect, t
+
+
+def test_media_meta_matches_sql_model():
+    """synth_media_batch's metadata must equal the SQL regeneration the
+    media oracles run (pure integer function of the id)."""
+    import duckdb
+
+    from geobuf_cpp_spark.operators.multimodal import sql_media_meta, synth_media_batch
+
+    n = 64
+    got = synth_media_batch(np.arange(n))
+    exp = duckdb.connect().execute(sql_media_meta(n)).fetchdf()
+    for i in range(n):
+        g, e = got.iloc[i], exp.iloc[i]
+        assert g["kind"] == e["kind"]
+        assert g["meta"]["width"] == e["width"] and g["meta"]["height"] == e["height"]
+        assert g["meta"]["n_bytes"] == e["n_bytes"] == len(g["payload"])
