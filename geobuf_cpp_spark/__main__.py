@@ -46,9 +46,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "json2geobuf":
         from .codec import geobuf as gb
+        from .codec.jsonio import load_json
 
-        with open(args.input) as f:
-            doc = json.load(f)
+        doc = load_json(args.input)
         data = gb.encode(doc, max_precision=10**args.precision)
         with open(args.output, "wb") as f:
             f.write(data)
@@ -64,9 +64,9 @@ def main(argv: list[str] | None = None) -> int:
         print(f"wrote {args.output}")
     elif args.cmd == "normalize_json":
         from .codec import geobuf as gb
+        from .codec.jsonio import load_json
 
-        with open(args.input) as f:
-            doc = json.load(f)
+        doc = load_json(args.input)
         with open(args.output, "w") as f:
             f.write(gb.normalize_json(doc))
         print(f"wrote {args.output}")

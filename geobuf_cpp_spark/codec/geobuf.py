@@ -46,11 +46,12 @@ Two deliberate, documented deviations from the reference implementation:
    the property groups of one parent message, making round-trips lossless;
    documents with only one property group (all standard GeoJSON fixtures)
    are byte-compatible with the reference encoder's layout.
-2. **Feature ids.** Any Python int id is written as tag 12 int64
-   (geobuf.cpp:393 writes int64 ids this way; the reference routes positive
-   JSON ints through its uint64 identifier branch into a JSON-dumped tag-11
-   string). Strings go to tag 11; any other id type is JSON-dumped into
-   tag 11 (geobuf.cpp:395-397).
+2. **Feature ids.** Int ids in the int64 range are written as tag 12 int64
+   (geobuf.cpp:393); ints OUTSIDE int64 (uint64 upper half / bigints) take
+   the reference's generic branch and are JSON-dumped into the tag-11
+   string id (geobuf.cpp:395-397) — they decode back as numeric strings,
+   exactly like the reference decoder. Strings go to tag 11; any other id
+   type is JSON-dumped into tag 11.
 """
 
 from __future__ import annotations
@@ -62,6 +63,7 @@ from typing import Any
 
 import numpy as np
 
+from .jsonio import loads_relaxed
 from .pbf import PbfReader, PbfWriter
 
 DEFAULT_DIM = 2
@@ -260,7 +262,14 @@ class Encoder:
             if isinstance(fid, bool) or not isinstance(fid, (int, str)):
                 pbf.add_string(11, json_dumps_canonical(fid))
             elif isinstance(fid, int):
-                pbf.add_int64(12, fid)
+                if -(1 << 63) <= fid < (1 << 63):
+                    pbf.add_int64(12, fid)
+                else:
+                    # reference geobuf.cpp:392-397: an id outside int64
+                    # (the uint64 upper half, or a Python bigint) is not
+                    # the int64 alternative — it takes the generic branch
+                    # and is JSON-dumped into the tag-11 string id
+                    pbf.add_string(11, json_dumps_canonical(fid))
             else:
                 pbf.add_string(11, fid)
         n = 0
@@ -623,7 +632,7 @@ def _read_value(pbf: PbfReader):
 
 def encode(obj: dict | str, max_precision: int = 10**8) -> bytes:
     if isinstance(obj, str):
-        obj = json.loads(obj)
+        obj = loads_relaxed(obj)
     return Encoder(max_precision=max_precision).encode(obj)
 
 
@@ -634,7 +643,7 @@ def decode(data: bytes) -> dict:
 def normalize_json(obj: dict | str, sort_keys: bool = True, indent: int | None = 4) -> str:
     """Canonical JSON text for golden comparison (geobuf-roundtrip-test.py:55-63)."""
     if isinstance(obj, str):
-        obj = json.loads(obj)
+        obj = loads_relaxed(obj)
     return json.dumps(obj, sort_keys=sort_keys, indent=indent, ensure_ascii=False)
 
 
@@ -644,9 +653,11 @@ def normalize_geobuf(data: bytes, max_precision: int = 10**8) -> bytes:
 
 
 def str2json2str(text: str, indent: bool = False, sort_keys: bool = False) -> str:
-    """string -> DOM -> string (parity with src/main.cpp:46-62)."""
+    """string -> DOM -> string (parity with src/main.cpp:46-62); the
+    parse honors the reference's relaxed flags (comments, trailing
+    commas — rapidjson_helpers.hpp:16-19)."""
     return json.dumps(
-        json.loads(text), indent=4 if indent else None,
+        loads_relaxed(text), indent=4 if indent else None,
         sort_keys=sort_keys, ensure_ascii=False,
         separators=None if indent else (",", ":"),
     )
@@ -659,7 +670,7 @@ def str2geojson2str(text: str, indent: bool = False, sort_keys: bool = False) ->
     output reflects the engine's geojson normalization (coordinate
     quantization, property value canonicalization).
     """
-    doc = decode(encode(json.loads(text), max_precision=10**8))
+    doc = decode(encode(loads_relaxed(text), max_precision=10**8))
     return json.dumps(
         doc, indent=4 if indent else None, sort_keys=sort_keys,
         ensure_ascii=False, separators=None if indent else (",", ":"),

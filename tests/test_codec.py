@@ -333,3 +333,55 @@ def test_point_feature_size_formula():
         p, nb = predicted(lon, lat)
         assert nb == len(blob), (lon, lat, nb, len(blob))
         assert p == round(math.log10(enc.e)), (lon, lat, p, enc.e)
+
+
+def test_relaxed_json_parse_roundtrip():
+    """Reference parses with kParseCommentsFlag | kParseTrailingCommasFlag
+    (rapidjson_helpers.hpp:16-19) — commented documents must round-trip."""
+    from geobuf_cpp_spark.codec.jsonio import loads_relaxed
+
+    relaxed = """
+    {
+      // a line comment with , and } inside
+      "type": "Feature", /* block comment */
+      "geometry": {
+        "type": "Point",
+        "coordinates": [1.5, 2.5,],   // trailing comma in array
+      },
+      "properties": {
+        "url": "http://x//y", // the // inside the string survives
+        "note": "a, b, ]",
+        "n": 3,
+      },
+    }
+    """
+    doc = loads_relaxed(relaxed)
+    assert doc["properties"]["url"] == "http://x//y"
+    assert doc["properties"]["note"] == "a, b, ]"
+    assert doc["geometry"]["coordinates"] == [1.5, 2.5]
+    # the whole codec path accepts relaxed text
+    blob = gb.encode(relaxed)
+    back = gb.decode(blob)
+    assert back["properties"]["n"] == 3
+    # strict documents still parse byte-identically through the fast path
+    assert loads_relaxed('{"a": [1, 2]}') == {"a": [1, 2]}
+
+
+def test_uint64_scale_feature_id():
+    """Ids outside int64 take the reference's generic branch: JSON-dumped
+    tag-11 string (geobuf.cpp:392-397), stable under re-encode."""
+    big = (1 << 63) + 12345
+    f = {
+        "type": "Feature",
+        "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+        "properties": {},
+        "id": big,
+    }
+    blob = gb.encode(f)
+    back = gb.decode(blob)
+    assert back["id"] == str(big)  # numeric string, like the reference
+    # byte-stable under normalize (decode -> encode fixpoint)
+    assert gb.normalize_geobuf(blob) == gb.normalize_geobuf(gb.normalize_geobuf(blob))
+    # int64-range ids still take the tag-12 branch
+    f["id"] = -5
+    assert gb.decode(gb.encode(f))["id"] == -5

@@ -396,3 +396,57 @@ def test_knn_distributed_boundary_tie_uses_fallback(spark):
     assert len(got) == 1
     assert got[0]["point_id"] == 1
     assert got[0]["dist2"] == ext * ext
+
+
+def test_typed_prop_accessors(spark):
+    """All six wire value kinds, encoded through the real codec into the
+    canonical-JSON property map, come back typed via the accessors."""
+    from geobuf_cpp_spark.functions.props import (
+        prop_bool,
+        prop_double,
+        prop_int,
+        prop_is_null,
+        prop_json,
+        prop_str,
+    )
+    from geobuf_cpp_spark.functions.udfs import _props_to_json_map
+
+    props = {
+        "s": "hello, \"world\"",      # string (tag 1)
+        "d": 2.5,                      # double (tag 2)
+        "u": 12,                       # non-negative int (tag 3 uint64)
+        "i": -7,                       # negative int (tag 4)
+        "b": True,                     # bool (tag 5)
+        "j": {"nested": [1, 2]},       # JSON (tag 6)
+        "z": None,                     # JSON null (tag 6)
+    }
+    # through the REAL codec: encode a feature, decode, re-map
+    blob = gb.encode(
+        {"type": "Feature",
+         "geometry": {"type": "Point", "coordinates": [0.0, 0.0]},
+         "properties": props}
+    )
+    decoded = gb.decode(blob)["properties"]
+    pdf = pd.DataFrame({"id": [0], "props": [_props_to_json_map(decoded)]})
+    df = spark.createDataFrame(pdf, schema="id long, props map<string,string>")
+    row = df.select(
+        prop_str("props", "s").alias("s"),
+        prop_double("props", "d").alias("d"),
+        prop_int("props", "u").alias("u"),
+        prop_int("props", "i").alias("i"),
+        prop_bool("props", "b").alias("b"),
+        prop_json("props", "j").alias("j"),
+        prop_is_null("props", "z").alias("z"),
+        # type-mismatch and missing-key -> NULL, never a cast error
+        prop_int("props", "s").alias("bad_int"),
+        prop_str("props", "d").alias("bad_str"),
+        prop_double("props", "missing").alias("missing"),
+    ).collect()[0]
+    assert row["s"] == 'hello, "world"'
+    assert row["d"] == 2.5
+    assert row["u"] == 12 and row["i"] == -7
+    assert row["b"] is True
+    assert row["j"] == '{"nested":[1,2]}'
+    assert row["z"] is True
+    assert row["bad_int"] is None and row["bad_str"] is None
+    assert row["missing"] is None
