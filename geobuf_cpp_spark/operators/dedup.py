@@ -14,8 +14,9 @@ Four families, each a DataFrame-in / DataFrame-out operator:
 * embedding near-dup lives in operators.ann (cosine_topk with a threshold).
 
 Signatures are computed in Arrow-batched ``mapInPandas`` with numpy-
-vectorized permutation minima; only tokenization walks Python strings
-(bounded by document length, not corpus size).
+vectorized permutation minima; shingle hashes are a rolling polynomial
+over cached md5-low-64 word hashes (one digest per DISTINCT word per
+worker), so only tokenization walks Python strings.
 """
 
 from __future__ import annotations
@@ -42,19 +43,43 @@ def _perm_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def shingle_hashes(text: str, w: int = 3) -> np.ndarray:
-    """w-word shingles -> uint64 hashes (blake2b-8, deterministic)."""
+_POLY = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized (uint64 wrap arithmetic)."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def shingle_hashes(text: str, w: int = 3, _cache: dict | None = None) -> np.ndarray:
+    """w-word shingle hashes, vectorized.
+
+    Per document: md5-low-64 each DISTINCT word once (cross-doc cache),
+    then a rolling order-sensitive polynomial over the word-hash vector +
+    a splitmix64 finalizer — one numpy pass instead of one digest call per
+    shingle. Deterministic; collision odds are the generic 64-bit birthday
+    bound, which the exact-Jaccard verify consumes as set sizes only.
+    """
     words = text.split()
-    if len(words) < w:
-        shingles = [" ".join(words)] if words else []
-    else:
-        shingles = [" ".join(words[i : i + w]) for i in range(len(words) - w + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
-        )
-    return out
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    hv = np.empty(len(words), dtype=np.uint64)
+    if _cache is None:
+        _cache = {}
+    for i, wd in enumerate(words):
+        h = _cache.get(wd)
+        if h is None:
+            h = word_hash_md5_low(wd)
+            _cache[wd] = h
+        hv[i] = h
+    k = min(w, len(words))
+    n = len(words) - k + 1
+    acc = hv[:n].copy()
+    for j in range(1, k):
+        acc = acc * _POLY + hv[j : j + n]
+    return _mix64(acc)
 
 
 def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -109,10 +134,11 @@ def minhash_signatures(docs_df, id_col: str = "doc_id", text_col: str = "text",
     a, b = _perm_params(seed)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                sig = minhash_signature(shingle_hashes(text, w), a, b)
+                sig = minhash_signature(shingle_hashes(text, w, cache), a, b)
                 ids.append(int(doc_id))
                 sigs.append(sig.view(np.int64).tolist())
             yield pd.DataFrame({"doc_id": ids, "sig": sigs})
@@ -161,7 +187,11 @@ def minhash_lsh_pairs(docs_df, id_col: str = "doc_id", text_col: str = "text",
     skew guard: capped buckets are dropped, trading recall on pathological
     keys for bounded work.
     """
-    sigs = minhash_signatures(docs_df, id_col, text_col, w, seed)
+    # the signature stage feeds two different exchanges (band buckets and
+    # the by-id prefilter joins); persist so the corpus-wide shingle+perm
+    # pass runs once — the in-session analogue of checkpointing the
+    # signature table (plans.manifest) in a long-lived pipeline
+    sigs = minhash_signatures(docs_df, id_col, text_col, w, seed).persist()
     bands = minhash_bands(docs_df, id_col, text_col, w, seed, sigs=sigs)
     sized = bands.withColumn(
         "bsize", F.count("*").over(Window.partitionBy("band", "bucket"))
@@ -194,12 +224,13 @@ def minhash_lsh_pairs(docs_df, id_col: str = "doc_id", text_col: str = "text",
     )
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
         for pdf in batches:
             rows = []
             for id_a, id_b, ta, tb in zip(
                 pdf["id_a"], pdf["id_b"], pdf["text_a"], pdf["text_b"]
             ):
-                j = jaccard(shingle_hashes(ta, w), shingle_hashes(tb, w))
+                j = jaccard(shingle_hashes(ta, w, cache), shingle_hashes(tb, w, cache))
                 if j >= threshold:
                     rows.append((int(id_a), int(id_b), float(j)))
             yield pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
