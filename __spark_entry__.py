@@ -41,6 +41,7 @@ MAX_PRECISION = 10**6
 MINHASH_THRESHOLD = 0.5
 SIMHASH_MAX_HAMMING = 3
 MEDIA_N = 2000
+COSINE_NEARDUP_T = 0.45
 
 # exact brute-force cosine top-k in DuckDB — oracle for both ann_topk and
 # the full-probe ann_ivf gate
@@ -353,6 +354,24 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(spark.table("documents"), max_hamming=SIMHASH_MAX_HAMMING)
 
 
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geobuf_cpp_spark.operators.textstats import token_counts
+
+    _prep(spark, sf_dir, "documents")
+    return token_counts(spark.table("documents"))
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact (id columns only —
+    similarity VALUES are float-summation-order dependent across engines,
+    but set membership at COSINE_NEARDUP_T has >=1e-4 margin on this
+    corpus, verified at all SFs)."""
+    from geobuf_cpp_spark.operators.ann import cosine_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_neardup_pairs(emb, COSINE_NEARDUP_T).select("id_a", "id_b")
+
+
 def _ann_queries(spark: SparkSession, sf_dir: str, n: int = 20):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qp = emb.filter(F.col("vec_id") < n).orderBy("vec_id").toPandas()
@@ -454,8 +473,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_signal": q_lang_signal,
         "fingerprints": q_fingerprints,
+        "token_count": q_token_count,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
+        "embed_neardup": q_embed_neardup,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "media_stats": q_media_stats,
@@ -612,6 +633,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(text) AS fp_full, "
             "md5(substr(text, 1, 64)) AS fp_prefix, "
             "CAST(length(text) AS BIGINT) AS n_chars_measured FROM documents"
+        ),
+        "token_count": (
+            "SELECT doc_id, "
+            f"CAST({tokens} AS BIGINT) AS n_ws_tokens, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens "
+            "FROM documents"
+        ),
+        # set-membership compare (ids only): the 0.45 threshold has >=1e-4
+        # similarity margin to the nearest pair at every SF, dwarfing any
+        # cross-engine float drift in the cosine
+        "embed_neardup": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            f"WHERE list_cosine_similarity(a.embedding, b.embedding) >= {COSINE_NEARDUP_T}"
         ),
         # rank-only compare: similarity VALUES are float-summation-order
         # dependent across engines, but the resulting order is stable on

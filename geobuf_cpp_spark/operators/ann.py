@@ -73,6 +73,125 @@ def cosine_topk(emb_df, queries_pdf: pd.DataFrame, k: int,
     )
 
 
+def cosine_neardup_pairs(emb_df, threshold: float,
+                         id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Exact embedding near-duplicate pairs: (id_a < id_b, cos >= threshold).
+
+    Broadcast-side exact baseline (the near-dup analogue of
+    ``knn_broadcast``): the reference matrix is collected ONCE and ships to
+    every partition; each Arrow batch then does a single (n_ref, batch)
+    matmul — O(n^2 d) compute spread over the cluster with no pair
+    shuffle at all (output is only the qualifying pairs). Right whenever
+    one side fits executor memory (n*d floats); beyond that, use
+    ``hyperplane_lsh_pairs`` to generate candidates first.
+    """
+    ref = emb_df.select(id_col, vec_col).toPandas()
+    ref_ids = ref[id_col].to_numpy()
+    ref_mat = _normalize(_as_matrix(ref[vec_col]))
+
+    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = _normalize(_as_matrix(pdf[vec_col]))
+            sims = ref_mat @ mat.T                      # (n_ref, n_batch)
+            # each unordered pair once: ref id strictly below the batch id
+            hit = (sims >= threshold) & (ref_ids[:, None] < ids[None, :])
+            ai, bi = np.nonzero(hit)
+            yield pd.DataFrame(
+                {
+                    "id_a": ref_ids[ai],
+                    "id_b": ids[bi],
+                    "sim": sims[ai, bi],
+                }
+            )
+
+    return emb_df.select(id_col, vec_col).mapInPandas(
+        pairs, "id_a long, id_b long, sim double"
+    )
+
+
+def hyperplane_lsh_pairs(emb_df, threshold: float, n_planes: int = 16,
+                         n_bands: int = 4, seed: int = 42,
+                         max_bucket: int = 256,
+                         id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Scale path for embedding near-dup: random-hyperplane LSH.
+
+    Signature bit i = sign(x . h_i) with fixed seeded gaussian hyperplanes;
+    collision probability per bit is 1 - angle/pi, so near-duplicates
+    (angle -> 0) collide on whole bands. Bands of ``n_planes / n_bands``
+    bits bucket the corpus; candidates meet only inside (band, bucket) —
+    the shuffle key is the bucket, never a pair enumeration — and an exact
+    cosine verify keeps (id_a < id_b, sim >= threshold). Probabilistic
+    recall (tune n_planes/n_bands per corpus); the exact operator above is
+    the oracle-checked baseline.
+    """
+    rng = np.random.default_rng(seed)
+    # emb dim discovered from the first row (driver-side, one row)
+    dim = len(emb_df.select(vec_col).first()[0])
+    planes = rng.normal(size=(dim, n_planes))
+    rpb = n_planes // n_bands
+
+    def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = _normalize(_as_matrix(pdf[vec_col]))
+            bits = (mat @ planes) >= 0                  # (n, n_planes)
+            out = []
+            for band in range(n_bands):
+                chunk = bits[:, band * rpb : (band + 1) * rpb]
+                bucket = chunk @ (1 << np.arange(rpb, dtype=np.int64))
+                out.append(
+                    pd.DataFrame(
+                        {"vec_id": ids, "band": band, "bucket": bucket}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    from pyspark.sql import Window
+
+    bands = emb_df.select(id_col, vec_col).mapInPandas(
+        sigs, "vec_id long, band int, bucket long"
+    )
+    sized = bands.withColumn(
+        "bsize", F.count("*").over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("bsize") <= max_bucket)
+    left = sized.select(F.col("vec_id").alias("id_a"), "band", "bucket")
+    right = sized.select(F.col("vec_id").alias("id_b"), "band", "bucket")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = emb_df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    joined = (
+        cand.join(vecs.withColumnRenamed("_vid", "id_a").withColumnRenamed("_v", "v_a"), "id_a")
+        .join(vecs.withColumnRenamed("_vid", "id_b").withColumnRenamed("_v", "v_b"), "id_b")
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = _normalize(_as_matrix(pdf["v_a"]))
+            b = _normalize(_as_matrix(pdf["v_b"]))
+            sim = (a * b).sum(axis=1)
+            keep = sim >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "sim": sim[keep],
+                }
+            )
+
+    return joined.mapInPandas(verify, "id_a long, id_b long, sim double")
+
+
 # ---------------------------------------------------------------------------
 # IVF
 # ---------------------------------------------------------------------------

@@ -100,6 +100,27 @@ def lang_signal(docs_df, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+# disjoint character classes -> every engine's alternation semantics
+# (leftmost-first or leftmost-longest) produces identical token spans
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_counts(docs_df, id_col: str = "doc_id", text_col: str = "text"):
+    """Whitespace tokens + BPE-ish regex pieces (letter runs / digit runs /
+    single punctuation) — the pre-tokenizer split every BPE vocabulary
+    starts from, as a JVM-side regexp_count (no Python)."""
+    t = F.col(text_col)
+    ws_tokens = (
+        F.length(F.trim(t)) - F.length(F.replace(F.trim(t), F.lit(" "), F.lit("")))
+        + F.when(F.length(F.trim(t)) > 0, F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    return docs_df.select(
+        F.col(id_col),
+        ws_tokens.alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_TOKEN_RE)).cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def fingerprints(docs_df, id_col: str = "doc_id", text_col: str = "text",
                  prefix_len: int = 64):
     """Stable document fingerprints: full-text md5 + prefix md5 (clusters

@@ -253,3 +253,45 @@ def test_media_meta_matches_sql_model():
         assert g["kind"] == e["kind"]
         assert g["meta"]["width"] == e["width"] and g["meta"]["height"] == e["height"]
         assert g["meta"]["n_bytes"] == e["n_bytes"] == len(g["payload"])
+
+
+def test_cosine_neardup_exact_pairs(spark):
+    from geobuf_cpp_spark.operators.ann import cosine_neardup_pairs
+
+    pdf = _clustered_emb_frame(n=200)
+    emb = spark.createDataFrame(pdf).repartition(4)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(emb, 0.9).collect()
+    }
+    mat = np.array(pdf["embedding"].tolist())
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    iu = np.triu_indices(len(pdf), 1)
+    expect = {
+        (int(a), int(b))
+        for a, b in zip(iu[0][sims[iu] >= 0.9], iu[1][sims[iu] >= 0.9])
+    }
+    assert got == expect and len(expect) > 100
+
+
+def test_hyperplane_lsh_recall_on_clustered_data(spark):
+    """The LSH-bucketed scale path must recover nearly all true near-dup
+    pairs on clusterable data while never enumerating all pairs."""
+    from geobuf_cpp_spark.operators.ann import (
+        cosine_neardup_pairs,
+        hyperplane_lsh_pairs,
+    )
+
+    pdf = _clustered_emb_frame(n=200)
+    emb = spark.createDataFrame(pdf).repartition(4)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(emb, 0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in hyperplane_lsh_pairs(emb, 0.9, n_planes=16, n_bands=8).collect()
+    }
+    assert lsh.issubset(exact)  # the verify stage is exact
+    assert len(lsh & exact) / len(exact) >= 0.9, (len(lsh), len(exact))
