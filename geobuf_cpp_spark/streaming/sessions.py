@@ -1,0 +1,158 @@
+"""Custom stateful streaming: per-user sessionization via
+``applyInPandasWithState``.
+
+The gap-timeout session is the canonical operator that watermarked windows
+CANNOT express (session boundaries depend on the previous event's time, not
+a fixed grid). State per user: the open session's (start, last_ts, n,
+sum_value). An event extends the session when it lands within ``gap`` of
+the last event; otherwise the open session is emitted and a new one
+starts. With ``flush_after_ms`` set, a processing-time timeout flushes
+idle open sessions (production cadence); the default keeps state until
+the next event (deterministic for drain-style tests and backfills).
+
+Batch twin: ``sessionize_batch`` computes the identical sessions with a
+window lag + cumulative-sum session id — the test oracle, and the backfill
+path of a lambda-style deployment (stream and batch share semantics by
+assertion, not by hope).
+
+State size is O(active users), not O(events) — the shape that survives a
+100 TB/day event stream; the shuffle key is user_id (one partition-local
+dict per task via the state store).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+# timestamps ride as integer MICROSECONDS (exact; float seconds would
+# leave nanosecond dust that Arrow's safe cast rejects)
+STATE_SCHEMA = "start long, last long, n long, sum_value double"
+
+
+def _us_to_ts(us: int) -> pd.Timestamp:
+    return pd.Timestamp(int(us) * 1000, tz="UTC")
+
+
+def _flush(state: GroupState, user_id: int) -> pd.DataFrame:
+    start, last, n, sv = state.get
+    state.remove()
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "session_start": [_us_to_ts(start)],
+            "session_end": [_us_to_ts(last)],
+            "n_events": [n],
+            "sum_value": [sv],
+        }
+    )
+
+
+def sessionize_stream(events: DataFrame, gap_seconds: float = 1800.0,
+                      flush_after_ms: int | None = None) -> DataFrame:
+    """events(ts, user_id, value, ...) -> closed sessions per user."""
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if flush_after_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                yield _flush(state, user_id)
+            return
+        gap_us = int(gap_seconds * 1_000_000)
+        ts: list[int] = []
+        vals: list[float] = []
+        for pdf in pdfs:
+            ts.extend(int(t.value) // 1000 for t in pdf["ts"])  # ns -> us
+            vals.extend(float(v) for v in pdf["value"])
+        order = sorted(range(len(ts)), key=ts.__getitem__)
+        out = []
+        if state.exists:
+            start, last, n, sv = state.get
+        else:
+            start = last = None  # type: ignore[assignment]
+            n, sv = 0, 0.0
+        for i in order:
+            t, v = ts[i], vals[i]
+            if last is not None and t - last > gap_us:
+                out.append(
+                    (user_id, _us_to_ts(start), _us_to_ts(last), n, sv)
+                )
+                start, n, sv = t, 0, 0.0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+            sv += v
+        state.update((start, last, n, sv))
+        if flush_after_ms:
+            state.setTimeoutDuration(flush_after_ms)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "session_start", "session_end",
+                         "n_events", "sum_value"],
+            )
+
+    return (
+        # NTZ sources cast to session-zone TIMESTAMP so both twins emit
+        # the same type (the state kernel works in integer microseconds)
+        events.select(F.col("ts").cast("timestamp").alias("ts"),
+                      "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout_conf,
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_seconds: float = 1800.0) -> DataFrame:
+    """Batch twin: identical sessions via lag + cumulative session ids.
+
+    Pure DataFrame ops (two window functions over one user-keyed shuffle)
+    — the backfill/oracle path. Includes the trailing (still-open) session,
+    which the stream emits on timeout.
+    """
+    from pyspark.sql import Window
+
+    gap_us = int(gap_seconds * 1_000_000)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    with_breaks = events.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    ).withColumn(
+        "_new",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            > F.lit(gap_us)
+        ).cast("int"),
+    ).withColumn("_sid", F.sum(F.coalesce("_new", F.lit(0))).over(w))
+    return (
+        with_breaks.groupBy("user_id", "_sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .drop("_sid")
+    )

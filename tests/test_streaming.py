@@ -110,3 +110,61 @@ def test_streaming_geo_pipeline_matches_batch(spark, tmp_path):
     batch = batch.sort_values(key).reset_index(drop=True)
     assert len(got) == len(batch) > 0
     assert (got["n_features"].to_numpy() == batch["n_features"].to_numpy()).all()
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    gap-timeout sessions from the stream equal the batch twin's CLOSED
+    sessions (the still-open trailing session flushes on timeout, which a
+    drained test stream does not wait for)."""
+    from geobuf_cpp_spark.streaming.sessions import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # time-ordered arrivals (the log-ingest cadence this operator assumes)
+    bounds = [r[0] for r in events.selectExpr(
+        "percentile_approx(ts, array(0.33, 0.66))").collect()][0]
+    src = str(tmp_path / "sess_src")
+    events.filter(F.col("ts") <= bounds[0]).write.parquet(os.path.join(src, "a"))
+    events.filter(
+        (F.col("ts") > bounds[0]) & (F.col("ts") <= bounds[1])
+    ).write.parquet(os.path.join(src, "b"))
+    events.filter(F.col("ts") > bounds[1]).write.parquet(os.path.join(src, "c"))
+
+    from geobuf_cpp_spark.streaming.events import read_event_stream
+
+    gap = 6 * 3600.0
+    stream = read_event_stream(spark, src + "/*", max_files_per_trigger=1)
+    sessions = sessionize_stream(stream, gap_seconds=gap)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("sessions").toPandas()
+    finally:
+        q.stop()
+
+    batch = sessionize_batch(events, gap_seconds=gap).toPandas()
+    # closed sessions = batch sessions minus each user's LAST session
+    batch = batch.sort_values(["user_id", "session_start"])
+    closed = batch.groupby("user_id", group_keys=False).apply(
+        lambda g: g.iloc[:-1]
+    )
+    key = ["user_id", "session_start", "session_end", "n_events"]
+
+    def norm(pdf):
+        return sorted(
+            (int(r.user_id), str(r.session_start), str(r.session_end),
+             int(r.n_events), round(float(r.sum_value), 9))
+            for r in pdf.itertuples(index=False)
+        )
+
+    assert len(got) > 0, "no sessions closed during the stream"
+    assert norm(got) == norm(closed[key + ["sum_value"]])
