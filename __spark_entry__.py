@@ -42,6 +42,7 @@ MINHASH_THRESHOLD = 0.5
 SIMHASH_MAX_HAMMING = 3
 MEDIA_N = 2000
 COSINE_NEARDUP_T = 0.45
+SESSION_GAP_S = 6 * 3600.0
 
 # exact brute-force cosine top-k in DuckDB — oracle for both ann_topk and
 # the full-probe ann_ivf gate
@@ -305,6 +306,18 @@ def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-timeout sessionization (batch twin of the stateful streaming
+    operator; float sum_value excluded — summation order is engine-
+    specific, the session STRUCTURE is the contract)."""
+    from geobuf_cpp_spark.streaming.sessions import sessionize_batch
+
+    _prep(spark, sf_dir, "events")
+    return sessionize_batch(spark.table("events"), gap_seconds=SESSION_GAP_S).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geobuf_cpp_spark.operators.dedup import exact_dedup
 
@@ -467,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "last_event_per_user": q_last_event_per_user,
+        "sessions": q_sessions,
         "region_rollup": q_region_rollup,
         "exact_dedup": q_exact_dedup,
         "doc_stats": q_doc_stats,
@@ -591,6 +605,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, event_type, "
             "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
             "FROM events) t WHERE rn = 1"
+        ),
+        "sessions": (
+            f"WITH t AS (SELECT user_id, ts, CASE WHEN epoch_us(ts) - "
+            "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) "
+            f"> {int(SESSION_GAP_S * 1_000_000)} THEN 1 ELSE 0 END AS n "
+            "FROM events), "
+            "s AS (SELECT user_id, ts, sum(n) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM t) "
+            "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
+            "count(*) AS n_events FROM s GROUP BY user_id, sid"
         ),
         "region_rollup": (
             "SELECT r.r_name, count(*) AS n_orders, "

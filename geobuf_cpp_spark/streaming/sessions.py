@@ -137,14 +137,12 @@ def sessionize_batch(events: DataFrame, gap_seconds: float = 1800.0) -> DataFram
 
     gap_us = int(gap_seconds * 1_000_000)
     w = Window.partitionBy("user_id").orderBy("ts")
-    with_breaks = events.select(
-        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
-    ).withColumn(
+    # outputs keep the SOURCE timestamp type (NTZ in -> NTZ out, for the
+    # DuckDB gate); only the gap arithmetic casts to epoch microseconds
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    with_breaks = events.select("user_id", "ts", "value").withColumn(
         "_new",
-        (
-            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
-            > F.lit(gap_us)
-        ).cast("int"),
+        (epoch - F.lag(epoch).over(w) > F.lit(gap_us)).cast("int"),
     ).withColumn("_sid", F.sum(F.coalesce("_new", F.lit(0))).over(w))
     return (
         with_breaks.groupBy("user_id", "_sid")

@@ -151,7 +151,12 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     finally:
         q.stop()
 
-    batch = sessionize_batch(events, gap_seconds=gap).toPandas()
+    batch = (
+        sessionize_batch(events, gap_seconds=gap)
+        .withColumn("session_start", F.col("session_start").cast("timestamp"))
+        .withColumn("session_end", F.col("session_end").cast("timestamp"))
+        .toPandas()
+    )
     # closed sessions = batch sessions minus each user's LAST session
     batch = batch.sort_values(["user_id", "session_start"])
     closed = batch.groupby("user_id", group_keys=False).apply(
