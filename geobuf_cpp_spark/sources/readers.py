@@ -15,6 +15,77 @@ from pyspark.sql import DataFrame, SparkSession
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
 
+def read_geobuf_dir(spark: SparkSession, location: str,
+                    pattern: str = "*.pbf") -> DataFrame:
+    """Read a directory of raw geobuf files into a feature DataFrame.
+
+    Spark's ``binaryFile`` source streams each blob (one file = one geobuf
+    document, the reference CLI's output unit — pybind11_geobuf
+    __main__.py json2geobuf); an Arrow stage decodes documents and
+    explodes their features into rows (path, feature_idx, geometry
+    wire-struct, properties map). Scan parallelism = file count; decode is
+    shuffle-free.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..codec import geobuf as gb
+    from ..functions.geometry import geojson_to_wire
+    from ..functions.udfs import _props_to_json_map
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(location)
+        .select("path", "content")
+    )
+
+    schema = (
+        "path string, feature_idx int, kind string, "
+        "geom struct<type: tinyint, dim: tinyint, lengths: array<int>, "
+        "coords: array<double>>, properties map<string,string>"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                doc = gb.decode(bytes(blob))
+                if doc.get("type") == "FeatureCollection":
+                    feats = doc["features"]
+                elif doc.get("type") == "Feature":
+                    feats = [doc]
+                elif doc:
+                    feats = [{"type": "Feature", "geometry": doc,
+                              "properties": {}}]
+                else:
+                    feats = []
+                for idx, f in enumerate(feats):
+                    geom = f.get("geometry")
+                    if not geom:
+                        continue
+                    t, dim, lengths, coords = geojson_to_wire(geom)
+                    rows.append(
+                        {
+                            "path": path,
+                            "feature_idx": idx,
+                            "kind": geom["type"],
+                            "geom": {"type": t, "dim": dim,
+                                     "lengths": lengths, "coords": coords},
+                            "properties": _props_to_json_map(
+                                f.get("properties") or {}
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "feature_idx", "kind", "geom", "properties"],
+            )
+
+    return raw.mapInPandas(decode, schema)
+
+
 def read_pages(spark: SparkSession, location: str, fmt: str = "auto") -> DataFrame:
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(location)

@@ -450,3 +450,70 @@ def test_typed_prop_accessors(spark):
     assert row["z"] is True
     assert row["bad_int"] is None and row["bad_str"] is None
     assert row["missing"] is None
+
+
+def test_read_geobuf_dir(spark, tmp_path):
+    """Raw .pbf files (the reference CLI's output unit) read back as a
+    feature DataFrame via the binaryFile source + Arrow decode."""
+    from geobuf_cpp_spark.sources.readers import read_geobuf_dir
+
+    docs = [
+        {"type": "FeatureCollection", "features": [
+            {"type": "Feature",
+             "geometry": {"type": "Point", "coordinates": [1.5, 2.5]},
+             "properties": {"name": "a", "rank": 1}},
+            {"type": "Feature",
+             "geometry": {"type": "LineString",
+                          "coordinates": [[0.0, 0.0], [1.0, 1.0]]},
+             "properties": {}},
+        ]},
+        {"type": "Feature",
+         "geometry": {"type": "Point", "coordinates": [-3.25, 4.0]},
+         "properties": {"name": "b"}},
+        {"type": "Point", "coordinates": [9.0, -9.5]},
+    ]
+    d = tmp_path / "pbfs"
+    d.mkdir()
+    for i, doc in enumerate(docs):
+        (d / f"doc{i}.pbf").write_bytes(gb.encode(doc))
+    (d / "ignored.txt").write_bytes(b"not a pbf")
+
+    got = read_geobuf_dir(spark, str(d)).toPandas()
+    assert len(got) == 4  # 2 + 1 + 1, .txt ignored
+    assert set(got["kind"]) == {"Point", "LineString"}
+    a = got[got["properties"].apply(lambda m: m.get("name") == '"a"')]
+    assert len(a) == 1 and list(a.iloc[0]["geom"]["coords"])[:2] == [1.5, 2.5]
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key join with ZERO shuffle —
+    the co-located big-big join strategy."""
+    from geobuf_cpp_spark.plans.bucketing import (
+        bucketed_join,
+        plan_has_shuffle,
+        write_bucketed,
+    )
+
+    # warehouse dir is a static conf; the default ./spark-warehouse is
+    # gitignored and tables are dropped below
+    left = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 10_000).selectExpr("id AS k", "id * 3 AS b")
+    write_bucketed(left, "bk_left", "k", 8)
+    write_bucketed(right, "bk_right", "k", 8)
+    try:
+        # force the sort-merge path (broadcast would hide the question)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bucketed_join(spark, "bk_left", "bk_right", "k")
+            assert not plan_has_shuffle(joined), "bucketed join still shuffles"
+            # and a plain (non-bucketed) join DOES shuffle — the control
+            plain = left.join(right, "k")
+            assert plan_has_shuffle(plain)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert joined.count() == 10_000
+        row = joined.filter("k = 7").collect()[0]
+        assert row["a"] == 14 and row["b"] == 21
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
