@@ -123,3 +123,62 @@ def _assert_quantized(orig, dec):
     for x, y in zip(o, d):
         assert math.isfinite(y)
         assert abs(x - y) <= 0.5 + 1e-9
+
+# ---------------------------------------------------------------------------
+# relaxed JSON scanner fuzz: comments/trailing-commas injection must never
+# change the parsed value, and strings must survive untouched
+# ---------------------------------------------------------------------------
+
+_json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(10**12), max_value=10**12),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=20),
+)
+_json_values = st.recursive(
+    _json_scalars,
+    lambda kids: st.one_of(
+        st.lists(kids, max_size=4),
+        st.dictionaries(st.text(max_size=8), kids, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+@given(_json_values, st.randoms(use_true_random=False))
+@settings(max_examples=150, deadline=None)
+def test_relaxed_parse_with_injected_noise(value, rnd):
+    import json as _json
+
+    from geobuf_cpp_spark.codec.jsonio import loads_relaxed, strip_relaxed
+
+    strict = _json.dumps(value, ensure_ascii=False)
+    # inject comments after random structural commas/braces and trailing
+    # commas before closers — OUTSIDE strings (tracked the same way the
+    # scanner does, so the injection itself is well-formed relaxed JSON)
+    out = []
+    in_str = False
+    i = 0
+    while i < len(strict):
+        c = strict[i]
+        out.append(c)
+        if in_str:
+            if c == "\\":
+                out.append(strict[i + 1])
+                i += 2
+                continue
+            if c == '"':
+                in_str = False
+        elif c == '"':
+            in_str = True
+        elif c in ",{[" and rnd.random() < 0.3:
+            out.append(rnd.choice([" // noise, with ] and }\n", "/* b,lock */"]))
+        elif c in "}]" and rnd.random() < 0.3:
+            # turn the PREVIOUS position into a trailing comma
+            out.insert(len(out) - 1, ",")
+        i += 1
+    noisy = "".join(out)
+    assert loads_relaxed(noisy) == value
+    # and strict documents pass through strip_relaxed unchanged
+    assert _json.loads(strip_relaxed(strict)) == value
