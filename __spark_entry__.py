@@ -367,6 +367,26 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(spark.table("documents"), max_hamming=SIMHASH_MAX_HAMMING)
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pass: keep documents that clear
+    the quality gate AND the English-signal gate AND are their duplicate
+    group's keeper — one plan, three operators, the shape every corpus
+    pipeline runs first."""
+    from geobuf_cpp_spark.operators.dedup import exact_dedup
+    from geobuf_cpp_spark.operators.textstats import lang_signal, quality_score
+
+    _prep(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    quality = quality_score(docs).filter("keep = 1").select("doc_id", "n_tokens")
+    lang = lang_signal(docs).filter("pred_en = 1").select("doc_id")
+    keepers = exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    return (
+        quality.join(lang, "doc_id")
+        .join(keepers, "doc_id")
+        .select("doc_id", "n_tokens")
+    )
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geobuf_cpp_spark.operators.textstats import token_counts
 
@@ -488,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_signal": q_lang_signal,
         "fingerprints": q_fingerprints,
         "token_count": q_token_count,
+        "corpus_filter": q_corpus_filter,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "embed_neardup": q_embed_neardup,
@@ -657,6 +678,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(text) AS fp_full, "
             "md5(substr(text, 1, 64)) AS fp_prefix, "
             "CAST(length(text) AS BIGINT) AS n_chars_measured FROM documents"
+        ),
+        "corpus_filter": (
+            "WITH s AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars, "
+            f"CAST({tokens} AS BIGINT) AS n_tokens FROM documents), "
+            "q AS (SELECT doc_id, text, n_tokens, "
+            "FLOOR((n_chars - (n_tokens - 1)) * 100 / GREATEST(n_tokens, 1)) AS mtl "
+            "FROM s WHERE n_tokens >= 10 AND n_tokens <= 100000), "
+            "qk AS (SELECT doc_id, text, n_tokens FROM q WHERE mtl >= 200 AND mtl <= 1200), "
+            f"en AS (SELECT doc_id FROM documents WHERE ({stop_sum}) * 1000 / ({tokens} * 1.0) >= 30), "
+            "keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) "
+            "SELECT qk.doc_id, qk.n_tokens FROM qk "
+            "JOIN en ON en.doc_id = qk.doc_id "
+            "JOIN keep ON keep.doc_id = qk.doc_id"
         ),
         "token_count": (
             "SELECT doc_id, "
