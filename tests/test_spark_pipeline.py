@@ -517,3 +517,26 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_geobuf_file_sink_roundtrip(spark, features, tmp_path):
+    """write_geobuf_files -> read_geobuf_dir round trip: every feature
+    comes back, grouped one FeatureCollection per spatial prefix."""
+    from geobuf_cpp_spark.sources.geobuf_sink import write_geobuf_files
+    from geobuf_cpp_spark.sources.readers import read_geobuf_dir
+
+    out = str(tmp_path / "pbf_store")
+    src = features.select("lon", "lat", "geom", "properties")
+    n_in = src.count()
+    manifest = write_geobuf_files(src, out, res=8, prefix_res=3).toPandas()
+    assert manifest["n_features"].sum() == n_in
+    assert all(manifest["n_bytes"] > 0)
+    # files on disk match the manifest byte-for-byte
+    import os as _os
+
+    for _, r in manifest.iterrows():
+        assert _os.path.getsize(r["path"]) == r["n_bytes"]
+    back = read_geobuf_dir(spark, out)
+    assert back.count() == n_in
+    got_kinds = {r["kind"] for r in back.select("kind").distinct().collect()}
+    assert "Point" in got_kinds
