@@ -100,6 +100,12 @@ def knn_distributed(points_df, queries_df, k: int, res: int = 7,
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", *id_cols, "dist2")
     )
+    # topk (Q x k rows) feeds THREE branches (certified join, the
+    # certification aggregate, and the fallback's left-anti); without a
+    # persist each branch re-executes the candidate join — 4 scans of the
+    # points table in the final plan, which at 100 TB is the whole cost.
+    # Persisted, the table is scanned twice: candidate join + fallback.
+    topk = topk.persist()
     per_query = topk.groupBy("query_id").agg(
         F.count("*").alias("_n"), F.max("dist2").alias("_kth")
     )
