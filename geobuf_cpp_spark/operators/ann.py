@@ -153,9 +153,11 @@ def hyperplane_lsh_pairs(emb_df, threshold: float, n_planes: int = 16,
 
     from pyspark.sql import Window
 
+    # persisted: the sign-bit stage would otherwise run once per
+    # self-join side (n_bands rows per vector — tiny)
     bands = emb_df.select(id_col, vec_col).mapInPandas(
         sigs, "vec_id long, band int, bucket long"
-    )
+    ).persist()
     sized = bands.withColumn(
         "bsize", F.count("*").over(Window.partitionBy("band", "bucket"))
     ).filter(F.col("bsize") <= max_bucket)

@@ -304,9 +304,11 @@ def simhash_pairs(docs_df, id_col: str = "doc_id", text_col: str = "text",
 
     from ..plans.partitioning import spread
 
+    # 4 rows/doc; persisted so the signature stage runs once instead of
+    # once per self-join side (exchange reuse does not cover it)
     bands = spread(docs_df.select(id_col, text_col)).mapInPandas(
         gen, "doc_id long, simhash long, band int, chunk int"
-    )
+    ).persist()
     left = bands.select(
         F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "chunk"
     )
