@@ -318,6 +318,23 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's most recent view at or
+    before it (NULL when none) — single shuffle + running window, no join."""
+    from geobuf_cpp_spark.operators.asof import asof_join
+
+    _prep(spark, sf_dir, "events")
+    ev = spark.table("events")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts", "event_id")
+    views = ev.filter("event_type = 'view'").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        clicks, views, ["user_id"], "ts",
+        {"event_id": "view_event_id", "value": "view_value"},
+    ).select("event_id", "user_id", "view_event_id", "view_value")
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geobuf_cpp_spark.operators.dedup import exact_dedup
 
@@ -501,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "last_event_per_user": q_last_event_per_user,
         "sessions": q_sessions,
+        "asof_view": q_asof_view,
         "region_rollup": q_region_rollup,
         "exact_dedup": q_exact_dedup,
         "doc_stats": q_doc_stats,
@@ -636,6 +654,17 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM t) "
             "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
             "count(*) AS n_events FROM s GROUP BY user_id, sid"
+        ),
+        # DuckDB's native ASOF JOIN is the oracle for the windowed
+        # carry-forward implementation
+        "asof_view": (
+            "WITH l AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "r AS (SELECT event_id AS view_event_id, value AS view_value, "
+            "user_id, ts FROM events WHERE event_type = 'view') "
+            "SELECT l.event_id, l.user_id, r.view_event_id, r.view_value "
+            "FROM l ASOF LEFT JOIN r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "region_rollup": (
             "SELECT r.r_name, count(*) AS n_orders, "

@@ -295,3 +295,34 @@ def test_hyperplane_lsh_recall_on_clustered_data(spark):
     }
     assert lsh.issubset(exact)  # the verify stage is exact
     assert len(lsh & exact) / len(exact) >= 0.9, (len(lsh), len(exact))
+
+
+def test_asof_join_semantics(spark):
+    """Equal timestamps match (l.ts >= r.ts inclusive), the NEWEST right
+    row wins, and keys with no prior right row yield NULLs."""
+    import datetime as dt
+
+    from geobuf_cpp_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(10), 100), (1, t(20), 101), (2, t(5), 200), (3, t(9), 300)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 900, 1.5),   # exactly at left ts -> matches
+         (1, t(15), 901, 2.5),   # newest before t20 -> wins over t10
+         (2, t(6), 902, 3.5)],   # AFTER left t5 -> no match for user 2
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    got = {
+        r["event_id"]: (r["rid"], r["rval"])
+        for r in asof_join(
+            left, right, ["user_id"], "ts",
+            {"event_id": "rid", "value": "rval"},
+        ).collect()
+    }
+    assert got[100] == (900, 1.5)     # inclusive boundary
+    assert got[101] == (901, 2.5)     # most recent wins
+    assert got[200] == (None, None)   # right row is in the future
+    assert got[300] == (None, None)   # key never seen on the right
