@@ -44,6 +44,26 @@ MEDIA_N = 2000
 COSINE_NEARDUP_T = 0.45
 SESSION_GAP_S = 6 * 3600.0
 
+# shared SQL text — executed verbatim by BOTH engines (the quantile pick
+# is discrete row_number selection: no interpolation, no float drift)
+QUANTILES_SQL = (
+    "WITH t AS (SELECT event_type, value, "
+    "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn, "
+    "count(*) OVER (PARTITION BY event_type) AS n FROM events) "
+    "SELECT event_type, "
+    "max(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.5) AS BIGINT) + 1 THEN value END) AS p50, "
+    "max(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.95) AS BIGINT) + 1 THEN value END) AS p95 "
+    "FROM t GROUP BY event_type"
+)
+
+ROLLUP_SQL = (
+    "SELECT r.r_name, n.n_name, count(*) AS n_customers "
+    "FROM customer c "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "GROUP BY ROLLUP(r.r_name, n.n_name)"
+)
+
 # exact brute-force cosine top-k in DuckDB — oracle for both ann_topk and
 # the full-probe ann_ivf gate
 ANN_EXACT_SQL = (
@@ -292,6 +312,45 @@ def q_last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: same-user event count in the trailing hour (time-RANGE
+    window frame over integer microseconds — exact in both engines)."""
+    from pyspark.sql import Window
+
+    _prep(spark, sf_dir, "events")
+    ev = spark.table("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.count("*").over(w).alias("n_last_hour")
+    )
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete p50/p95 per event type via row_number selection —
+    no interpolation, so the value is engine-portable by construction."""
+    _prep(spark, sf_dir, "events")
+    return spark.sql(QUANTILES_SQL)
+
+
+def q_nation_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP over the region/nation hierarchy (super-aggregate
+    rows carry NULL group keys in both engines)."""
+    _prep(spark, sf_dir, "region", "nation", "customer")
+    return spark.sql(ROLLUP_SQL)
+
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers that never ordered."""
+    _prep(spark, sf_dir, "customer", "orders")
+    cust = spark.table("customer").select("c_custkey", "c_mktsegment")
+    orders = spark.table("orders").select(F.col("o_custkey").alias("c_custkey"))
+    return cust.join(orders, "c_custkey", "left_anti")
+
+
 def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way dim join rollup (broadcast-friendly star shape)."""
     _prep(spark, sf_dir, "region", "nation", "customer", "orders")
@@ -519,6 +578,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_event_per_user": q_last_event_per_user,
         "sessions": q_sessions,
         "asof_view": q_asof_view,
+        "rolling_events": q_rolling_events,
+        "value_quantiles": q_value_quantiles,
+        "nation_rollup_cube": q_nation_rollup_cube,
+        "customers_no_orders": q_customers_no_orders,
         "region_rollup": q_region_rollup,
         "exact_dedup": q_exact_dedup,
         "doc_stats": q_doc_stats,
@@ -654,6 +717,19 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM t) "
             "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
             "count(*) AS n_events FROM s GROUP BY user_id, sid"
+        ),
+        "rolling_events": (
+            "SELECT event_id, user_id, count(*) OVER ("
+            "PARTITION BY user_id ORDER BY epoch_us(ts) "
+            "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW"
+            ") AS n_last_hour FROM events"
+        ),
+        "value_quantiles": QUANTILES_SQL,
+        "nation_rollup_cube": ROLLUP_SQL,
+        "customers_no_orders": (
+            "SELECT c_custkey, c_mktsegment FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey)"
         ),
         # DuckDB's native ASOF JOIN is the oracle for the windowed
         # carry-forward implementation
