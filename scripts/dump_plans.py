@@ -115,6 +115,20 @@ def main() -> None:
         [r"HashAggregate \(", r"partial_|hashpartitioning"],
     )
     section(
+        "asof_view — as-of join with NO join operator",
+        "The union + running-window implementation plans ONE hash "
+        "exchange on the key and one Window; no Join node exists at all.",
+        E.q_asof_view(spark, SF_DIR),
+        [r"Window", r"hashpartitioning", r"Join"],
+    )
+    section(
+        "rolling_events — time-RANGE window frame",
+        "Trailing-hour counts run as a RANGE frame over integer "
+        "microseconds: one key exchange, one windowed pass.",
+        E.q_rolling_events(spark, SF_DIR),
+        [r"Window", r"RANGE BETWEEN|specifiedwindowframe|hashpartitioning"],
+    )
+    section(
         "token_count — whole-stage codegen, no Python",
         "The BPE-ish token counter is a single project over the scan "
         "inside WholeStageCodegen; no Arrow/Python operator appears.",
