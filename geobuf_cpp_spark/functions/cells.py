@@ -183,6 +183,28 @@ def sql_cell(lat_expr: str, lon_expr: str, res: int) -> str:
     )
 
 
+def sql_ring_cells(lat_expr: str, lon_expr: str, res: int, k: int) -> str:
+    """ring_cells as a SQL array expression (JVM-side, no Python stage).
+
+    Emits the (2k+1)^2 Chebyshev disk with latitude clamped at the poles
+    and longitude wrapped, wrapped in array_distinct because clamping can
+    collapse rows near the poles — identical cell set to the numpy
+    ``ring_cells`` kernel (asserted in tests).
+    """
+    n = 1 << res
+    iy = sql_iy(lat_expr, res)
+    ix = sql_ix(lon_expr, res)
+    cells = []
+    for dy in range(-k, k + 1):
+        yy = f"GREATEST(LEAST({iy} + {dy}, {n - 1}), 0)"
+        for dx in range(-k, k + 1):
+            xx = f"((({ix} + {dx}) % {n} + {n}) % {n})"
+            cells.append(
+                f"(CAST({res} AS BIGINT) * {RES_BASE} + {yy} * {n} + {xx})"
+            )
+    return "array_distinct(array(" + ", ".join(cells) + "))"
+
+
 def sql_cell_parent(cell_expr: str, res: int, parent_res: int) -> str:
     """cell_parent as SQL text.
 

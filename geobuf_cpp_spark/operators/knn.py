@@ -69,24 +69,18 @@ def knn_distributed(points_df, queries_df, k: int, res: int = 7,
     that serves a large query TABLE, where the driver-looped ring expansion
     (knn_cell_rings) would serialize.
     """
-    from typing import Iterator
+    from ..functions.cells import sql_ring_cells
 
     min_extent, _ = cell_size_deg(res)
     certify2 = float((radius * min_extent) ** 2)
 
-    def disks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for qid, qlat, qlon in zip(pdf["query_id"], pdf["lat"], pdf["lon"]):
-                qcell = int(cell_of(float(qlat), float(qlon), res))
-                for cell in ring_cells(qcell, res, radius):
-                    rows.append((int(qid), float(qlat), float(qlon), int(cell)))
-            yield pd.DataFrame(
-                rows, columns=["query_id", "q_lat", "q_lon", "cell"]
-            )
-
-    disk = queries_df.select("query_id", "lat", "lon").mapInPandas(
-        disks, "query_id long, q_lat double, q_lon double, cell long"
+    # the query-side disk explode is a pure JVM array expression — no
+    # Python stage anywhere in the certified path
+    disk = queries_df.select(
+        "query_id",
+        F.col("lat").alias("q_lat"),
+        F.col("lon").alias("q_lon"),
+        F.explode(F.expr(sql_ring_cells("lat", "lon", res, radius))).alias("cell"),
     )
     pts = points_df.withColumn("cell", F.expr(sql_cell(lat_col, lon_col, res)))
     cand = pts.join(disk, "cell").withColumn(

@@ -169,3 +169,30 @@ def test_cover_polygon_subset_of_bbox_and_sufficient():
     inside = G.pip_mask(px, py, [ring])
     cells = C.cell_of(py[inside], px[inside], res)
     assert set(cells.tolist()) <= exact
+
+
+def test_sql_ring_cells_matches_numpy(spark):
+    """The JVM ring-disk array expression equals the numpy ring_cells
+    kernel cell-for-cell, including pole clamping and lon wrap."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geobuf_cpp_spark.functions.cells import cell_of, ring_cells, sql_ring_cells
+
+    pts = pd.DataFrame(
+        {
+            "lat": [0.0, 51.5, -89.9, 89.99, 12.3],
+            "lon": [0.0, -0.1, 179.99, -179.99, 44.4],
+        }
+    )
+    df = spark.createDataFrame(pts)
+    for res, k in ((7, 2), (5, 1), (3, 3)):
+        got = df.select(
+            "lat", "lon",
+            F.expr(sql_ring_cells("lat", "lon", res, k)).alias("cells"),
+        ).collect()
+        for r in got:
+            expect = sorted(
+                int(c) for c in ring_cells(int(cell_of(r["lat"], r["lon"], res)), res, k)
+            )
+            assert sorted(r["cells"]) == expect, (r["lat"], r["lon"], res, k)
