@@ -129,6 +129,20 @@ def q_pip_boxes_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_admin_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace area of every admin polygon's REAL wire geometry; the
+    oracle computes the closed-form box area — exact equality because the
+    box corners are integer-valued doubles (all float ops exact)."""
+    from geobuf_cpp_spark.operators.geom_stats import areas
+    from geobuf_cpp_spark.sources.pages import ADMIN_SCHEMA
+
+    polys = spark.createDataFrame(
+        P.boxes_as_wire_polygons(spark, sf_dir).to_dict("records"),
+        schema=ADMIN_SCHEMA,
+    )
+    return areas(polys)
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geobuf_cpp_spark.operators.knn import knn_broadcast
 
@@ -563,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_assign": wrap(q_cell_assign),
         "cell_rollup": wrap(q_cell_rollup),
         "pip_boxes_join": wrap(q_pip_boxes_join),
+        "admin_areas": wrap(q_admin_areas),
         "pip_boxes_agg": wrap(q_pip_boxes_agg),
         "knn": wrap(q_knn),
         "knn_rings": wrap(q_knn_rings),
@@ -632,6 +647,10 @@ def oracle_sql() -> dict[str, str]:
             f"{POINTS_CTE}, {BOXES_CTE} "
             "SELECT p.point_id, b.admin_id FROM points p JOIN boxes b ON "
             "p.lon >= b.lon0 AND p.lon < b.lon1 AND p.lat >= b.lat0 AND p.lat < b.lat1"
+        ),
+        "admin_areas": (
+            f"WITH {BOXES_CTE} "
+            "SELECT admin_id, (lon1 - lon0) * (lat1 - lat0) AS area FROM boxes"
         ),
         "pip_boxes_agg": (
             f"{POINTS_CTE}, {BOXES_CTE} "

@@ -183,3 +183,28 @@ def point_in_wire_polygon(px, py, t, dim, lengths, coords) -> np.ndarray:
         np.asarray(py, dtype=np.float64),
         wire_rings(t, dim, lengths, coords),
     )
+
+
+def ring_area_signed(ring: np.ndarray) -> float:
+    """Shoelace area of one (n, 2) ring, positive CCW.
+
+    Vectorized cross-sum; with integer-valued coordinates every product
+    and the running sum are exact in IEEE doubles, which is what lets the
+    admin-box gate compare against a closed-form oracle bit-for-bit.
+    """
+    x, y = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    return float(np.sum(x * y2 - x2 * y) / 2.0)
+
+
+def polygon_area(rings: list[np.ndarray]) -> float:
+    """Planar polygon area: |outer| minus holes (even-odd convention —
+    each ring contributes its absolute area with alternating sign by
+    nesting is not tracked; for the engine's wire polygons the first ring
+    is the outer shell and the rest are holes, the GeoJSON contract)."""
+    if not rings:
+        return 0.0
+    total = abs(ring_area_signed(rings[0]))
+    for hole in rings[1:]:
+        total -= abs(ring_area_signed(hole))
+    return total

@@ -196,3 +196,17 @@ def test_sql_ring_cells_matches_numpy(spark):
                 int(c) for c in ring_cells(int(cell_of(r["lat"], r["lon"], res)), res, k)
             )
             assert sorted(r["cells"]) == expect, (r["lat"], r["lon"], res, k)
+
+
+def test_polygon_area_shoelace():
+    import numpy as np
+
+    from geobuf_cpp_spark.functions.geometry import polygon_area, ring_area_signed
+
+    square = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])
+    hole = np.array([[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0], [1.0, 1.0]])
+    assert ring_area_signed(square) == 16.0          # CCW positive
+    assert ring_area_signed(square[::-1]) == -16.0   # CW negative
+    assert polygon_area([square]) == 16.0
+    assert polygon_area([square, hole]) == 15.0      # hole subtracted
+    assert polygon_area([]) == 0.0
