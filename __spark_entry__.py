@@ -25,6 +25,7 @@ from geobuf_cpp_spark.functions.cells import (
     sql_cell_parent,
     sql_equirect_tile_x,
     sql_equirect_tile_y,
+    sql_quadkey,
 )
 from geobuf_cpp_spark.functions.sql_codec import sql_roundtrip
 from geobuf_cpp_spark.plans.partitioning import spread
@@ -43,6 +44,14 @@ SIMHASH_MAX_HAMMING = 3
 MEDIA_N = 2000
 COSINE_NEARDUP_T = 0.45
 SESSION_GAP_S = 6 * 3600.0
+
+# spatio-temporal rollup, shared text: coarse cell x order month
+CELL_MONTH_SQL = (
+    f"SELECT {sql_cell(P.POINT_LAT_SQL, P.POINT_LON_SQL, ROLLUP_RES)} AS cell6, "
+    "substr(CAST(o_orderdate AS STRING), 1, 7) AS month, "
+    "count(*) AS n_orders FROM orders GROUP BY cell6, month"
+)
+
 
 # shared SQL text — executed verbatim by BOTH engines (the quantile pick
 # is discrete row_number selection: no interpolation, no float drift)
@@ -127,6 +136,36 @@ def q_pip_boxes_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("admin_id")
         .agg(F.count("*").alias("n_points"))
     )
+
+
+def q_quadkey_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bing-style quadkeys: Spark runs the NUMPY kernel, the oracle the
+    SQL digit cascade — independent implementations, same strings."""
+    import pandas as pd
+
+    from geobuf_cpp_spark.functions.cells import quadkey_of
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "point_id": pdf["point_id"],
+                    "quadkey": quadkey_of(
+                        pdf["lat"].to_numpy(), pdf["lon"].to_numpy(), ROLLUP_RES
+                    ),
+                }
+            )
+
+    return spread(P.points_df(spark, sf_dir)).mapInPandas(
+        gen, "point_id long, quadkey string"
+    )
+
+
+def q_cell_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal rollup: order counts per (coarse cell, month) —
+    shared SQL text executed verbatim by both engines."""
+    _prep(spark, sf_dir, "orders")
+    return spark.sql(CELL_MONTH_SQL)
 
 
 def q_admin_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,6 +617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_rollup": wrap(q_cell_rollup),
         "pip_boxes_join": wrap(q_pip_boxes_join),
         "admin_areas": wrap(q_admin_areas),
+        "quadkey_assign": wrap(q_quadkey_assign),
+        "cell_month_rollup": wrap(q_cell_month_rollup),
         "pip_boxes_agg": wrap(q_pip_boxes_agg),
         "knn": wrap(q_knn),
         "knn_rings": wrap(q_knn_rings),
@@ -648,6 +689,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.point_id, b.admin_id FROM points p JOIN boxes b ON "
             "p.lon >= b.lon0 AND p.lon < b.lon1 AND p.lat >= b.lat0 AND p.lat < b.lat1"
         ),
+        "quadkey_assign": (
+            f"{POINTS_CTE} SELECT point_id, "
+            f"{sql_quadkey('lat', 'lon', ROLLUP_RES)} AS quadkey FROM points"
+        ),
+        "cell_month_rollup": CELL_MONTH_SQL,
         "admin_areas": (
             f"WITH {BOXES_CTE} "
             "SELECT admin_id, (lon1 - lon0) * (lat1 - lat0) AS area FROM boxes"

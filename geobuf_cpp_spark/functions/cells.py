@@ -205,6 +205,41 @@ def sql_ring_cells(lat_expr: str, lon_expr: str, res: int, k: int) -> str:
     return "array_distinct(array(" + ", ".join(cells) + "))"
 
 
+def quadkey_of(lat, lon, res: int):
+    """Vectorized Bing-style quadkey strings (digit i = 2*bit(iy) + bit(ix),
+    most significant level first) for the equirectangular grid."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    n = np.int64(1) << np.int64(res)
+    ix = np.clip(np.floor((lon + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+    iy = np.clip(np.floor((lat + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+    digits = []
+    for level in range(res - 1, -1, -1):
+        digits.append(
+            (((iy >> level) & 1) * 2 + ((ix >> level) & 1)).astype(np.int64)
+        )
+    out = np.zeros(lat.shape, dtype=object) if lat.shape else None
+    strs = np.array([""] * (lat.size or 1), dtype=object)
+    for d in digits:
+        strs = strs + np.char.mod("%d", d).astype(object)
+    return strs.reshape(lat.shape) if lat.shape else strs[0]
+
+
+def sql_quadkey(lat_expr: str, lon_expr: str, res: int) -> str:
+    """quadkey_of as portable SQL (CONCAT of per-level digit CASEs)."""
+    n = 1 << res
+    iy = sql_iy(lat_expr, res)
+    ix = sql_ix(lon_expr, res)
+    parts = []
+    for level in range(res - 1, -1, -1):
+        d = (
+            f"CAST((CAST(FLOOR({iy} / {1 << level}) AS BIGINT) % 2) * 2 "
+            f"+ (CAST(FLOOR({ix} / {1 << level}) AS BIGINT) % 2) AS INT)"
+        )
+        parts.append(f"CAST({d} AS STRING)")
+    return "CONCAT(" + ", ".join(parts) + ")"
+
+
 def sql_cell_parent(cell_expr: str, res: int, parent_res: int) -> str:
     """cell_parent as SQL text.
 
