@@ -326,3 +326,60 @@ def test_asof_join_semantics(spark):
     assert got[101] == (901, 2.5)     # most recent wins
     assert got[200] == (None, None)   # right row is in the future
     assert got[300] == (None, None)   # key never seen on the right
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized cross-check against pandas.merge_asof (an independent
+    implementation of the same semantics, direction='backward')."""
+    import datetime as dt
+
+    rng = np.random.default_rng(11)
+    base = dt.datetime(2026, 1, 1)
+    n_l, n_r = 120, 90
+    left = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 8, n_l),
+            "ts": [base + dt.timedelta(seconds=int(s))
+                   for s in rng.choice(100_000, n_l, replace=False)],
+            "event_id": np.arange(n_l),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 8, n_r),
+            "ts": [base + dt.timedelta(seconds=int(s))
+                   for s in rng.choice(100_000, n_r, replace=False) + 100_000],
+            "event_id": np.arange(n_r) + 1000,
+            "value": rng.normal(size=n_r),
+        }
+    )
+    # interleave right into the left time range too
+    right.loc[: n_r // 2, "ts"] = [
+        base + dt.timedelta(seconds=int(s))
+        for s in rng.choice(100_000, n_r // 2 + 1, replace=False)
+    ]
+
+    from geobuf_cpp_spark.operators.asof import asof_join
+
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            ["user_id"], "ts",
+            {"event_id": "rid", "value": "rval"},
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    expect = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts").rename(columns={"event_id": "rid", "value": "rval"}),
+        on="ts", by="user_id", direction="backward",
+    ).sort_values("event_id").reset_index(drop=True)
+    for i in range(len(left)):
+        g, e = got.iloc[i], expect.iloc[i]
+        assert g["event_id"] == e["event_id"]
+        ge = None if pd.isna(g["rid"]) else int(g["rid"])
+        ee = None if pd.isna(e["rid"]) else int(e["rid"])
+        assert ge == ee, (g["event_id"], ge, ee)
