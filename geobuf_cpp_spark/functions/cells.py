@@ -218,7 +218,6 @@ def quadkey_of(lat, lon, res: int):
         digits.append(
             (((iy >> level) & 1) * 2 + ((ix >> level) & 1)).astype(np.int64)
         )
-    out = np.zeros(lat.shape, dtype=object) if lat.shape else None
     strs = np.array([""] * (lat.size or 1), dtype=object)
     for d in digits:
         strs = strs + np.char.mod("%d", d).astype(object)
