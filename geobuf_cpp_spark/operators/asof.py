@@ -55,9 +55,14 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
         ).alias("_rp"),
     )
     unioned = tagged_l.unionByName(tagged_r)
+    # _rp in the ordering: two RIGHT rows tying on (key, time) resolve to
+    # the largest payload struct (lexicographic) instead of partition
+    # order — deterministic across retries/shuffles. Left rows carry NULL
+    # _rp; their relative order within a tie is irrelevant (each computes
+    # its own output row).
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_rp").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(

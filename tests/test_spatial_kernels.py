@@ -210,3 +210,34 @@ def test_polygon_area_shoelace():
     assert polygon_area([square]) == 16.0
     assert polygon_area([square, hole]) == 15.0      # hole subtracted
     assert polygon_area([]) == 0.0
+
+
+def test_quadkey_and_ring_sql_fuzz(spark):
+    """Random coordinates: the SQL builders must match the numpy kernels
+    exactly (quadkeys and ring disks), including clamp/wrap edges."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geobuf_cpp_spark.functions.cells import (
+        cell_of,
+        quadkey_of,
+        ring_cells,
+        sql_quadkey,
+        sql_ring_cells,
+    )
+
+    rng = np.random.default_rng(3)
+    lat = np.concatenate([rng.uniform(-90, 90, 40), [90.0, -90.0, 0.0]])
+    lon = np.concatenate([rng.uniform(-180, 180, 40), [180.0, -180.0, 0.0]])
+    df = spark.createDataFrame(pd.DataFrame({"lat": lat, "lon": lon}))
+    res = 6
+    rows = df.select(
+        "lat", "lon",
+        F.expr(sql_quadkey("lat", "lon", res)).alias("qk"),
+        F.expr(sql_ring_cells("lat", "lon", res, 1)).alias("ring"),
+    ).collect()
+    for r in rows:
+        assert r["qk"] == str(quadkey_of(np.array([r["lat"]]), np.array([r["lon"]]), res)[0])
+        expect = sorted(int(c) for c in ring_cells(int(cell_of(r["lat"], r["lon"], res)), res, 1))
+        assert sorted(r["ring"]) == expect

@@ -383,3 +383,27 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         ge = None if pd.isna(g["rid"]) else int(g["rid"])
         ee = None if pd.isna(e["rid"]) else int(e["rid"])
         assert ge == ee, (g["event_id"], ge, ee)
+
+
+def test_asof_join_duplicate_right_timestamps_deterministic(spark):
+    """Two right rows tying on (key, ts): the largest payload struct wins,
+    deterministically."""
+    import datetime as dt
+
+    from geobuf_cpp_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 10)
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1, 0, 0, 20), 100)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, t0, 900, 1.0), (1, t0, 901, 2.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    for _ in range(3):  # stable across plans/retries
+        got = asof_join(
+            left, right.repartition(4), ["user_id"], "ts",
+            {"event_id": "rid", "value": "rval"},
+        ).collect()
+        assert len(got) == 1 and got[0]["rid"] == 901
