@@ -53,6 +53,25 @@ CELL_MONTH_SQL = (
 )
 
 
+# deterministic hash sample: (id * Knuth) mod 2^32 < 10% — every product
+# < 2^63, exact in BIGINT on both engines
+DOC_SAMPLE_SQL = (
+    "SELECT doc_id, lang, n_chars FROM documents "
+    "WHERE (doc_id * 2654435761) % 4294967296 < 429496730"
+)
+
+TOP_DOCS_SQL = (
+    "WITH t AS (SELECT doc_id, lang, "
+    "(length(trim(text)) - length(replace(trim(text), ' ', '')) "
+    " + CASE WHEN length(trim(text)) > 0 THEN 1 ELSE 0 END) AS n_tokens "
+    "FROM documents) "
+    "SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens FROM ("
+    "SELECT doc_id, lang, n_tokens, "
+    "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_id ASC) AS rn "
+    "FROM t) s WHERE rn <= 5"
+)
+
+
 # shared SQL text — executed verbatim by BOTH engines (the quantile pick
 # is discrete row_number selection: no interpolation, no float drift)
 QUANTILES_SQL = (
@@ -516,6 +535,22 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample by bounded multiplicative hash of
+    the id — reproducible across engines, runs, and cluster sizes (the
+    property training-data sampling needs; rand()-based sampling has none
+    of them). Shared SQL text."""
+    _prep(spark, sf_dir, "documents")
+    return spark.sql(DOC_SAMPLE_SQL)
+
+
+def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation: top-5 documents per language by (token count, id) — the
+    group-wise top-k every corpus-mixing recipe runs. Shared SQL text."""
+    _prep(spark, sf_dir, "documents")
+    return spark.sql(TOP_DOCS_SQL)
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geobuf_cpp_spark.operators.textstats import token_counts
 
@@ -646,6 +681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "token_count": q_token_count,
         "corpus_filter": q_corpus_filter,
+        "doc_sample": q_doc_sample,
+        "top_docs_per_lang": q_top_docs_per_lang,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "embed_neardup": q_embed_neardup,
@@ -849,6 +886,8 @@ def oracle_sql() -> dict[str, str]:
             "md5(substr(text, 1, 64)) AS fp_prefix, "
             "CAST(length(text) AS BIGINT) AS n_chars_measured FROM documents"
         ),
+        "doc_sample": DOC_SAMPLE_SQL,
+        "top_docs_per_lang": TOP_DOCS_SQL,
         "corpus_filter": (
             "WITH s AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars, "
             f"CAST({tokens} AS BIGINT) AS n_tokens FROM documents), "
