@@ -10,6 +10,11 @@
   vectors are assigned to their nearest list (one shuffle, reusable
   layout); queries probe the ``nprobe`` nearest lists only, so compute and
   shuffle shrink by ~n_lists/nprobe at equal recall on clustered data.
+* ``pq_train`` / ``pq_encode`` / ``pq_topk[_rerank]`` — the compressed
+  path: product-quantized codes (m bytes/vector) + asymmetric-distance
+  search, optionally refined by an exact rerank of the candidate pool.
+* ``cosine_neardup_pairs`` / ``hyperplane_lsh_pairs`` — embedding
+  near-duplicate detection, exact and LSH-bucketed.
 
 Similarity is cosine via normalized dot product in float64.
 """
@@ -294,6 +299,169 @@ def ivf_topk(emb_df, assignments, centroids: np.ndarray,
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the compressed-vector scale path
+# ---------------------------------------------------------------------------
+
+def pq_train(emb_df, m: int = 8, k: int = 16, sample: int = 2048,
+             iters: int = 8, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> np.ndarray:
+    """Train (m, k, d/m) PQ codebooks on a deterministic sample.
+
+    At 100 TB the raw float32 vectors dominate storage and shuffle bytes
+    (64-dim = 256 B); PQ codes are m bytes (32x smaller here), and
+    asymmetric-distance search never touches the raw vectors again.
+    Like build_ivf, training runs driver-side on a bounded id-ordered
+    sample (quantizer quality needs a sample, not the corpus) with
+    k-means per subspace, lowest-id init — deterministic end to end.
+    """
+    pdf = (
+        emb_df.select(id_col, vec_col).orderBy(id_col)
+        .limit(max(sample, k)).toPandas()
+    )
+    # unit-normalize: L2 on the unit sphere is monotone with cosine, so
+    # PQ rankings line up with the cosine operators
+    mat = _normalize(_as_matrix(pdf[vec_col]))
+    d = mat.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    dsub = d // m
+    books = np.empty((m, k, dsub))
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        cent = sub[:k].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(emb_df, codebooks: np.ndarray,
+              id_col: str = "vec_id", vec_col: str = "embedding"):
+    """(vec_id, codes array<tinyint>) — one Arrow pass, argmin per
+    subspace; the codes table is the PERSISTENT ANN artifact."""
+    m, k, dsub = codebooks.shape
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _normalize(_as_matrix(pdf[vec_col]))
+            codes = np.empty((len(pdf), m), dtype=np.int8)
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1).astype(np.int8)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "codes": [c.tolist() for c in codes],
+                }
+            )
+
+    return emb_df.select(id_col, vec_col).mapInPandas(
+        enc, "vec_id long, codes array<tinyint>"
+    )
+
+
+def pq_topk(codes_df, codebooks: np.ndarray, queries_pdf: pd.DataFrame,
+            k: int):
+    """Asymmetric-distance top-k over PQ codes.
+
+    Per query: an (m, K) table of squared distances from the query's
+    subvectors to every codeword; per row the approximate distance is m
+    table lookups summed — a fancy-index gather over the whole Arrow
+    batch, no per-row Python. Shuffle is O(partitions x Q x k), like
+    cosine_topk, but the scanned bytes are m per vector instead of 4d.
+    """
+    m, K, dsub = codebooks.shape
+    q_ids = queries_pdf["query_id"].to_numpy()
+    q_mat = _normalize(_as_matrix(queries_pdf["vec"]))
+    tables = np.empty((len(q_ids), m, K))
+    for j in range(m):
+        qsub = q_mat[:, j * dsub : (j + 1) * dsub]
+        tables[:, j, :] = ((qsub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values("vec_id")
+            ids = pdf["vec_id"].to_numpy()
+            codes = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            # dists[q, i] = sum_j tables[q, j, codes[i, j]]
+            dists = tables[:, np.arange(m)[None, :], codes].sum(axis=2)
+            take = min(k, dists.shape[1])
+            idx = np.argsort(dists, axis=1, kind="stable")[:, :take]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, take),
+                    "vec_id": ids[idx].ravel(),
+                    "dist": np.take_along_axis(dists, idx, axis=1).ravel(),
+                }
+            )
+
+    partials = codes_df.mapInPandas(partial, "query_id long, vec_id long, dist double")
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "dist")
+    )
+
+
+def pq_topk_rerank(codes_df, emb_df, codebooks: np.ndarray,
+                   queries_pdf: pd.DataFrame, k: int,
+                   n_candidates: int = 50,
+                   id_col: str = "vec_id", vec_col: str = "embedding"):
+    """PQ candidates + exact rerank (the FAISS refine pattern).
+
+    ADC over the m-byte codes proposes ``n_candidates`` per query —
+    the only stage that scans the corpus, at ~m bytes/vector — then the
+    raw vectors of just the Q x C candidate set join back (broadcast of
+    the candidate ids) for an exact cosine rerank. With a candidate pool
+    deep enough to cover the true top-k (empirically C >= 5k here), the
+    result EQUALS exact brute force while reading 32x fewer corpus bytes.
+    """
+    cand = pq_topk(codes_df, codebooks, queries_pdf, k=n_candidates).select(
+        "query_id", "vec_id"
+    )
+    cand_vecs = emb_df.select(id_col, vec_col).join(
+        F.broadcast(cand.select("vec_id").distinct()), "vec_id"
+    )
+    pairs = cand.join(cand_vecs, "vec_id")
+    q_ids = queries_pdf["query_id"].to_numpy()
+    q_mat = _normalize(_as_matrix(queries_pdf["vec"]))
+    q_index = {int(q): i for i, q in enumerate(q_ids)}
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _normalize(_as_matrix(pdf[vec_col]))
+            qi = np.array([q_index[int(q)] for q in pdf["query_id"]])
+            sim = (q_mat[qi] * mat).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "sim": sim,
+                }
+            )
+
+    scored = pairs.mapInPandas(rerank, TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "sim")
     )

@@ -407,3 +407,46 @@ def test_asof_join_duplicate_right_timestamps_deterministic(spark):
             {"event_id": "rid", "value": "rval"},
         ).collect()
         assert len(got) == 1 and got[0]["rid"] == 901
+
+
+def test_pq_roundtrip_and_recall(spark):
+    """PQ codes: 32x smaller than raw vectors, deterministic encoding;
+    raw ADC gives useful-but-lossy recall, and ADC + exact rerank of the
+    top-50 candidates reproduces exact brute force EXACTLY on clustered
+    data (the FAISS refine pattern)."""
+    from geobuf_cpp_spark.operators.ann import (
+        cosine_topk,
+        pq_encode,
+        pq_topk,
+        pq_topk_rerank,
+        pq_train,
+    )
+
+    pdf = _clustered_emb_frame(n=400)
+    emb = spark.createDataFrame(pdf).repartition(4)
+    books = pq_train(emb, m=8, k=16)
+    assert books.shape == (8, 16, 4)
+    codes = pq_encode(emb, books).persist()
+    rows = codes.collect()
+    assert len(rows) == 400 and all(len(r["codes"]) == 8 for r in rows)
+    # deterministic re-encode
+    again = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()}
+    assert all(list(r["codes"]) == again[r["vec_id"]] for r in rows)
+
+    queries = pd.DataFrame(
+        {"query_id": range(10), "vec": pdf["embedding"][:10].tolist()}
+    )
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    approx = pq_topk(codes, books, queries, k=10).toPandas()
+    recalls = []
+    for qid in range(10):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.45, recalls  # raw ADC: lossy by design
+
+    reranked = pq_topk_rerank(codes, emb, books, queries, k=10,
+                              n_candidates=50).toPandas()
+    got = {(r.query_id, r.rank): r.vec_id for r in reranked.itertuples()}
+    want = {(r.query_id, r.rank): r.vec_id for r in exact.itertuples()}
+    assert got == want  # candidates cover the true top-k -> exact result
