@@ -129,6 +129,15 @@ def main() -> None:
         [r"Window", r"RANGE BETWEEN|specifiedwindowframe|hashpartitioning"],
     )
     section(
+        "top_docs_per_lang — map-side window group limit",
+        "The rank <= k filter pushes into WindowGroupLimit BEFORE the "
+        "shuffle (partial) and again after (final): each partition "
+        "forwards at most k rows per group, so the per-group top-k never "
+        "sorts the corpus on one reducer.",
+        E.q_top_docs_per_lang(spark, SF_DIR),
+        [r"WindowGroupLimit", r"Window \("],
+    )
+    section(
         "token_count — whole-stage codegen, no Python",
         "The BPE-ish token counter is a single project over the scan "
         "inside WholeStageCodegen; no Arrow/Python operator appears.",
