@@ -551,6 +551,20 @@ def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(TOP_DOCS_SQL)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: drop training docs whose exact text
+    appears in the held-out hash sample (the doc_sample split); anti-join
+    on md5(text), broadcastable held-out side."""
+    from geobuf_cpp_spark.operators.dedup import decontaminate
+
+    _prep(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    in_sample = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) < F.lit(429496730)
+    heldout = docs.filter(in_sample)
+    train = docs.filter(~in_sample)
+    return decontaminate(train, heldout).select("doc_id", "lang", "n_chars")
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geobuf_cpp_spark.operators.textstats import token_counts
 
@@ -683,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "doc_sample": q_doc_sample,
         "top_docs_per_lang": q_top_docs_per_lang,
+        "decontaminate": q_decontaminate,
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "embed_neardup": q_embed_neardup,
@@ -888,6 +903,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_sample": DOC_SAMPLE_SQL,
         "top_docs_per_lang": TOP_DOCS_SQL,
+        "decontaminate": (
+            "WITH heldout AS (SELECT DISTINCT md5(text) AS h FROM documents "
+            "WHERE (doc_id * 2654435761) % 4294967296 < 429496730) "
+            "SELECT doc_id, lang, n_chars FROM documents d "
+            "WHERE (doc_id * 2654435761) % 4294967296 >= 429496730 "
+            "AND NOT EXISTS (SELECT 1 FROM heldout WHERE h = md5(d.text))"
+        ),
         "corpus_filter": (
             "WITH s AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars, "
             f"CAST({tokens} AS BIGINT) AS n_tokens FROM documents), "

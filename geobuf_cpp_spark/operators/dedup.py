@@ -238,6 +238,20 @@ def minhash_lsh_pairs(docs_df, id_col: str = "doc_id", text_col: str = "text",
     return joined.mapInPandas(verify, "id_a long, id_b long, jaccard double")
 
 
+def decontaminate(train_df, heldout_df, text_col: str = "text"):
+    """Remove training documents whose exact text appears in a held-out
+    set — the decontamination pass every evaluation-aware corpus build
+    runs. Anti-join on md5(text): the held-out fingerprint set is
+    typically small (benchmarks), so Catalyst broadcasts it and the
+    training corpus never shuffles; with a huge held-out side it degrades
+    gracefully to a shuffle anti-join on the digest.
+    """
+    fp = F.md5(F.col(text_col).cast("binary")).alias("_fp")
+    train = train_df.withColumn("_fp", fp)
+    seen = heldout_df.select(fp).distinct()
+    return train.join(seen, "_fp", "left_anti").drop("_fp")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
