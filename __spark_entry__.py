@@ -573,14 +573,17 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, exact (id columns only —
+    """Embedding-cosine near-duplicate pairs, exact AND distributed: the
+    blocked 2-D decomposition (operators.ann.cosine_neardup_blocked) — no
+    driver collect anywhere in the plan, per-task memory bounded by the
+    block size, the shape that survives 100 TB. Id columns only —
     similarity VALUES are float-summation-order dependent across engines,
     but set membership at COSINE_NEARDUP_T has >=1e-4 margin on this
-    corpus, verified at all SFs)."""
-    from geobuf_cpp_spark.operators.ann import cosine_neardup_pairs
+    corpus, verified at all SFs."""
+    from geobuf_cpp_spark.operators.ann import cosine_neardup_blocked
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_neardup_pairs(emb, COSINE_NEARDUP_T).select("id_a", "id_b")
+    return cosine_neardup_blocked(emb, COSINE_NEARDUP_T).select("id_a", "id_b")
 
 
 def _ann_queries(spark: SparkSession, sf_dir: str, n: int = 20):

@@ -86,9 +86,11 @@ def cosine_neardup_pairs(emb_df, threshold: float,
     ``knn_broadcast``): the reference matrix is collected ONCE and ships to
     every partition; each Arrow batch then does a single (n_ref, batch)
     matmul — O(n^2 d) compute spread over the cluster with no pair
-    shuffle at all (output is only the qualifying pairs). Right whenever
-    one side fits executor memory (n*d floats); beyond that, use
-    ``hyperplane_lsh_pairs`` to generate candidates first.
+    shuffle at all (output is only the qualifying pairs). Right ONLY when
+    the whole table fits driver + executor memory (n*d floats) — this is
+    the explicitly small-side tool. Beyond that use
+    ``cosine_neardup_blocked`` (distributed exact, no collect) or
+    ``hyperplane_lsh_pairs`` (approximate candidates + exact verify).
     """
     ref = emb_df.select(id_col, vec_col).toPandas()
     ref_ids = ref[id_col].to_numpy()
@@ -117,6 +119,69 @@ def cosine_neardup_pairs(emb_df, threshold: float,
     )
 
 
+def cosine_neardup_blocked(emb_df, threshold: float, n_blocks: int = 8,
+                           id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Distributed EXACT near-duplicate pairs — no driver collect anywhere.
+
+    2-D block decomposition of the n x n similarity matrix: each vector
+    hashes to one of ``n_blocks`` blocks and replicates to the n_blocks
+    unordered block-pair groups it belongs to (a JVM array explode — the
+    only shuffle, n * n_blocks rows). Group (ka <= kb) holds exactly the
+    vectors of blocks ka and kb (~2n/B rows) and computes one local numpy
+    matmul; an unordered pair {x, y} materializes in exactly one group
+    (the one keyed by its block multiset), counted once via id_a < id_b
+    plus the block-membership mask. Compute stays O(n^2 d) — inherent to
+    exact near-dup — but it is spread over B(B+1)/2 independent tasks with
+    per-task memory O((2n/B)^2): size ``n_blocks`` ~ n / rows-per-task so
+    a 1000-executor cluster scales by raising B, never by growing any
+    single task. The driver never sees a vector (contrast
+    ``cosine_neardup_pairs``, the fits-in-memory baseline).
+    """
+    B = int(n_blocks)
+    assert B >= 1
+    tagged = emb_df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(B)).cast("int"))
+    pair_keys = F.array_distinct(
+        F.array(
+            *[
+                F.struct(
+                    F.least(F.col("blk"), F.lit(o)).alias("ka"),
+                    F.greatest(F.col("blk"), F.lit(o)).alias("kb"),
+                )
+                for o in range(B)
+            ]
+        )
+    )
+    exploded = tagged.withColumn("pk", F.explode(pair_keys)).select(
+        "vec_id", "v", "blk",
+        F.col("pk.ka").alias("ka"), F.col("pk.kb").alias("kb"),
+    )
+
+    def group_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ka, kb = int(key[0]), int(key[1])
+        ids = pdf["vec_id"].to_numpy()
+        blks = pdf["blk"].to_numpy()
+        mat = _normalize(_as_matrix(pdf["v"]))
+        sims = mat @ mat.T
+        # one unordered pair per group: ids strictly ordered AND the pair's
+        # block multiset equals this group's key (a (ka, ka) pair inside an
+        # off-diagonal (ka, kb) group belongs to group (ka, ka) instead)
+        hit = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        if ka != kb:
+            hit &= ((blks[:, None] == ka) & (blks[None, :] == kb)) | (
+                (blks[:, None] == kb) & (blks[None, :] == ka)
+            )
+        ai, bi = np.nonzero(hit)
+        return pd.DataFrame(
+            {"id_a": ids[ai], "id_b": ids[bi], "sim": sims[ai, bi]}
+        )
+
+    return exploded.groupBy("ka", "kb").applyInPandas(
+        group_pairs, "id_a long, id_b long, sim double"
+    )
+
+
 def hyperplane_lsh_pairs(emb_df, threshold: float, n_planes: int = 16,
                          n_bands: int = 4, seed: int = 42,
                          max_bucket: int = 256,
@@ -129,8 +194,11 @@ def hyperplane_lsh_pairs(emb_df, threshold: float, n_planes: int = 16,
     bits bucket the corpus; candidates meet only inside (band, bucket) —
     the shuffle key is the bucket, never a pair enumeration — and an exact
     cosine verify keeps (id_a < id_b, sim >= threshold). Probabilistic
-    recall (tune n_planes/n_bands per corpus); the exact operator above is
-    the oracle-checked baseline.
+    recall (tune n_planes/n_bands per corpus); the exact operators are
+    ``cosine_neardup_pairs`` (broadcast) and ``cosine_neardup_blocked``
+    (distributed). The persisted band table (n_bands rows/vector) lives
+    until the session ends or the caller runs
+    ``spark.catalog.clearCache()``.
     """
     rng = np.random.default_rng(seed)
     # emb dim discovered from the first row (driver-side, one row)
@@ -320,6 +388,9 @@ def pq_train(emb_df, m: int = 8, k: int = 16, sample: int = 2048,
     sample (quantizer quality needs a sample, not the corpus) with
     k-means per subspace, lowest-id init — deterministic end to end.
     """
+    # codes are stored as array<tinyint> (int8): k above 128 would wrap
+    # negative and pq_topk's codebook gather would silently read wrong rows
+    assert 1 <= k <= 128, f"PQ codebook size k={k} must be in [1, 128]"
     pdf = (
         emb_df.select(id_col, vec_col).orderBy(id_col)
         .limit(max(sample, k)).toPandas()
@@ -350,6 +421,7 @@ def pq_encode(emb_df, codebooks: np.ndarray,
     """(vec_id, codes array<tinyint>) — one Arrow pass, argmin per
     subspace; the codes table is the PERSISTENT ANN artifact."""
     m, k, dsub = codebooks.shape
+    assert k <= 128, f"codebook k={k} overflows the int8 code column"
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -171,21 +171,35 @@ def minhash_bands(docs_df, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+PREFILTER_MIN_DOCS = 100_000
+
+
 def minhash_lsh_pairs(docs_df, id_col: str = "doc_id", text_col: str = "text",
                       threshold: float = 0.7, w: int = 3, seed: int = 42,
-                      max_bucket: int = 64, prefilter_margin: float = 0.25):
+                      max_bucket: int = 64, prefilter_margin: float = 0.25,
+                      prefilter: bool | None = None):
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
-    Bucket-join candidate generation, then a SIGNATURE prefilter (estimated
-    Jaccard = matching-row fraction, computed JVM-side on the 512-byte
-    signatures), and only the survivors join the full texts for the exact
-    shingle-Jaccard verify — at scale the candidate shuffle carries
-    signatures, never the corpus. ``prefilter_margin`` keeps any pair whose
-    estimate is within 4 sigma (64 perms -> sigma ~= 0.0625) of the
-    threshold, so a true pair passing the exact verify is never dropped.
+    Bucket-join candidate generation, then (on large corpora) a SIGNATURE
+    prefilter — estimated Jaccard = matching-row fraction, computed
+    JVM-side on the 512-byte signatures — so only the survivors join the
+    full texts for the exact shingle-Jaccard verify: at scale the candidate
+    shuffle carries signatures, never the corpus. ``prefilter_margin``
+    keeps any pair whose estimate is within 4 sigma (64 perms -> sigma
+    ~= 0.0625) of the threshold; a true pair is dropped only when its
+    estimate lands beyond 4 sigma low (~3e-5 per pair) — near-certain, not
+    certain. Pass ``prefilter=False`` for the exact post-banding verify on
+    every candidate (exactness-sensitive runs), ``prefilter=True`` to
+    force it; the default probes whether the corpus reaches
+    ``PREFILTER_MIN_DOCS`` (a LIMIT-bounded count, never a full scan) —
+    below that the two extra by-id joins cost more than shipping the texts.
     ``max_bucket`` caps degenerate buckets (e.g. boilerplate shingles) — a
     skew guard: capped buckets are dropped, trading recall on pathological
     keys for bounded work.
+
+    The persisted signature table lives until the session ends or the
+    caller runs ``spark.catalog.clearCache()`` (long-lived sessions own
+    their cache).
     """
     # the signature stage feeds two different exchanges (band buckets and
     # the by-id prefilter joins); persist so the corpus-wide shingle+perm
@@ -204,19 +218,31 @@ def minhash_lsh_pairs(docs_df, id_col: str = "doc_id", text_col: str = "text",
         .select("id_a", "id_b")
         .distinct()
     )
-    sig_a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sig_b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(N_PERM)
-    survivors = (
-        cand.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .filter(est >= F.lit(threshold - prefilter_margin))
-        .select("id_a", "id_b")
-    )
+    if prefilter is None:
+        # switchover heuristic: the prefilter pays for itself once the
+        # candidate texts would dominate the shuffle — proxied by corpus
+        # size. limit(n).count() short-circuits after n rows, so the probe
+        # is O(PREFILTER_MIN_DOCS) regardless of corpus size.
+        prefilter = (
+            docs_df.select(id_col).limit(PREFILTER_MIN_DOCS).count()
+            >= PREFILTER_MIN_DOCS
+        )
+    if prefilter:
+        sig_a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+        sig_b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+        est = F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ) / F.lit(N_PERM)
+        survivors = (
+            cand.join(sig_a, "id_a")
+            .join(sig_b, "id_b")
+            .filter(est >= F.lit(threshold - prefilter_margin))
+            .select("id_a", "id_b")
+        )
+    else:
+        survivors = cand
     texts = docs_df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_text"))
     joined = (
         survivors.join(texts.withColumnRenamed("_tid", "id_a").withColumnRenamed("_text", "text_a"), "id_a")
@@ -301,7 +327,11 @@ def simhash64(text: str, _cache: dict | None = None) -> int:
 
 def simhash_pairs(docs_df, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 3):
-    """Pairs at Hamming distance <= max_hamming (banded exact search)."""
+    """Pairs at Hamming distance <= max_hamming (banded exact search).
+
+    The persisted band table (4 rows/doc) lives until the session ends or
+    the caller runs ``spark.catalog.clearCache()``.
+    """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict = {}

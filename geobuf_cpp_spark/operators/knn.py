@@ -66,8 +66,11 @@ def knn_distributed(points_df, queries_df, k: int, res: int = 7,
     searched disk (kth > radius * min-cell-extent, or fewer than k
     candidates) fall back to a broadcast cross join — still set-exact, and
     at a sane ``radius`` the fallback set is a sliver. This is the shape
-    that serves a large query TABLE, where the driver-looped ring expansion
-    (knn_cell_rings) would serialize.
+    that serves a large query TABLE without any driver-side loop.
+
+    The persisted top-k intermediate (Q x k rows) lives until the session
+    ends or the caller runs ``spark.catalog.clearCache()`` — long-lived
+    sessions own their cache.
     """
     from ..functions.cells import sql_ring_cells
 

@@ -19,7 +19,16 @@ from pyspark.sql import functions as F
 from ..functions.cells import sql_cell_parent
 
 
-def spread(df: DataFrame, multiple: int = 1, force: bool = False) -> DataFrame:
+# memo for spread()'s split-count probe: getNumPartitions() forces one
+# physical-planning pass per call, which a 100-stage pipeline would pay
+# twice per operator. Keyed by the ANALYZED plan's semanticHash (cheap, no
+# physical planning) — a collision only risks skipping/adding a benign
+# repartition, never a wrong result.
+_SPREAD_MEMO: dict = {}
+
+
+def spread(df: DataFrame, multiple: int = 1, force: bool = False,
+           n_splits: int | None = None) -> DataFrame:
     """Round-robin repartition to cluster parallelism — only when needed.
 
     Heavy per-row UDF stages and wide joins must not inherit the scan's
@@ -31,11 +40,20 @@ def spread(df: DataFrame, multiple: int = 1, force: bool = False) -> DataFrame:
     ``parallelism * multiple`` splits (the normal case at 100 TB, where the
     scan's split count exceeds cluster parallelism), repartitioning would be
     a pure-waste full shuffle of the corpus — so it is skipped. ``force``
-    restores the unconditional behavior for layout-sensitive callers.
+    restores the unconditional behavior for layout-sensitive callers;
+    ``n_splits`` lets callers that already know the scan layout skip the
+    probe entirely.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * multiple
-    if not force and df.rdd.getNumPartitions() >= target:
-        return df
+    if not force:
+        if n_splits is None:
+            key = (id(df.sparkSession), df.semanticHash())
+            n_splits = _SPREAD_MEMO.get(key)
+            if n_splits is None:
+                n_splits = df.rdd.getNumPartitions()
+                _SPREAD_MEMO[key] = n_splits
+        if n_splits >= target:
+            return df
     return df.repartition(target)
 
 
@@ -87,6 +105,14 @@ def with_salt(df: DataFrame, n_salt: int, salt_col: str = "_salt",
     Pass ``salt_cols`` to derive the salt from column content instead when
     a content-deterministic salt is required (e.g. co-salting two sides of
     a join); callers must then include a row-unique column.
+
+    Determinism note: the positional salt depends on shuffle fetch order,
+    so a PARTIAL stage re-execution could observe different salts per row.
+    Spark classifies such stages indeterminate and rolls back whole stages
+    on retry (SPARK-23207), which is what keeps salted aggregates exact
+    under failure — results rely on that mechanism, not on salt stability.
+    Content-derived ``salt_cols`` with a row-unique column sidesteps the
+    dependency when one is available.
     """
     if salt_cols:
         src = F.pmod(F.xxhash64(*salt_cols), F.lit(n_salt))
@@ -101,9 +127,10 @@ def salted_count(df: DataFrame, key_cols: list[str], n_salt: int = 16,
 
     Phase 1 shuffles on (key, salt) — the hot key fans out over ``n_salt``
     partial aggregates (position-derived salt, see ``with_salt``); phase 2
-    merges the (at most n_salt) partials per key. Result rows identical to
-    ``df.groupBy(key).count()`` for any salt assignment, so task retries
-    that reassign salts cannot change the answer.
+    merges the (at most n_salt) partials per key. Result rows are identical
+    to ``df.groupBy(key).count()`` for any CONSISTENT salt assignment;
+    under partial retries that consistency comes from Spark's
+    indeterminate-stage rollback (see ``with_salt``'s determinism note).
     """
     salted = with_salt(df, n_salt, salt_cols=salt_cols)
     partial = salted.groupBy(*key_cols, "_salt").agg(F.count("*").alias("_partial"))

@@ -10,6 +10,17 @@ starts. With ``flush_after_ms`` set, a processing-time timeout flushes
 idle open sessions (production cadence); the default keeps state until
 the next event (deterministic for drain-style tests and backfills).
 
+Out-of-order arrival ACROSS micro-batches (within a batch, events sort by
+event time first): a late event inside the open session's gap envelope
+[start - gap, last + gap] extends the session both ways (start shrinks to
+min, end grows to max — never rewinds); a late event older than
+``start - gap`` is emitted immediately as its own singleton session. What
+append mode cannot do is retroactively MERGE sessions already emitted —
+exact stream == batch equivalence therefore requires arrivals ordered at
+session granularity (each user's sessions close before older data shows
+up), the normal log-ingest cadence. For arbitrarily shuffled history, run
+the batch twin.
+
 Batch twin: ``sessionize_batch`` computes the identical sessions with a
 window lag + cumulative-sum session id — the test oracle, and the backfill
 path of a lambda-style deployment (stream and batch share semantics by
@@ -90,16 +101,24 @@ def sessionize_stream(events: DataFrame, gap_seconds: float = 1800.0,
             n, sv = 0, 0.0
         for i in order:
             t, v = ts[i], vals[i]
-            if last is not None and t - last > gap_us:
+            if last is None:
+                start, last, n, sv = t, t, 1, v
+            elif t > last + gap_us:
                 out.append(
                     (user_id, _us_to_ts(start), _us_to_ts(last), n, sv)
                 )
-                start, n, sv = t, 0, 0.0
-            if start is None:
-                start = t
-            last = t
-            n += 1
-            sv += v
+                start, last, n, sv = t, t, 1, v
+            elif t < start - gap_us:
+                # late event older than the open session by more than the
+                # gap: a session of its own, already closed — emit now
+                out.append((user_id, _us_to_ts(t), _us_to_ts(t), 1, v))
+            else:
+                # in-envelope (possibly late) event: extend both ways —
+                # the session end never rewinds on out-of-order arrival
+                start = min(start, t)
+                last = max(last, t)
+                n += 1
+                sv += v
         state.update((start, last, n, sv))
         if flush_after_ms:
             state.setTimeoutDuration(flush_after_ms)

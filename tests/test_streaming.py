@@ -112,6 +112,71 @@ def test_streaming_geo_pipeline_matches_batch(spark, tmp_path):
     assert (got["n_features"].to_numpy() == batch["n_features"].to_numpy()).all()
 
 
+def test_sessionize_stream_late_arrivals(spark, tmp_path):
+    """Out-of-order arrival ACROSS micro-batches: an in-envelope late event
+    extends the open session (end never rewinds, start can move back); a
+    too-old late event becomes its own closed singleton session."""
+    import datetime as dt
+
+    from geobuf_cpp_spark.streaming.events import read_event_stream
+    from geobuf_cpp_spark.streaming.sessions import sessionize_stream
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    t = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # batch a: open session [0s, 40s] (2 events)
+    a = spark.createDataFrame(
+        [(1, t(0), 7, "view", 1.0, ""), (2, t(40), 7, "view", 2.0, "")], schema
+    )
+    # batch b: t=20s is LATE but inside the envelope -> extends to n=3;
+    # t=-200s is older than start - gap -> closed singleton, emitted now;
+    # t=200s opens a new session, closing [0s, 40s]
+    b = spark.createDataFrame(
+        [(3, t(20), 7, "view", 4.0, ""), (4, t(-200), 7, "view", 8.0, ""),
+         (5, t(200), 7, "view", 16.0, "")], schema
+    )
+    src = str(tmp_path / "late_src")
+    a.write.parquet(os.path.join(src, "a"))
+    b.write.parquet(os.path.join(src, "b"))
+
+    stream = read_event_stream(spark, src + "/*", max_files_per_trigger=1)
+    sessions = sessionize_stream(stream, gap_seconds=60.0)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("late_sessions").toPandas()
+    finally:
+        q.stop()
+
+    import pandas as pd
+
+    def naive(col):
+        s = pd.to_datetime(col)
+        return (s.dt.tz_convert("UTC").dt.tz_localize(None)
+                if s.dt.tz is not None else s)
+
+    got["session_start"] = naive(got["session_start"])
+    got["session_end"] = naive(got["session_end"])
+    rows = sorted(
+        (r.session_start.to_pydatetime(), r.session_end.to_pydatetime(),
+         int(r.n_events), float(r.sum_value))
+        for r in got.itertuples(index=False)
+    )
+    assert rows == [
+        (t(-200), t(-200), 1, 8.0),
+        (t(0), t(40), 3, 7.0),
+    ]
+
+
 def test_sessionize_stream_matches_batch(spark, tmp_path):
     """Custom stateful operator (applyInPandasWithState): per-user
     gap-timeout sessions from the stream equal the batch twin's CLOSED

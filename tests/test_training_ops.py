@@ -275,6 +275,54 @@ def test_cosine_neardup_exact_pairs(spark):
     assert got == expect and len(expect) > 100
 
 
+def test_cosine_neardup_blocked_matches_exact(spark):
+    """The distributed blocked decomposition returns EXACTLY the brute-force
+    pair set — every unordered pair lands in exactly one block-pair group."""
+    from geobuf_cpp_spark.operators.ann import cosine_neardup_blocked
+
+    pdf = _clustered_emb_frame(n=200)
+    emb = spark.createDataFrame(pdf).repartition(4)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_blocked(emb, 0.9, n_blocks=5).collect()
+    }
+    mat = np.array(pdf["embedding"].tolist())
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    iu = np.triu_indices(len(pdf), 1)
+    expect = {
+        (int(a), int(b))
+        for a, b in zip(iu[0][sims[iu] >= 0.9], iu[1][sims[iu] >= 0.9])
+    }
+    assert got == expect and len(expect) > 100
+
+
+def test_embed_neardup_gate_has_no_driver_collect(spark, monkeypatch):
+    """The gated embed_neardup path must never materialize vectors on the
+    driver (round-2 verdict: the collect-based exact path was the last
+    scale-killer shape in a gated query)."""
+    import __spark_entry__ as entrymod
+
+    df_cls = type(spark.range(1))
+    calls: list = []
+    orig_topandas = df_cls.toPandas
+    orig_collect = df_cls.collect
+
+    def spy_topandas(self):
+        calls.append("toPandas")
+        return orig_topandas(self)
+
+    def spy_collect(self):
+        calls.append("collect")
+        return orig_collect(self)
+
+    monkeypatch.setattr(df_cls, "toPandas", spy_topandas)
+    monkeypatch.setattr(df_cls, "collect", spy_collect)
+    out = entrymod.q_embed_neardup(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    assert calls == [], f"driver-side materialization in gate plan: {calls}"
+
+
 def test_hyperplane_lsh_recall_on_clustered_data(spark):
     """The LSH-bucketed scale path must recover nearly all true near-dup
     pairs on clusterable data while never enumerating all pairs."""
