@@ -92,6 +92,29 @@ ROLLUP_SQL = (
     "GROUP BY ROLLUP(r.r_name, n.n_name)"
 )
 
+# independent exact-Jaccard reimplementation over exploded shingle sets —
+# the oracle for BOTH minhash_neardup (approximate candidates + exact
+# verify must equal it where banding recall holds) and ngram_jaccard (an
+# independent all-JVM DataFrame implementation of the same contract)
+EXACT_JACCARD_SQL = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+    "FROM documents), "
+    "idx AS (SELECT doc_id, toks, "
+    "unnest(generate_series(1, len(toks) - 2)) AS i FROM t), "
+    "sh AS (SELECT doc_id, toks[CAST(i AS INT)] || ' ' || "
+    "toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2] "
+    "AS shingle FROM idx), "
+    "ds AS (SELECT DISTINCT doc_id, shingle FROM sh), "
+    "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+    "FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2) "
+    "SELECT id_a, id_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard "
+    "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+    "JOIN sizes sb ON sb.doc_id = id_b "
+    "WHERE i * 1.0 / (sa.n + sb.n - i) >= {threshold}"
+)
+
 # exact brute-force cosine top-k in DuckDB — oracle for both ann_topk and
 # the full-probe ann_ivf gate
 ANN_EXACT_SQL = (
@@ -600,6 +623,78 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, qp, k=10).select("query_id", "rank", "vec_id")
 
 
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compressed-path ANN: train -> encode -> ADC candidates -> exact
+    rerank, gated against brute-force SQL.
+
+    On clustered corpora a shallow pool (~5k) already covers the true
+    top-k (tests/test_training_ops.py); the driver's ISOTROPIC embeddings
+    are the quantizer-adversarial worst case — measured worst ADC rank of
+    a true top-10 neighbor is 378/330/1365 at sf0.001/0.01/0.1 — so the
+    gate sizes the pool at max(400, 0.8n) to stay provably exact while
+    still exercising the full train/encode/ADC-gather/rerank machinery
+    end to end. The pool FRACTION is a property of this corpus, not the
+    operator (same story as the full-probe ann_ivf gate).
+    """
+    from geobuf_cpp_spark.operators.ann import pq_encode, pq_topk_rerank, pq_train
+
+    emb, qp = _ann_queries(spark, sf_dir)
+    n = emb.count()
+    books = pq_train(emb, m=8, k=16)
+    codes = pq_encode(emb, books)
+    return pq_topk_rerank(
+        codes, emb, books, qp, k=10, n_candidates=max(400, int(n * 0.8))
+    ).select("query_id", "rank", "vec_id")
+
+
+def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup pairs on the planted-cluster table — the
+    SCALE path of embedding near-dup, gated against the exact SQL pair set
+    (sources.planted: within-cluster sim ~0.9996 makes the 8x4 banding
+    miss probability ~1e-10 per pair; seeded planes keep it deterministic)."""
+    from geobuf_cpp_spark.operators.ann import hyperplane_lsh_pairs
+    from geobuf_cpp_spark.sources.planted import planted_spark_sql
+
+    planted = spark.sql(planted_spark_sql())
+    return hyperplane_lsh_pairs(
+        planted, threshold=0.7, n_planes=32, n_bands=8
+    ).select("id_a", "id_b")
+
+
+def q_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRUNED-probe IVF (nprobe=2 of 16 lists) on the planted-cluster
+    table, gated against exact SQL top-k — the operating point the
+    full-probe ann_ivf gate cannot reach on the isotropic driver corpus.
+    Cluster size 40 >= k=10 and within/cross margin ~0.96 guarantee the
+    probed lists contain the exact answer."""
+    import pandas as pd  # noqa: F401
+
+    from geobuf_cpp_spark.operators.ann import build_ivf, ivf_topk
+    from geobuf_cpp_spark.sources.planted import planted_spark_sql
+
+    planted = spark.sql(planted_spark_sql())
+    qp = (
+        planted.filter(F.col("vec_id") < 20).orderBy("vec_id").toPandas()
+        .rename(columns={"vec_id": "query_id", "embedding": "vec"})
+    )
+    centroids, assignments = build_ivf(planted, n_lists=16)
+    return ivf_topk(
+        planted, assignments, centroids, qp[["query_id", "vec"]], k=10, nprobe=2
+    ).select("query_id", "rank", "vec_id")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard dedup, all-JVM (no Python stage) — an
+    independent Spark implementation gated against the independent DuckDB
+    shingle-explosion SQL (the same oracle text minhash_neardup uses)."""
+    from geobuf_cpp_spark.operators.dedup import ngram_jaccard_pairs
+
+    _prep(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        spark.table("documents"), threshold=MINHASH_THRESHOLD
+    )
+
+
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata aggregation over the synthetic multimodal table (payload
     column pruned from the scan); oracle regenerates the metadata from
@@ -704,8 +799,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "embed_neardup": q_embed_neardup,
+        "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "pq_ann_topk": q_pq_ann_topk,
+        "lsh_neardup": q_lsh_neardup,
+        "ivf_pruned": q_ivf_pruned,
         "media_stats": q_media_stats,
         "media_features": q_media_features,
     }
@@ -714,7 +813,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from geobuf_cpp_spark.functions.sql_codec import sql_point_feature_size
     from geobuf_cpp_spark.operators.multimodal import sql_media_meta
+    from geobuf_cpp_spark.sources.planted import planted_duckdb_sql
 
+    _PLANTED_DUCK = planted_duckdb_sql()
     rt = sql_roundtrip(["lon", "lat"], MAX_PRECISION)
     size_model = sql_point_feature_size("lon", "lat", MAX_PRECISION)
     occ = lambda lit: (  # noqa: E731 — occurrence count, portable
@@ -948,29 +1049,39 @@ def oracle_sql() -> dict[str, str]:
         # full-probe IVF == exact top-k by construction (see q_ann_ivf):
         # the same brute-force SQL is the oracle for the IVF machinery
         "ann_ivf": ANN_EXACT_SQL,
+        # PQ rerank with the measured-exact candidate pool == brute force
+        # (see q_pq_ann_topk) — same oracle text as ann_topk
+        "pq_ann_topk": ANN_EXACT_SQL,
+        # planted-cluster gates: both engines GENERATE the identical table
+        # from range(n) (sources.planted, bit-identical doubles), so the
+        # exact pair set / top-k over it is a hard oracle for the PRUNED
+        # scale paths the isotropic driver corpus cannot gate
+        "lsh_neardup": (
+            f"WITH emb AS ({_PLANTED_DUCK}) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM emb a JOIN emb b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.7"
+        ),
+        "ivf_pruned": (
+            f"WITH emb AS ({_PLANTED_DUCK}), "
+            "q AS (SELECT vec_id AS query_id, embedding AS qv FROM emb "
+            "WHERE vec_id < 20) "
+            "SELECT query_id, rank, vec_id FROM ("
+            "SELECT q.query_id, e.vec_id, "
+            "ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY "
+            "list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id ASC) AS rank "
+            "FROM q CROSS JOIN emb e) t WHERE rank <= 10"
+        ),
         # independent exact-Jaccard reimplementation over exploded shingle
         # sets — no MinHash anywhere on the oracle side. The LSH output
         # equals this set on any corpus whose qualifying pairs clear the
         # banding recall (here all true pairs have J >= 0.8 where the
         # 16x4 banding miss probability is ~2e-4 per pair, deterministic)
-        "minhash_neardup": (
-            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
-            "FROM documents), "
-            "idx AS (SELECT doc_id, toks, "
-            "unnest(generate_series(1, len(toks) - 2)) AS i FROM t), "
-            "sh AS (SELECT doc_id, toks[CAST(i AS INT)] || ' ' || "
-            "toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2] "
-            "AS shingle FROM idx), "
-            "ds AS (SELECT DISTINCT doc_id, shingle FROM sh), "
-            "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), "
-            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
-            "FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
-            "GROUP BY 1, 2) "
-            "SELECT id_a, id_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard "
-            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
-            "JOIN sizes sb ON sb.doc_id = id_b "
-            f"WHERE i * 1.0 / (sa.n + sb.n - i) >= {MINHASH_THRESHOLD}"
-        ),
+        "minhash_neardup": EXACT_JACCARD_SQL.format(threshold=MINHASH_THRESHOLD),
+        # the SAME exact-Jaccard oracle gates the independent all-JVM
+        # DataFrame implementation (no LSH, no Python) — structural
+        # equality, not corpus-dependent recall
+        "ngram_jaccard": EXACT_JACCARD_SQL.format(threshold=MINHASH_THRESHOLD),
         # brute-force SimHash reimplementation: identical word hash
         # (md5_number_lower == the codec's md5-low-64), per-bit +-1 sums,
         # two's-complement assembly, all-pairs Hamming <= 3. The Spark

@@ -264,6 +264,62 @@ def minhash_lsh_pairs(docs_df, id_col: str = "doc_id", text_col: str = "text",
     return joined.mapInPandas(verify, "id_a long, id_b long, jaccard double")
 
 
+def ngram_jaccard_pairs(docs_df, threshold: float = 0.5, w: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """EXACT n-gram (w-word shingle) Jaccard near-dup pairs — all-JVM.
+
+    Pure DataFrame composition, no Python stage anywhere: split -> shingle
+    index explode -> DISTINCT shingle set -> shingle equi-join counts the
+    intersection -> set-size joins -> threshold filter. Whole-stage codegen
+    end to end; the inverted shingle index (the ``ds`` table) is the same
+    structure a 100 TB dedup would materialize once and reuse.
+
+    Exactness costs skew-exposure: a boilerplate shingle shared by k docs
+    contributes k^2 join rows (no ``max_bucket`` guard here, because
+    dropping it would change the EXACT answer). ``minhash_lsh_pairs`` is
+    the skew-capped approximate-candidate variant of the same contract;
+    at scale run that first and reserve this operator for the verify tier.
+
+    Shingle indexing is 1-based over a literal-space split (empty tokens
+    kept), mirroring the SQL oracle token-for-token; documents with fewer
+    than ``w`` tokens contribute no shingles.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = docs_df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    ).filter(F.size("toks") >= w)
+    idx = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (w - 1))).alias("i"),
+    )
+    shingle = F.concat_ws(
+        " ", *[F.element_at("toks", F.col("i") + F.lit(k)) for k in range(w)]
+    )
+    ds = idx.select("doc_id", shingle.alias("shingle")).distinct()
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    left = ds.select(F.col("doc_id").alias("id_a"), "shingle")
+    right = ds.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"),
+                                F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("n").alias("nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("i") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("i")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def decontaminate(train_df, heldout_df, text_col: str = "text"):
     """Remove training documents whose exact text appears in a held-out
     set — the decontamination pass every evaluation-aware corpus build

@@ -73,6 +73,39 @@ def test_minhash_recall_vs_bruteforce(spark, docs):
     assert recall >= 0.9, (recall, len(truth))
 
 
+def test_ngram_jaccard_exact_and_all_jvm(spark, docs):
+    """The all-JVM shingle-join operator returns EXACTLY the brute-force
+    Jaccard pair set, and its plan contains no Python stage."""
+    from geobuf_cpp_spark.operators.dedup import ngram_jaccard_pairs
+
+    pdf = _corpus()
+    truth = {}
+    shingles = {
+        r.doc_id: {
+            " ".join(r.text.split(" ")[i : i + 3])
+            for i in range(len(r.text.split(" ")) - 2)
+        }
+        for r in pdf.itertuples()
+    }
+    ids = list(pdf["doc_id"])
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            sa, sb = shingles[ids[i]], shingles[ids[j]]
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= 0.7:
+                truth[(ids[i], ids[j])] = jac
+    out = ngram_jaccard_pairs(docs, threshold=0.7)
+    got = {
+        (int(r["id_a"]), int(r["id_b"])): r["jaccard"] for r in out.collect()
+    }
+    assert truth and set(got) == set(truth)
+    assert all(abs(got[k] - truth[k]) < 1e-12 for k in truth)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEval", "MapInPandas", "FlatMapGroupsInPandas",
+                   "BatchEvalPython"):
+        assert marker not in plan, marker
+
+
 def test_simhash_pairs_match_bruteforce(spark, docs):
     pdf = _corpus()
     sh = {r.doc_id: simhash64(r.text) & ((1 << 64) - 1) for r in pdf.itertuples()}
