@@ -362,6 +362,60 @@ def q_geobuf_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geobuf_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage-layout path end to end: points -> cell-prefix-
+    partitioned FeatureCollection .pbf FILES (sources.geobuf_sink, one
+    shared keys table + precision header per file, the reference CLI's
+    format) -> read back via the binaryFile source (sources.readers) ->
+    aggregate per prefix. The DuckDB oracle never sees a file: it predicts
+    feature counts and fixed-grid quantized coordinate sums purely from
+    the codec's arithmetic model — per-row min fitting precision, MAX'd
+    over each file's group (the FC encoder shares one e per document,
+    reference geobuf.cpp:346-358), then the quantize/divide round trip.
+    Sums are over BIGINT quantized ints, so they are summation-order-free.
+    """
+    import hashlib
+    import shutil
+
+    from geobuf_cpp_spark.functions.sql_codec import sql_quantize_int
+    from geobuf_cpp_spark.sources.geobuf_sink import write_geobuf_files
+    from geobuf_cpp_spark.sources.readers import read_geobuf_dir
+
+    pts = P.points_df(spark, sf_dir)
+    feats = pts.select(
+        "point_id", "lon", "lat",
+        F.struct(
+            F.lit(0).cast("tinyint").alias("type"),
+            F.lit(2).cast("tinyint").alias("dim"),
+            F.expr("array()").cast("array<int>").alias("lengths"),
+            F.array("lon", "lat").alias("coords"),
+        ).alias("geom"),
+        F.create_map(F.lit("src"), F.lit('"orders"')).alias("properties"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/root/repo/.scratch/geobuf_files_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    manifest = write_geobuf_files(
+        feats, out_dir, res=PIP_RES, prefix_res=3, max_precision=MAX_PRECISION
+    )
+    manifest.count()  # materialize the sink (files land on disk)
+    back = read_geobuf_dir(spark, out_dir)
+    qlon = sql_quantize_int("geom.coords[0]", str(MAX_PRECISION))
+    qlat = sql_quantize_int("geom.coords[1]", str(MAX_PRECISION))
+    return (
+        back.withColumn(
+            "cell_prefix",
+            F.regexp_extract("path", r"cell_(-?\d+)\.pbf", 1).cast("bigint"),
+        )
+        .groupBy("cell_prefix")
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum(F.expr(qlon)).alias("qlon_sum"),
+            F.sum(F.expr(qlat)).alias("qlat_sum"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational / events / documents / embeddings
 # ---------------------------------------------------------------------------
@@ -775,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_cells_topk": wrap(q_hot_cells_topk),
         "geobuf_roundtrip": wrap(q_geobuf_roundtrip),
         "geobuf_size_stats": wrap(q_geobuf_size_stats),
+        "geobuf_files": wrap(q_geobuf_files),
         "events_hourly": q_events_hourly,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -817,6 +872,29 @@ def oracle_sql() -> dict[str, str]:
 
     _PLANTED_DUCK = planted_duckdb_sql()
     rt = sql_roundtrip(["lon", "lat"], MAX_PRECISION)
+
+    from geobuf_cpp_spark.functions.sql_codec import (
+        sql_min_e,
+        sql_quantize,
+        sql_quantize_int,
+    )
+
+    _prefix = sql_cell_parent(sql_cell("lat", "lon", PIP_RES), PIP_RES, 3)
+    _q_sum = lambda x: (  # noqa: E731 — fixed-grid int of the group-e round trip
+        f"CAST(sum({sql_quantize_int(sql_quantize(x, 'e'), str(MAX_PRECISION))}) "
+        "AS BIGINT)"
+    )
+    _GEOBUF_FILES_ORACLE = (
+        f"{POINTS_CTE}, "
+        f"p2 AS (SELECT lon, lat, {_prefix} AS cell_prefix, "
+        f"GREATEST({sql_min_e('lon', MAX_PRECISION)}, "
+        f"{sql_min_e('lat', MAX_PRECISION)}) AS e_row FROM points), "
+        "p3 AS (SELECT lon, lat, cell_prefix, "
+        "max(e_row) OVER (PARTITION BY cell_prefix) AS e FROM p2) "
+        "SELECT cell_prefix, count(*) AS n_features, "
+        f"{_q_sum('lon')} AS qlon_sum, {_q_sum('lat')} AS qlat_sum "
+        "FROM p3 GROUP BY cell_prefix"
+    )
     size_model = sql_point_feature_size("lon", "lat", MAX_PRECISION)
     occ = lambda lit: (  # noqa: E731 — occurrence count, portable
         f"CAST(FLOOR((length(text) - length(replace(text, '{lit}', ''))) / {len(lit)}) AS BIGINT)"
@@ -907,6 +985,11 @@ def oracle_sql() -> dict[str, str]:
             f"{POINTS_CTE} SELECT point_id, {rt['lon']} AS rt_lon, "
             f"{rt['lat']} AS rt_lat FROM points"
         ),
+        # the file sink/source path: predict per-prefix counts + fixed-grid
+        # quantized coordinate sums with the arithmetic codec model — the
+        # FC encoder shares ONE precision per file, mirrored by the
+        # window-max of per-row min fitting e over each prefix group
+        "geobuf_files": _GEOBUF_FILES_ORACLE,
         "events_hourly": (
             "SELECT date_trunc('hour', ts) AS hour, event_type, "
             "count(*) AS n, min(value) AS min_value, max(value) AS max_value "

@@ -20,14 +20,24 @@ from .geometry import geojson_to_wire, wire_to_geojson
 
 GEOM_STRUCT = "struct<type: tinyint, dim: tinyint, lengths: array<int>, coords: array<double>>"
 
+# the reference's signature extension: arbitrary extra JSON members on
+# geometry / feature / feature collection, wire tag 15
+# (src/geobuf/geobuf.cpp:381-383,402-404,443-445; README.md:39). Carried as
+# canonical-JSON-fragment maps, same encoding as ``properties`` —
+# feature-level and geometry-level each get a column (SURVEY §1.4).
+CUSTOM_MAPS = (
+    ", custom_properties map<string,string>"
+    ", geom_custom_properties map<string,string>"
+)
+
 FEATURES_SCHEMA = (
     "url string, feature_idx int, kind string, lon double, lat double, "
-    f"geom {GEOM_STRUCT}, properties map<string,string>"
+    f"geom {GEOM_STRUCT}, properties map<string,string>{CUSTOM_MAPS}"
 )
 
 DECODED_SCHEMA = (
     "url string, feature_idx int, precision int, dim int, "
-    f"geom {GEOM_STRUCT}, properties map<string,string>"
+    f"geom {GEOM_STRUCT}, properties map<string,string>{CUSTOM_MAPS}"
 )
 
 
@@ -39,6 +49,17 @@ def _props_to_json_map(props: dict) -> dict[str, str]:
 
 def _json_map_to_props(m: dict[str, str] | None) -> dict:
     return {k: json.loads(v) for k, v in (m or {}).items()}
+
+
+def _feature_customs(feature: dict) -> dict[str, str]:
+    """Feature-level custom members (everything beyond the GeoJSON schema)."""
+    return _props_to_json_map(gb._custom_props(feature, gb._FEATURE_STD_KEYS))
+
+
+def _geom_customs(geom_json: dict | None) -> dict[str, str]:
+    if not geom_json:
+        return {}
+    return _props_to_json_map(gb._custom_props(geom_json, gb._GEOMETRY_STD_KEYS))
 
 
 def extract_features(pages_df):
@@ -70,12 +91,16 @@ def extract_features(pages_df):
                                 "coords": coords,
                             },
                             "properties": _props_to_json_map(feat["properties"]),
+                            # HTML extraction yields no custom members
+                            "custom_properties": {},
+                            "geom_custom_properties": {},
                         }
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "url", "feature_idx", "kind", "lon", "lat", "geom", "properties",
+                    "url", "feature_idx", "kind", "lon", "lat", "geom",
+                    "properties", "custom_properties", "geom_custom_properties",
                 ],
             )
 
@@ -91,18 +116,33 @@ def encode_features(features_df, max_precision: int = 10**7):
         f"{f.name} {f.dataType.simpleString()}" for f in features_df.schema.fields
     ) + ", geobuf binary"
 
+    has_custom = "custom_properties" in features_df.columns
+    has_geom_custom = "geom_custom_properties" in features_df.columns
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         enc = gb.Encoder(max_precision=max_precision)
         for pdf in batches:
             encoded = []
-            for geom, props in zip(pdf["geom"], pdf["properties"]):
+            customs = pdf["custom_properties"] if has_custom else [None] * len(pdf)
+            gcustoms = (
+                pdf["geom_custom_properties"] if has_geom_custom
+                else [None] * len(pdf)
+            )
+            for geom, props, custom, gcustom in zip(
+                pdf["geom"], pdf["properties"], customs, gcustoms
+            ):
+                geometry = wire_to_geojson(
+                    geom["type"], geom["dim"], geom["lengths"], geom["coords"]
+                )
+                if gcustom:
+                    geometry.update(_json_map_to_props(gcustom))
                 feature = {
                     "type": "Feature",
-                    "geometry": wire_to_geojson(
-                        geom["type"], geom["dim"], geom["lengths"], geom["coords"]
-                    ),
+                    "geometry": geometry,
                     "properties": _json_map_to_props(props),
                 }
+                if custom:
+                    feature.update(_json_map_to_props(custom))
                 encoded.append(enc.encode(feature))
             out = pdf.copy()
             out["geobuf"] = encoded
@@ -149,14 +189,17 @@ def extract_encode_features(pages_df, max_precision: int = 10**7):
                                 "coords": coords,
                             },
                             "properties": _props_to_json_map(feat["properties"]),
+                            "custom_properties": {},
+                            "geom_custom_properties": {},
                             "geobuf": blob,
                         }
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "url", "feature_idx", "kind", "lon", "lat",
-                    "geom", "properties", "geobuf",
+                    "url", "feature_idx", "kind", "lon", "lat", "geom",
+                    "properties", "custom_properties",
+                    "geom_custom_properties", "geobuf",
                 ],
             )
 
@@ -171,25 +214,41 @@ def encode_feature_collections(features_df, max_precision: int = 10**7):
     The distributed twin of the reference's writeFeatureCollection
     (geobuf.cpp:374-384): ``groupBy(url).applyInPandas`` — one shuffle on
     url, then a single encode per group so the collection shares one keys
-    table and one precision header.
+    table and one precision header. Optional input columns
+    ``custom_properties`` / ``geom_custom_properties`` (per feature) and
+    ``fc_custom_properties`` (constant per url — first row wins) ride the
+    wire as tag-15 custom members, matching the reference's extension.
     """
     import pandas as pd
+
+    cols = set(features_df.columns)
+    has_custom = "custom_properties" in cols
+    has_geom_custom = "geom_custom_properties" in cols
+    has_fc_custom = "fc_custom_properties" in cols
 
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         enc = gb.Encoder(max_precision=max_precision)
         pdf = pdf.sort_values("feature_idx")
         features = []
-        for geom, props in zip(pdf["geom"], pdf["properties"]):
-            features.append(
-                {
-                    "type": "Feature",
-                    "geometry": wire_to_geojson(
-                        geom["type"], geom["dim"], geom["lengths"], geom["coords"]
-                    ),
-                    "properties": _json_map_to_props(props),
-                }
+        for _, row in pdf.iterrows():
+            geom = row["geom"]
+            geometry = wire_to_geojson(
+                geom["type"], geom["dim"], geom["lengths"], geom["coords"]
             )
-        blob = enc.encode({"type": "FeatureCollection", "features": features})
+            if has_geom_custom and row["geom_custom_properties"]:
+                geometry.update(_json_map_to_props(row["geom_custom_properties"]))
+            feature = {
+                "type": "Feature",
+                "geometry": geometry,
+                "properties": _json_map_to_props(row["properties"]),
+            }
+            if has_custom and row["custom_properties"]:
+                feature.update(_json_map_to_props(row["custom_properties"]))
+            features.append(feature)
+        fc: dict = {"type": "FeatureCollection", "features": features}
+        if has_fc_custom and pdf["fc_custom_properties"].iloc[0]:
+            fc.update(_json_map_to_props(pdf["fc_custom_properties"].iloc[0]))
+        blob = enc.encode(fc)
         return pd.DataFrame(
             {
                 "url": [pdf["url"].iloc[0]],
@@ -198,7 +257,11 @@ def encode_feature_collections(features_df, max_precision: int = 10**7):
             }
         )
 
-    return features_df.groupBy("url").applyInPandas(
+    select_cols = ["url", "feature_idx", "geom", "properties"] + [
+        c for c in ("custom_properties", "geom_custom_properties",
+                    "fc_custom_properties") if c in cols
+    ]
+    return features_df.select(*select_cols).groupBy("url").applyInPandas(
         encode_group, "url string, n_features int, geobuf binary"
     )
 
@@ -215,6 +278,9 @@ def decode_feature_collections(fc_df, blob_col: str = "geobuf",
             rows = []
             for key, blob in zip(pdf[key_col], pdf[blob_col]):
                 doc = dec.decode(bytes(blob))
+                fc_customs = _props_to_json_map(
+                    gb._custom_props(doc, gb._FC_STD_KEYS)
+                )
                 for idx, feat in enumerate(doc.get("features", [])):
                     geom_json = feat.get("geometry")
                     if not geom_json:
@@ -233,16 +299,22 @@ def decode_feature_collections(fc_df, blob_col: str = "geobuf",
                             "properties": _props_to_json_map(
                                 feat.get("properties") or {}
                             ),
+                            "custom_properties": _feature_customs(feat),
+                            "geom_custom_properties": _geom_customs(geom_json),
+                            "fc_custom_properties": fc_customs,
                         }
                     )
             yield pd.DataFrame(
-                rows, columns=[key_col, "feature_idx", "geom", "properties"]
+                rows, columns=[key_col, "feature_idx", "geom", "properties",
+                               "custom_properties", "geom_custom_properties",
+                               "fc_custom_properties"]
             )
 
     return fc_df.select(key_col, blob_col).mapInPandas(
         gen,
         f"{key_col} string, feature_idx int, geom {GEOM_STRUCT}, "
-        "properties map<string,string>",
+        f"properties map<string,string>{CUSTOM_MAPS}"
+        ", fc_custom_properties map<string,string>",
     )
 
 
@@ -270,11 +342,15 @@ def decode_features(encoded_df):
                             "coords": coords,
                         },
                         "properties": _props_to_json_map(feature.get("properties") or {}),
+                        "custom_properties": _feature_customs(feature),
+                        "geom_custom_properties": _geom_customs(geom_json),
                     }
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["url", "feature_idx", "precision", "dim", "geom", "properties"],
+                columns=["url", "feature_idx", "precision", "dim", "geom",
+                         "properties", "custom_properties",
+                         "geom_custom_properties"],
             )
 
     return encoded_df.select("url", "feature_idx", "geobuf").mapInPandas(

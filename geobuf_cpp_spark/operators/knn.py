@@ -6,12 +6,14 @@ Two physical strategies, same exact semantics (ties broken by
 * ``knn_broadcast`` — broadcast the query set, crossJoin + windowed top-k.
   Exact, one shuffle of (n_points x n_queries) pairs; right when the query
   set is small (the common online-serving shape).
-* ``knn_cell_rings`` — the scale path mandated by BASELINE.json north_star:
-  expand cell rings around each query until the kth best distance is
-  certified (any point outside Chebyshev ring r lies at degree distance
-  >= r * min cell extent), joining candidates by cell equi-join per round.
-  Only cells near queries are ever touched, so cost is independent of the
-  table's total extent.
+* ``knn_distributed`` — the scale path mandated by BASELINE.json
+  north_star: one-pass cell-disk candidate join with distance
+  certification (any point outside Chebyshev ring r lies at degree
+  distance >= r * min cell extent) and a lazy in-plan exact fallback for
+  uncertified queries. Only cells near queries are ever touched, so cost
+  is independent of the table's total extent, and there is no driver-side
+  loop anywhere (an earlier round-looped variant, knn_cell_rings, was
+  retired once this superseded it — git history has it).
 
 Distance is squared Euclidean in degrees (pure arithmetic — identical in
 Spark, numpy, and the DuckDB oracle; monotone in true planar distance).
@@ -19,12 +21,11 @@ Spark, numpy, and the DuckDB oracle; monotone in true planar distance).
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.cells import cell_of, cell_size_deg, ring_cells, sql_cell
+from ..functions.cells import cell_size_deg, sql_cell
 
 
 def _dist2(lon_col, lat_col, qlon_col, qlat_col):
@@ -131,81 +132,3 @@ def knn_distributed(points_df, queries_df, k: int, res: int = 7,
         .select("query_id", "rank", *id_cols, "dist2")
     )
     return certified.unionByName(fallback)
-
-
-def knn_cell_rings(points_df, queries_pdf: pd.DataFrame, k: int, res: int = 7,
-                   lon_col: str = "lon", lat_col: str = "lat",
-                   id_cols: tuple[str, ...] = ("url", "feature_idx"),
-                   max_rounds: int = 6):
-    """Exact kNN via expanding cell-ring candidate joins.
-
-    Each round r broadcasts the (query_id, cell) disk of Chebyshev radius
-     2^r around the unsatisfied queries, equi-joins candidates, and keeps a
-    per-query top-k. A query is satisfied once its kth distance is below
-    the certification radius of the already-searched disk. Unsatisfied
-    queries after ``max_rounds`` (pathologically sparse data) fall back to
-    the broadcast strategy — semantics stay exact.
-    """
-    min_extent, _ = cell_size_deg(res)
-    pts = points_df.withColumn("cell", F.expr(sql_cell(lat_col, lon_col, res)))
-    pts.persist()
-    try:
-        remaining = queries_pdf.copy()
-        remaining["q_cell"] = cell_of(
-            remaining["lat"].to_numpy(), remaining["lon"].to_numpy(), res
-        )
-        spark = points_df.sparkSession
-        done: list = []
-        radius = 1
-        for _ in range(max_rounds):
-            if remaining.empty:
-                break
-            disk_rows = []
-            for qid, qlat, qlon, qcell in zip(
-                remaining["query_id"], remaining["lat"],
-                remaining["lon"], remaining["q_cell"],
-            ):
-                for cell in ring_cells(int(qcell), res, radius):
-                    disk_rows.append((int(qid), float(qlat), float(qlon), int(cell)))
-            disk = spark.createDataFrame(
-                pd.DataFrame(disk_rows, columns=["query_id", "q_lat", "q_lon", "cell"])
-            )
-            cand = pts.join(F.broadcast(disk), "cell").withColumn(
-                "dist2", _dist2(lon_col, lat_col, "q_lon", "q_lat")
-            )
-            w = Window.partitionBy("query_id").orderBy(
-                F.col("dist2").asc(), *[F.col(c).asc() for c in id_cols]
-            )
-            topk = (
-                cand.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select("query_id", "rank", *id_cols, "dist2")
-                .toPandas()
-            )
-            # certification: points beyond Chebyshev ring `radius` are at
-            # degree distance >= radius * min_extent
-            certify = (radius * min_extent) ** 2
-            counts = topk.groupby("query_id").agg(
-                n=("rank", "size"), kth=("dist2", "max")
-            )
-            # strict <: a tie at the certification radius could be displaced
-            # by an unseen point at exactly that distance with a smaller id
-            ok_ids = set(
-                counts[(counts["n"] >= k) & (counts["kth"] < certify)].index
-            )
-            if ok_ids:
-                done.append(topk[topk["query_id"].isin(ok_ids)])
-                remaining = remaining[~remaining["query_id"].isin(ok_ids)]
-            radius *= 2
-        if not remaining.empty:
-            fb = knn_broadcast(
-                points_df, remaining.drop(columns=["q_cell"]), k,
-                lon_col=lon_col, lat_col=lat_col, id_cols=id_cols,
-            ).toPandas()
-            done.append(fb)
-        out = pd.concat(done, ignore_index=True) if done else pd.DataFrame(
-            columns=["query_id", "rank", *id_cols, "dist2"]
-        )
-        return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
-    finally:
-        pts.unpersist()

@@ -14,7 +14,7 @@ from geobuf_cpp_spark.extract.html import extract_geometries, extract_text
 from geobuf_cpp_spark.functions import cells as C
 from geobuf_cpp_spark.functions.geometry import point_in_wire_polygon
 from geobuf_cpp_spark.functions.udfs import decode_features, encode_features, extract_features
-from geobuf_cpp_spark.operators.knn import knn_broadcast, knn_cell_rings
+from geobuf_cpp_spark.operators.knn import knn_broadcast, knn_distributed
 from geobuf_cpp_spark.operators.pip_join import pip_join
 from geobuf_cpp_spark.operators.tiles import rasterize_tiles, vectorize_raster
 from geobuf_cpp_spark.sources.pages import (
@@ -136,7 +136,9 @@ def test_knn_strategies_agree(spark, features):
     )
     pts = features.select("url", "feature_idx", "lon", "lat")
     brute = knn_broadcast(pts, queries, k=5).toPandas()
-    rings = knn_cell_rings(pts, queries, k=5, res=7)
+    rings = knn_distributed(
+        pts, spark.createDataFrame(queries), k=5, res=7
+    ).toPandas()
     b = brute.sort_values(["query_id", "rank"]).reset_index(drop=True)
     r = rings.sort_values(["query_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
@@ -263,6 +265,69 @@ def test_pip_join_exact_cover_same_result(spark, features):
     assert a == b
 
 
+def test_custom_properties_spark_roundtrip(spark):
+    """The reference's signature extension — custom members at geometry,
+    feature, AND feature-collection level (wire tag 15,
+    src/geobuf/geobuf.cpp:381-383,402-404,443-445; data/sample1.json has
+    FC-level "key"/"shit me", tests/test_geobuf.py:26-47 has geometry- and
+    feature-level extras) — must survive the Spark DataFrame path, not just
+    the scalar codec."""
+    from geobuf_cpp_spark.functions.udfs import (
+        decode_feature_collections,
+        decode_features,
+        encode_feature_collections,
+        encode_features,
+    )
+
+    j = gb.json_dumps_canonical
+    feat_custom = {"my_key": j("custom"), "shit me": j(42)}
+    geom_custom = {"extra_key": j("extra"), "n": j(7)}
+    fc_custom = {"key": j("value"), "shit me": j(42)}
+    rows = [
+        {
+            "url": "u1",
+            "feature_idx": i,
+            "geom": {
+                "type": 0, "dim": 2, "lengths": [],
+                "coords": [1.25 + i, 2.5],
+            },
+            "properties": {"name": j(f"p{i}")},
+            "custom_properties": feat_custom,
+            "geom_custom_properties": geom_custom,
+            "fc_custom_properties": fc_custom,
+        }
+        for i in range(3)
+    ]
+    schema = (
+        "url string, feature_idx int, "
+        "geom struct<type: tinyint, dim: tinyint, lengths: array<int>, "
+        "coords: array<double>>, properties map<string,string>, "
+        "custom_properties map<string,string>, "
+        "geom_custom_properties map<string,string>, "
+        "fc_custom_properties map<string,string>"
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    # per-feature path: encode -> decode preserves both custom levels
+    back = decode_features(encode_features(df)).collect()
+    assert len(back) == 3
+    for r in back:
+        assert dict(r["custom_properties"]) == feat_custom
+        assert dict(r["geom_custom_properties"]) == geom_custom
+        assert dict(r["properties"]) == {"name": j(f"p{r['feature_idx']}")}
+
+    # FC path: one blob per url, all three levels preserved per feature row
+    fc = encode_feature_collections(df)
+    doc = gb.decode(bytes(fc.first()["geobuf"]))
+    assert doc["key"] == "value" and doc["shit me"] == 42  # wire-level check
+    back_fc = decode_feature_collections(fc).collect()
+    assert len(back_fc) == 3
+    for r in back_fc:
+        assert dict(r["custom_properties"]) == feat_custom
+        assert dict(r["geom_custom_properties"]) == geom_custom
+        assert dict(r["fc_custom_properties"]) == fc_custom
+
+
 def test_fc_encode_decode_roundtrip(spark, features):
     from geobuf_cpp_spark.functions.udfs import (
         decode_feature_collections,
@@ -364,6 +429,59 @@ def test_pip_join_salt_spreads_hot_cell(spark, features):
         "no dense cell spans more than one partition — salting is a placebo"
     )
     assert out.count() > 0
+
+
+def test_aqe_skew_join_splits_hot_key(spark):
+    """The north rule's skew claim, exercised end to end: AQE must SPLIT a
+    deliberately hot join key at runtime. Sandbox volumes cannot reach the
+    production thresholds (256 MB), so the thresholds scale down — the
+    mechanism under test (skew detection + partition splitting in the
+    final adaptive plan) is the same one a 100 TB run relies on."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # one cell carries 95% of the left side — the city-skew shape
+        left = spark.range(0, 200_000).selectExpr(
+            "CASE WHEN id % 20 > 0 THEN CAST(0 AS BIGINT) "
+            "ELSE id % 97 END AS cell",
+            "id AS row_id",
+        )
+        right = spark.range(0, 97).selectExpr(
+            "id AS cell", "id * 10 AS weight"
+        )
+        joined = left.join(right, "cell")
+        # execute THIS query execution (count() would plan a separate
+        # aggregate query and leave this one's adaptive plan unfinalized)
+        n = joined._jdf.queryExecution().executedPlan().execute().count()
+        assert n == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
 
 
 def test_knn_distributed_boundary_tie_uses_fallback(spark):
