@@ -737,6 +737,26 @@ def q_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "rank", "vec_id")
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact rerank (FAISS's 100 TB configuration) on the planted
+    clusters: nprobe=2 of 16 lists prunes rows, 8-byte PQ codes prune
+    bytes, the rerank restores exactness — gated against the same exact
+    SQL top-k as ivf_pruned. Cluster size 40 >= candidate pool coverage of
+    the true top-10 (within/cross margin ~0.96)."""
+    from geobuf_cpp_spark.operators.ann import ivfpq_topk
+    from geobuf_cpp_spark.sources.planted import planted_spark_sql
+
+    planted = spark.sql(planted_spark_sql())
+    qp = (
+        planted.filter(F.col("vec_id") < 20).orderBy("vec_id").toPandas()
+        .rename(columns={"vec_id": "query_id", "embedding": "vec"})
+    )
+    return ivfpq_topk(
+        planted, qp[["query_id", "vec"]], k=10, n_lists=16, nprobe=2,
+        m=8, kcode=16, n_candidates=50,
+    ).select("query_id", "rank", "vec_id")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard dedup, all-JVM (no Python stage) — an
     independent Spark implementation gated against the independent DuckDB
@@ -860,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann_topk": q_pq_ann_topk,
         "lsh_neardup": q_lsh_neardup,
         "ivf_pruned": q_ivf_pruned,
+        "ivfpq_topk": q_ivfpq_topk,
         "media_stats": q_media_stats,
         "media_features": q_media_features,
     }
@@ -1144,6 +1165,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM emb a JOIN emb b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.7"
+        ),
+        # IVF-PQ + rerank equals exact on the planted clusters — same
+        # oracle as ivf_pruned (both prune to nprobe=2 and restore
+        # exactness, one via raw vectors, one via codes + rerank)
+        "ivfpq_topk": (
+            f"WITH emb AS ({_PLANTED_DUCK}), "
+            "q AS (SELECT vec_id AS query_id, embedding AS qv FROM emb "
+            "WHERE vec_id < 20) "
+            "SELECT query_id, rank, vec_id FROM ("
+            "SELECT q.query_id, e.vec_id, "
+            "ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY "
+            "list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id ASC) AS rank "
+            "FROM q CROSS JOIN emb e) t WHERE rank <= 10"
         ),
         "ivf_pruned": (
             f"WITH emb AS ({_PLANTED_DUCK}), "

@@ -491,6 +491,112 @@ def pq_topk(codes_df, codebooks: np.ndarray, queries_pdf: pd.DataFrame,
     )
 
 
+def ivfpq_topk(emb_df, queries_pdf: pd.DataFrame, k: int,
+               n_lists: int = 16, nprobe: int = 2,
+               m: int = 8, kcode: int = 16, n_candidates: int = 50,
+               id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF-PQ with exact rerank — the canonical 100 TB ANN configuration.
+
+    Composes the two pruning axes: the IVF coarse quantizer restricts the
+    scan to ``nprobe / n_lists`` of the corpus (rows), PQ codes shrink what
+    that scan reads to ``m`` bytes per vector (bytes), ADC proposes
+    ``n_candidates`` per query, and a broadcast-id join reranks the
+    candidates against raw vectors — exactly FAISS's IVFPQ + refine, as a
+    composition of DataFrame ops. Per-batch the probe filter is the same
+    (queries x lists) boolean mask as ``ivf_topk``; no per-row Python.
+    On clustered corpora with cluster size >= k and nprobe covering the
+    true cluster, the result EQUALS exact brute force (gated against the
+    exact SQL top-k on the planted table).
+    """
+    centroids, assignments = build_ivf(emb_df, n_lists=n_lists,
+                                       id_col=id_col, vec_col=vec_col)
+    books = pq_train(emb_df, m=m, k=kcode, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(emb_df, books, id_col=id_col, vec_col=vec_col)
+
+    q_ids = queries_pdf["query_id"].to_numpy()
+    q_mat = _normalize(_as_matrix(queries_pdf["vec"]))
+    probe = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
+    probe_mask = np.zeros((len(q_ids), centroids.shape[0]), dtype=bool)
+    probe_mask[np.arange(len(q_ids))[:, None], probe] = True
+
+    spark = emb_df.sparkSession
+    probed_lists = spark.createDataFrame(
+        pd.DataFrame({"list_id": np.unique(probe.ravel())})
+    )
+    # only the probed lists' CODES are scanned (m bytes/vector)
+    probed_codes = codes.join(assignments, "vec_id").join(
+        F.broadcast(probed_lists), "list_id"
+    ).select("vec_id", "codes", "list_id")
+
+    M, K, dsub = books.shape
+    tables = np.empty((len(q_ids), M, K))
+    for j in range(M):
+        qsub = q_mat[:, j * dsub : (j + 1) * dsub]
+        tables[:, j, :] = ((qsub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values("vec_id")
+            ids = pdf["vec_id"].to_numpy()
+            lists = pdf["list_id"].to_numpy()
+            cds = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+            dists = tables[:, np.arange(M)[None, :], cds].sum(axis=2)
+            dists = np.where(probe_mask[:, lists], dists, np.inf)
+            take = min(n_candidates, dists.shape[1])
+            idx = np.argsort(dists, axis=1, kind="stable")[:, :take]
+            top = np.take_along_axis(dists, idx, axis=1)
+            keep = np.isfinite(top).ravel()
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, take),
+                    "vec_id": ids[idx].ravel(),
+                    "dist": top.ravel(),
+                }
+            )
+            yield out[keep]
+
+    partials = probed_codes.mapInPandas(
+        partial, "query_id long, vec_id long, dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    cand = (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_candidates)
+        .select("query_id", "vec_id")
+    )
+    # exact rerank of the candidate pool (broadcast of Q x C ids)
+    cand_vecs = emb_df.select(id_col, vec_col).join(
+        F.broadcast(cand.select("vec_id").distinct()), "vec_id"
+    )
+    pairs = cand.join(cand_vecs, "vec_id")
+    q_index = {int(q): i for i, q in enumerate(q_ids)}
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _normalize(_as_matrix(pdf[vec_col]))
+            qi = np.array([q_index[int(q)] for q in pdf["query_id"]])
+            sim = (q_mat[qi] * mat).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "sim": sim,
+                }
+            )
+
+    scored = pairs.mapInPandas(rerank, TOPK_SCHEMA)
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "sim")
+    )
+
+
 def pq_topk_rerank(codes_df, emb_df, codebooks: np.ndarray,
                    queries_pdf: pd.DataFrame, k: int,
                    n_candidates: int = 50,

@@ -139,8 +139,11 @@ def test_sessionize_stream_late_arrivals(spark, tmp_path):
          (5, t(200), 7, "view", 16.0, "")], schema
     )
     src = str(tmp_path / "late_src")
-    a.write.parquet(os.path.join(src, "a"))
-    b.write.parquet(os.path.join(src, "b"))
+    # ONE file per arrival: multiple part files would enter the file
+    # source in mtime order (task completion order — nondeterministic),
+    # splitting batch b into arbitrarily ordered micro-batches
+    a.coalesce(1).write.parquet(os.path.join(src, "a"))
+    b.coalesce(1).write.parquet(os.path.join(src, "b"))
 
     stream = read_event_stream(spark, src + "/*", max_files_per_trigger=1)
     sessions = sessionize_stream(stream, gap_seconds=60.0)

@@ -490,6 +490,31 @@ def test_asof_join_duplicate_right_timestamps_deterministic(spark):
         assert len(got) == 1 and got[0]["rid"] == 901
 
 
+def test_ivfpq_equals_exact_on_clustered_data(spark):
+    """IVF-PQ + rerank (both pruning axes composed) must equal exact brute
+    force when nprobe covers the true cluster and the rerank pool covers
+    the true top-k — the gate configuration."""
+    from geobuf_cpp_spark.operators.ann import cosine_topk, ivfpq_topk
+
+    pdf = _clustered_emb_frame(n=400)
+    emb = spark.createDataFrame(pdf).repartition(4)
+    queries = pd.DataFrame(
+        {"query_id": range(8), "vec": pdf["embedding"][:8].tolist()}
+    )
+    exact = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivfpq_topk(
+            emb, queries, k=10, n_lists=8, nprobe=3, m=8, kcode=16,
+            n_candidates=50,
+        ).collect()
+    }
+    assert got == exact
+
+
 def test_pq_roundtrip_and_recall(spark):
     """PQ codes: 32x smaller than raw vectors, deterministic encoding;
     raw ADC gives useful-but-lossy recall, and ADC + exact rerank of the
