@@ -543,6 +543,24 @@ def q_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "view_event_id", "view_value")
 
 
+def q_interval_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (impression-click style) join: every click matched to ALL
+    of the user's views in the trailing 30 minutes — the batch twin of the
+    watermarked stream-stream join (streaming.joins; condition built once,
+    shared by both forms)."""
+    from geobuf_cpp_spark.streaming.joins import interval_join_batch
+
+    _prep(spark, sf_dir, "events")
+    ev = spark.table("events")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts", "event_id")
+    views = ev.filter("event_type = 'view'").selectExpr(
+        "user_id", "ts", "event_id AS view_event_id"
+    )
+    return interval_join_batch(
+        clicks, views, "user_id", within_seconds=1800
+    ).select("event_id", "user_id", "view_event_id")
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geobuf_cpp_spark.operators.dedup import exact_dedup
 
@@ -856,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_event_per_user": q_last_event_per_user,
         "sessions": q_sessions,
         "asof_view": q_asof_view,
+        "interval_view": q_interval_view,
         "rolling_events": q_rolling_events,
         "value_quantiles": q_value_quantiles,
         "nation_rollup_cube": q_nation_rollup_cube,
@@ -1066,6 +1085,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l.event_id, l.user_id, r.view_event_id, r.view_value "
             "FROM l ASOF LEFT JOIN r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        # timestamp ± INTERVAL is exact integer-microsecond arithmetic in
+        # both engines; the half-open bound matches _interval_cond
+        "interval_view": (
+            "SELECT c.event_id, c.user_id, v.event_id AS view_event_id "
+            "FROM (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click') c "
+            "JOIN (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'view') v "
+            "ON v.user_id = c.user_id AND v.ts <= c.ts "
+            "AND v.ts > c.ts - INTERVAL 1800 SECONDS"
         ),
         "region_rollup": (
             "SELECT r.r_name, count(*) AS n_orders, "

@@ -144,6 +144,30 @@ def main() -> None:
         E.q_token_count(spark, SF_DIR),
         [r"WholeStageCodegen", r"ReadSchema", r"regexp_count|Project"],
     )
+    section(
+        "ngram_jaccard — exact dedup with zero Python operators",
+        "The shingle inverted index, intersection join, and threshold all "
+        "run in WholeStageCodegen; no Arrow/Python stage appears anywhere "
+        "in the plan (also asserted in pytest).",
+        E.q_ngram_jaccard(spark, SF_DIR),
+        [r"WholeStageCodegen", r"HashAggregate \(", r"MapInPandas|ArrowEvalPython|BatchEvalPython"],
+    )
+    section(
+        "embed_neardup — distributed blocked exact, no driver collect",
+        "Vectors explode to their block-pair keys (JVM Generate) and meet "
+        "in ONE hash exchange on (ka, kb); the matmul runs in "
+        "FlatMapGroupsInPandas per group. No CollectLimit / driver "
+        "materialization exists in the plan (collect-spy pytest).",
+        E.q_embed_neardup(spark, SF_DIR),
+        [r"FlatMapGroupsInPandas", r"Generate", r"hashpartitioning", r"Collect"],
+    )
+    section(
+        "lsh_neardup — bucket-keyed candidate join (never all-pairs)",
+        "Band signatures shuffle on (band, bucket); candidates join inside "
+        "buckets only, then the exact verify is a narrow Arrow stage.",
+        E.q_lsh_neardup(spark, SF_DIR),
+        [r"hashpartitioning\(band|hashpartitioning\(ka|SortMergeJoin|BroadcastHashJoin", r"MapInPandas"],
+    )
     aqe_skew_section(spark)
     spark.stop()
 

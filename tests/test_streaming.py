@@ -180,6 +180,67 @@ def test_sessionize_stream_late_arrivals(spark, tmp_path):
     ]
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (clicks x trailing views)
+    drained over multiple micro-batches equals the batch twin — the
+    condition is BUILT ONCE and shared, and the time-ordered arrivals stay
+    inside the watermark, so no match drops."""
+    from geobuf_cpp_spark.streaming.events import read_event_stream
+    from geobuf_cpp_spark.streaming.joins import (
+        interval_join_batch,
+        interval_join_stream,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    bounds = [r[0] for r in events.selectExpr(
+        "percentile_approx(ts, array(0.5))").collect()][0]
+    src = str(tmp_path / "ij_src")
+    events.filter(F.col("ts") <= bounds[0]).coalesce(1).write.parquet(
+        os.path.join(src, "a"))
+    events.filter(F.col("ts") > bounds[0]).coalesce(1).write.parquet(
+        os.path.join(src, "b"))
+
+    def split(df):
+        clicks = df.filter("event_type = 'click'").select(
+            "user_id", "ts", "event_id")
+        views = df.filter("event_type = 'view'").selectExpr(
+            "user_id", "ts AS v_ts", "event_id AS view_event_id")
+        return clicks, views
+
+    stream = read_event_stream(spark, src + "/*", max_files_per_trigger=1)
+    sc, sv = split(stream)
+    joined = interval_join_stream(
+        sc, sv, "user_id", left_ts="ts", right_ts="v_ts",
+        within_seconds=3600, watermark="4 hours",
+    ).select("event_id", "view_event_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ij_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.event_id, r.view_event_id)
+            for r in spark.table("ij_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    bc, bv = split(events)
+    expect = {
+        (r.event_id, r.view_event_id)
+        for r in interval_join_batch(
+            bc, bv, "user_id", left_ts="ts", right_ts="v_ts",
+            within_seconds=3600,
+        ).select("event_id", "view_event_id").collect()
+    }
+    assert len(expect) > 0
+    assert got == expect
+
+
 def test_sessionize_stream_matches_batch(spark, tmp_path):
     """Custom stateful operator (applyInPandasWithState): per-user
     gap-timeout sessions from the stream equal the batch twin's CLOSED
