@@ -103,12 +103,13 @@ def main() -> None:
     }
     timings: dict[str, float] = {}
     if not os.environ.get("SPARK_GRAFT_PIPELINE_ONLY"):
-        # each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and
+        # each query runs SPARK_GRAFT_BENCH_REPS times (default 2) and
         # reports the MIN: robust to host-contention spikes during any one
         # run (round-3 measured 3-5x swings on single queries from outside
-        # this container), and the steady-state number is the
-        # cluster-relevant one (per-executor fixed costs amortize)
-        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+        # this container; raise to 3 for record runs on a noisy window),
+        # and the steady-state number is the cluster-relevant one
+        # (per-executor fixed costs amortize on a long job)
+        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
         for name, fn in entrymod.queries().items():
             if only and name not in only:
                 continue

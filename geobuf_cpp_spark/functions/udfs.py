@@ -229,21 +229,27 @@ def encode_feature_collections(features_df, max_precision: int = 10**7):
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         enc = gb.Encoder(max_precision=max_precision)
         pdf = pdf.sort_values("feature_idx")
+        customs = pdf["custom_properties"] if has_custom else [None] * len(pdf)
+        gcustoms = (
+            pdf["geom_custom_properties"] if has_geom_custom
+            else [None] * len(pdf)
+        )
         features = []
-        for _, row in pdf.iterrows():
-            geom = row["geom"]
+        for geom, props, custom, gcustom in zip(
+            pdf["geom"], pdf["properties"], customs, gcustoms
+        ):
             geometry = wire_to_geojson(
                 geom["type"], geom["dim"], geom["lengths"], geom["coords"]
             )
-            if has_geom_custom and row["geom_custom_properties"]:
-                geometry.update(_json_map_to_props(row["geom_custom_properties"]))
+            if gcustom:
+                geometry.update(_json_map_to_props(gcustom))
             feature = {
                 "type": "Feature",
                 "geometry": geometry,
-                "properties": _json_map_to_props(row["properties"]),
+                "properties": _json_map_to_props(props),
             }
-            if has_custom and row["custom_properties"]:
-                feature.update(_json_map_to_props(row["custom_properties"]))
+            if custom:
+                feature.update(_json_map_to_props(custom))
             features.append(feature)
         fc: dict = {"type": "FeatureCollection", "features": features}
         if has_fc_custom and pdf["fc_custom_properties"].iloc[0]:
