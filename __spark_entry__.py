@@ -561,6 +561,19 @@ def q_interval_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "view_event_id")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup completion: connected components over the exact-Jaccard
+    near-dup edges (min-label propagation, O(diameter) rounds) — gated
+    against a DuckDB RECURSIVE CTE computing the transitive closure's min
+    reachable id. An ITERATIVE algorithm with a full value oracle."""
+    from geobuf_cpp_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    _prep(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=MINHASH_THRESHOLD)
+    return dedup_clusters(docs, pairs)
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geobuf_cpp_spark.operators.dedup import exact_dedup
 
@@ -881,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_no_orders": q_customers_no_orders,
         "region_rollup": q_region_rollup,
         "exact_dedup": q_exact_dedup,
+        "dedup_clusters": q_dedup_clusters,
         "doc_stats": q_doc_stats,
         "quality_score": q_quality_score,
         "lang_signal": q_lang_signal,
@@ -1109,6 +1123,21 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT md5(text) AS dup_key, count(*) AS n_docs, "
             "min(doc_id) AS keeper_id FROM documents GROUP BY md5(text)"
+        ),
+        # transitive closure via recursive CTE: walk enumerates every
+        # reachable node per doc; the cluster id is the min reached —
+        # an independent fixpoint computation vs Spark's label propagation
+        "dedup_clusters": (
+            "WITH RECURSIVE pairs AS ("
+            + EXACT_JACCARD_SQL.format(threshold=MINHASH_THRESHOLD)
+            + "), e AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+            "UNION ALL SELECT id_b, id_a FROM pairs), "
+            "walk(id, reach) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION "
+            "SELECT w.id, e.dst FROM walk w JOIN e ON e.src = w.reach) "
+            "SELECT id AS doc_id, min(reach) AS cluster_id "
+            "FROM walk GROUP BY id"
         ),
         "doc_stats": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_measured, "

@@ -320,6 +320,64 @@ def ngram_jaccard_pairs(docs_df, threshold: float = 0.5, w: int = 3,
     )
 
 
+def dedup_clusters(docs_df, pairs_df, id_col: str = "doc_id"):
+    """Fuzzy-dedup completion: connected components over near-dup pairs.
+
+    Pair detection (minhash/simhash/ngram/embedding) yields EDGES; what a
+    training-data pipeline actually needs is one keeper per duplicate
+    CLUSTER — the transitive closure. Min-label propagation: every doc
+    starts labeled with its own id; each round takes the min over
+    neighbors' labels; fixpoint after O(component diameter) rounds
+    (near-dup clusters are shallow — a handful of rounds even at corpus
+    scale). Each round is one edge join + one aggregate, all JVM; the
+    DRIVER only runs the convergence loop (bounded by the diameter, never
+    by corpus size — the same shape GraphX/Pregel uses). Returns
+    (doc_id, cluster_id) for every document; singletons label themselves;
+    cluster_id = min doc id of the component (the keeper).
+    """
+    labels = docs_df.select(F.col(id_col).alias("id")).withColumn(
+        "lbl", F.col("id")
+    )
+    e = pairs_df.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = labels.persist()
+    while True:
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("lbl").alias("nlbl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nlbl").alias("minnbr"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lbl"), F.coalesce("minnbr", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = new_labels.join(
+            labels.withColumnRenamed("lbl", "old"), "id"
+        ).filter("lbl != old").count()
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
+    )
+
+
 def decontaminate(train_df, heldout_df, text_col: str = "text"):
     """Remove training documents whose exact text appears in a held-out
     set — the decontamination pass every evaluation-aware corpus build

@@ -106,6 +106,37 @@ def test_ngram_jaccard_exact_and_all_jvm(spark, docs):
         assert marker not in plan, marker
 
 
+def test_dedup_clusters_matches_union_find(spark):
+    """Min-label propagation equals a plain union-find, including a
+    diameter-4 chain (multiple propagation rounds) and singletons."""
+    from geobuf_cpp_spark.operators.dedup import dedup_clusters
+
+    n = 40
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4),     # chain: takes >1 round
+             (10, 30), (11, 30), (12, 30),       # star
+             (20, 21)]                           # pair
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expect = {i: min(j for j in range(n) if find(j) == find(i))
+              for i in range(n)}
+
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert got == expect
+
+
 def test_simhash_pairs_match_bruteforce(spark, docs):
     pdf = _corpus()
     sh = {r.doc_id: simhash64(r.text) & ((1 << 64) - 1) for r in pdf.itertuples()}
