@@ -673,6 +673,15 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, heldout).select("doc_id", "lang", "n_chars")
 
 
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 vocabulary terms by document frequency (the
+    tokenizer-recipe first query) — all JVM, ties on binary term order."""
+    from geobuf_cpp_spark.operators.textstats import top_terms
+
+    _prep(spark, sf_dir, "documents")
+    return top_terms(spark.table("documents"), k=10)
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geobuf_cpp_spark.operators.textstats import token_counts
 
@@ -900,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_signal": q_lang_signal,
         "fingerprints": q_fingerprints,
         "token_count": q_token_count,
+        "top_terms": q_top_terms,
         "corpus_filter": q_corpus_filter,
         "doc_sample": q_doc_sample,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -1167,6 +1177,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(text) AS fp_full, "
             "md5(substr(text, 1, 64)) AS fp_prefix, "
             "CAST(length(text) AS BIGINT) AS n_chars_measured FROM documents"
+        ),
+        "top_terms": (
+            "WITH w AS (SELECT lang, doc_id, "
+            "unnest(string_split(text, ' ')) AS term FROM documents), "
+            "d AS (SELECT DISTINCT lang, doc_id, term FROM w WHERE term <> ''), "
+            "c AS (SELECT lang, term, count(*) AS doc_freq FROM d GROUP BY 1, 2) "
+            "SELECT lang, term, doc_freq, rn FROM ("
+            "SELECT lang, term, doc_freq, ROW_NUMBER() OVER ("
+            "PARTITION BY lang ORDER BY doc_freq DESC, term ASC) AS rn FROM c) t "
+            "WHERE rn <= 10"
         ),
         "doc_sample": DOC_SAMPLE_SQL,
         "top_docs_per_lang": TOP_DOCS_SQL,

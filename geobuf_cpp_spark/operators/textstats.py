@@ -132,3 +132,34 @@ def fingerprints(docs_df, id_col: str = "doc_id", text_col: str = "text",
         F.md5(F.substring(t, 1, prefix_len).cast("binary")).alias("fp_prefix"),
         F.length(t).cast("long").alias("n_chars_measured"),
     )
+
+
+def top_terms(docs_df, k: int = 10, id_col: str = "doc_id",
+              text_col: str = "text", lang_col: str = "lang"):
+    """Per-language top-k vocabulary terms by DOCUMENT frequency — the
+    corpus-vocabulary analysis every tokenizer/mixture recipe starts from.
+
+    All JVM: split -> explode -> DISTINCT (term counted once per doc) ->
+    two-phase count -> per-language WindowGroupLimit top-k (map-side
+    partial limit before the shuffle, same plan family as
+    top_docs_per_lang). Ties break on the term's binary order, identical
+    in Spark and DuckDB for the oracle.
+    """
+    from pyspark.sql import Window
+
+    words = docs_df.select(
+        F.col(lang_col).alias("lang"),
+        F.col(id_col).alias("_doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    doc_freq = (
+        words.distinct()
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("doc_freq"), F.asc("term"))
+    return (
+        doc_freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("lang", "term", "doc_freq", "rn")
+    )
