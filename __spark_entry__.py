@@ -392,7 +392,11 @@ def q_geobuf_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("geom"),
         F.create_map(F.lit("src"), F.lit('"orders"')).alias("properties"),
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    import os
+
+    # pid-suffixed scratch dir: a concurrent run (bench vs gate) over the
+    # same sf_dir must not rmtree files another process's lazy scan reads
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
     out_dir = f"/root/repo/.scratch/geobuf_files_{tag}"
     shutil.rmtree(out_dir, ignore_errors=True)
     manifest = write_geobuf_files(

@@ -163,19 +163,27 @@ def cosine_neardup_blocked(emb_df, threshold: float, n_blocks: int = 8,
         ids = pdf["vec_id"].to_numpy()
         blks = pdf["blk"].to_numpy()
         mat = _normalize(_as_matrix(pdf["v"]))
-        sims = mat @ mat.T
-        # one unordered pair per group: ids strictly ordered AND the pair's
-        # block multiset equals this group's key (a (ka, ka) pair inside an
-        # off-diagonal (ka, kb) group belongs to group (ka, ka) instead)
-        hit = (sims >= threshold) & (ids[:, None] < ids[None, :])
-        if ka != kb:
-            hit &= ((blks[:, None] == ka) & (blks[None, :] == kb)) | (
-                (blks[:, None] == kb) & (blks[None, :] == ka)
+        if ka == kb:
+            # diagonal group: all pairs within one block, upper triangle
+            sims = mat @ mat.T
+            hit = (sims >= threshold) & (ids[:, None] < ids[None, :])
+            ai, bi = np.nonzero(hit)
+            return pd.DataFrame(
+                {"id_a": ids[ai], "id_b": ids[bi], "sim": sims[ai, bi]}
             )
+        # off-diagonal: ONLY the cross-block rectangle (an intra-block
+        # pair inside this group belongs to its diagonal group instead) —
+        # computing the full Gram matrix and masking would cost ~4x the
+        # FLOPs of this (n_a, n_b) matmul in the O(n^2 d) hot stage
+        a_sel = blks == ka
+        b_sel = ~a_sel
+        ids_a, ids_b = ids[a_sel], ids[b_sel]
+        sims = mat[a_sel] @ mat[b_sel].T            # (n_a, n_b)
+        hit = sims >= threshold
         ai, bi = np.nonzero(hit)
-        return pd.DataFrame(
-            {"id_a": ids[ai], "id_b": ids[bi], "sim": sims[ai, bi]}
-        )
+        lo = np.minimum(ids_a[ai], ids_b[bi])
+        hi = np.maximum(ids_a[ai], ids_b[bi])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": sims[ai, bi]})
 
     return exploded.groupBy("ka", "kb").applyInPandas(
         group_pairs, "id_a long, id_b long, sim double"
@@ -455,13 +463,10 @@ def pq_topk(codes_df, codebooks: np.ndarray, queries_pdf: pd.DataFrame,
     batch, no per-row Python. Shuffle is O(partitions x Q x k), like
     cosine_topk, but the scanned bytes are m per vector instead of 4d.
     """
-    m, K, dsub = codebooks.shape
+    m = codebooks.shape[0]
     q_ids = queries_pdf["query_id"].to_numpy()
     q_mat = _normalize(_as_matrix(queries_pdf["vec"]))
-    tables = np.empty((len(q_ids), m, K))
-    for j in range(m):
-        qsub = q_mat[:, j * dsub : (j + 1) * dsub]
-        tables[:, j, :] = ((qsub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+    tables = _adc_tables(codebooks, q_mat)
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -528,11 +533,8 @@ def ivfpq_topk(emb_df, queries_pdf: pd.DataFrame, k: int,
         F.broadcast(probed_lists), "list_id"
     ).select("vec_id", "codes", "list_id")
 
-    M, K, dsub = books.shape
-    tables = np.empty((len(q_ids), M, K))
-    for j in range(M):
-        qsub = q_mat[:, j * dsub : (j + 1) * dsub]
-        tables[:, j, :] = ((qsub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+    M = books.shape[0]
+    tables = _adc_tables(books, q_mat)
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -561,61 +563,43 @@ def ivfpq_topk(emb_df, queries_pdf: pd.DataFrame, k: int,
         partial, "query_id long, vec_id long, dist double"
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    # persisted: cand (Q x C rows) feeds BOTH the broadcast distinct-id
+    # subplan and the pairs join — without it the whole ADC pipeline
+    # (codes scan + assignment join + window) re-executes per branch.
+    # Lives until session end / spark.catalog.clearCache().
     cand = (
         partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= n_candidates)
         .select("query_id", "vec_id")
-    )
-    # exact rerank of the candidate pool (broadcast of Q x C ids)
-    cand_vecs = emb_df.select(id_col, vec_col).join(
-        F.broadcast(cand.select("vec_id").distinct()), "vec_id"
-    )
-    pairs = cand.join(cand_vecs, "vec_id")
-    q_index = {int(q): i for i, q in enumerate(q_ids)}
-
-    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            mat = _normalize(_as_matrix(pdf[vec_col]))
-            qi = np.array([q_index[int(q)] for q in pdf["query_id"]])
-            sim = (q_mat[qi] * mat).sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(),
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "sim": sim,
-                }
-            )
-
-    scored = pairs.mapInPandas(rerank, TOPK_SCHEMA)
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "sim")
-    )
+    ).persist()
+    return _exact_rerank(cand, emb_df, queries_pdf, k, id_col, vec_col)
 
 
-def pq_topk_rerank(codes_df, emb_df, codebooks: np.ndarray,
-                   queries_pdf: pd.DataFrame, k: int,
-                   n_candidates: int = 50,
-                   id_col: str = "vec_id", vec_col: str = "embedding"):
-    """PQ candidates + exact rerank (the FAISS refine pattern).
+def _adc_tables(codebooks: np.ndarray, q_mat: np.ndarray) -> np.ndarray:
+    """(n_queries, m, K) squared-distance lookup tables for ADC search."""
+    m, K, dsub = codebooks.shape
+    tables = np.empty((q_mat.shape[0], m, K))
+    for j in range(m):
+        qsub = q_mat[:, j * dsub : (j + 1) * dsub]
+        tables[:, j, :] = (
+            (qsub[:, None, :] - codebooks[j][None, :, :]) ** 2
+        ).sum(axis=2)
+    return tables
 
-    ADC over the m-byte codes proposes ``n_candidates`` per query —
-    the only stage that scans the corpus, at ~m bytes/vector — then the
-    raw vectors of just the Q x C candidate set join back (broadcast of
-    the candidate ids) for an exact cosine rerank. With a candidate pool
-    deep enough to cover the true top-k (empirically C >= 5k here), the
-    result EQUALS exact brute force while reading 32x fewer corpus bytes.
+
+def _exact_rerank(cand, emb_df, queries_pdf: pd.DataFrame, k: int,
+                  id_col: str, vec_col: str):
+    """Exact cosine rerank of a (query_id, vec_id) candidate pool.
+
+    The Q x C candidate ids broadcast into the vectors table (only the
+    candidates' raw vectors are ever read back), then one Arrow pass
+    scores and a window takes the final top-k. Shared by pq_topk_rerank
+    and ivfpq_topk; ``id_col`` normalizes to vec_id so the join key
+    resolves for any input schema.
     """
-    cand = pq_topk(codes_df, codebooks, queries_pdf, k=n_candidates).select(
-        "query_id", "vec_id"
-    )
-    cand_vecs = emb_df.select(id_col, vec_col).join(
-        F.broadcast(cand.select("vec_id").distinct()), "vec_id"
-    )
+    cand_vecs = emb_df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col)
+    ).join(F.broadcast(cand.select("vec_id").distinct()), "vec_id")
     pairs = cand.join(cand_vecs, "vec_id")
     q_ids = queries_pdf["query_id"].to_numpy()
     q_mat = _normalize(_as_matrix(queries_pdf["vec"]))
@@ -643,3 +627,23 @@ def pq_topk_rerank(codes_df, emb_df, codebooks: np.ndarray,
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "sim")
     )
+
+
+def pq_topk_rerank(codes_df, emb_df, codebooks: np.ndarray,
+                   queries_pdf: pd.DataFrame, k: int,
+                   n_candidates: int = 50,
+                   id_col: str = "vec_id", vec_col: str = "embedding"):
+    """PQ candidates + exact rerank (the FAISS refine pattern).
+
+    ADC over the m-byte codes proposes ``n_candidates`` per query —
+    the only stage that scans the corpus, at ~m bytes/vector — then the
+    raw vectors of just the Q x C candidate set join back (broadcast of
+    the candidate ids) for an exact cosine rerank (shared _exact_rerank).
+    With a candidate pool deep enough to cover the true top-k
+    (empirically C >= 5k here), the result EQUALS exact brute force while
+    reading 32x fewer corpus bytes.
+    """
+    cand = pq_topk(codes_df, codebooks, queries_pdf, k=n_candidates).select(
+        "query_id", "vec_id"
+    )
+    return _exact_rerank(cand, emb_df, queries_pdf, k, id_col, vec_col)

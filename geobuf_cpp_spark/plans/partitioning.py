@@ -22,9 +22,12 @@ from ..functions.cells import sql_cell_parent
 # memo for spread()'s split-count probe: getNumPartitions() forces one
 # physical-planning pass per call, which a 100-stage pipeline would pay
 # twice per operator. Keyed by the ANALYZED plan's semanticHash (cheap, no
-# physical planning) — a collision only risks skipping/adding a benign
-# repartition, never a wrong result.
+# physical planning) — the memo is a HINT only: a hash collision or a scan
+# whose underlying files changed mid-session only risks skipping/adding a
+# benign repartition, never a wrong result. Size-capped so a long-lived
+# driver running many distinct plans cannot accrete entries forever.
 _SPREAD_MEMO: dict = {}
+_SPREAD_MEMO_CAP = 512
 
 
 def spread(df: DataFrame, multiple: int = 1, force: bool = False,
@@ -51,6 +54,8 @@ def spread(df: DataFrame, multiple: int = 1, force: bool = False,
             n_splits = _SPREAD_MEMO.get(key)
             if n_splits is None:
                 n_splits = df.rdd.getNumPartitions()
+                if len(_SPREAD_MEMO) >= _SPREAD_MEMO_CAP:
+                    _SPREAD_MEMO.clear()
                 _SPREAD_MEMO[key] = n_splits
         if n_splits >= target:
             return df

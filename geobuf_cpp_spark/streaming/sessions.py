@@ -13,8 +13,10 @@ the next event (deterministic for drain-style tests and backfills).
 Out-of-order arrival ACROSS micro-batches (within a batch, events sort by
 event time first): a late event inside the open session's gap envelope
 [start - gap, last + gap] extends the session both ways (start shrinks to
-min, end grows to max — never rewinds); a late event older than
-``start - gap`` is emitted immediately as its own singleton session. What
+min, end grows to max — never rewinds); late events older than
+``start - gap`` sessionize among themselves with the normal gap rule and
+emit as closed sessions — unless the chain reaches within ``gap`` of the
+open session, in which case it merges (start extends backward). What
 append mode cannot do is retroactively MERGE sessions already emitted —
 exact stream == batch equivalence therefore requires arrivals ordered at
 session granularity (each user's sessions close before older data shows
@@ -99,8 +101,46 @@ def sessionize_stream(events: DataFrame, gap_seconds: float = 1800.0,
         else:
             start = last = None  # type: ignore[assignment]
             n, sv = 0, 0.0
+        # Late events OLDER than the open session's envelope (t < start -
+        # gap) come first in sorted order. They sessionize among THEMSELVES
+        # with the normal gap rule (two mutually-in-gap late events form
+        # ONE session, matching the batch twin), and if the final late
+        # chain reaches within gap of the open session it MERGES into it
+        # instead of emitting.
+        c_start = c_last = None
+        c_n, c_sv = 0, 0.0
         for i in order:
             t, v = ts[i], vals[i]
+            if last is not None and t < start - gap_us:
+                if c_last is None:
+                    c_start, c_last, c_n, c_sv = t, t, 1, v
+                elif t - c_last > gap_us:
+                    out.append(
+                        (user_id, _us_to_ts(c_start), _us_to_ts(c_last),
+                         c_n, c_sv)
+                    )
+                    c_start, c_last, c_n, c_sv = t, t, 1, v
+                else:
+                    c_last = t
+                    c_n += 1
+                    c_sv += v
+                continue
+            if c_last is not None:
+                # first non-late event: resolve the pending late chain —
+                # it can connect to the open session directly OR be
+                # bridged by this event (t is in-envelope, so t <= last +
+                # gap; a chain within gap of t therefore chains through)
+                if start - c_last <= gap_us or t - c_last <= gap_us:
+                    start = c_start  # chain connects -> extend backward
+                    n += c_n
+                    sv += c_sv
+                else:
+                    out.append(
+                        (user_id, _us_to_ts(c_start), _us_to_ts(c_last),
+                         c_n, c_sv)
+                    )
+                c_start = c_last = None
+                c_n, c_sv = 0, 0.0
             if last is None:
                 start, last, n, sv = t, t, 1, v
             elif t > last + gap_us:
@@ -108,10 +148,6 @@ def sessionize_stream(events: DataFrame, gap_seconds: float = 1800.0,
                     (user_id, _us_to_ts(start), _us_to_ts(last), n, sv)
                 )
                 start, last, n, sv = t, t, 1, v
-            elif t < start - gap_us:
-                # late event older than the open session by more than the
-                # gap: a session of its own, already closed — emit now
-                out.append((user_id, _us_to_ts(t), _us_to_ts(t), 1, v))
             else:
                 # in-envelope (possibly late) event: extend both ways —
                 # the session end never rewinds on out-of-order arrival
@@ -119,6 +155,16 @@ def sessionize_stream(events: DataFrame, gap_seconds: float = 1800.0,
                 last = max(last, t)
                 n += 1
                 sv += v
+        if c_last is not None:
+            # batch held only pre-envelope events: merge or emit the chain
+            if start - c_last <= gap_us:
+                start = c_start
+                n += c_n
+                sv += c_sv
+            else:
+                out.append(
+                    (user_id, _us_to_ts(c_start), _us_to_ts(c_last), c_n, c_sv)
+                )
         state.update((start, last, n, sv))
         if flush_after_ms:
             state.setTimeoutDuration(flush_after_ms)

@@ -132,10 +132,12 @@ def test_sessionize_stream_late_arrivals(spark, tmp_path):
         [(1, t(0), 7, "view", 1.0, ""), (2, t(40), 7, "view", 2.0, "")], schema
     )
     # batch b: t=20s is LATE but inside the envelope -> extends to n=3;
-    # t=-200s is older than start - gap -> closed singleton, emitted now;
-    # t=200s opens a new session, closing [0s, 40s]
+    # t=-200s and t=-170s are older than start - gap AND mutually in-gap
+    # -> ONE closed two-event session (matching the batch twin), emitted
+    # now; t=200s opens a new session, closing [0s..40s]
     b = spark.createDataFrame(
         [(3, t(20), 7, "view", 4.0, ""), (4, t(-200), 7, "view", 8.0, ""),
+         (6, t(-170), 7, "view", 32.0, ""),
          (5, t(200), 7, "view", 16.0, "")], schema
     )
     src = str(tmp_path / "late_src")
@@ -175,9 +177,54 @@ def test_sessionize_stream_late_arrivals(spark, tmp_path):
         for r in got.itertuples(index=False)
     )
     assert rows == [
-        (t(-200), t(-200), 1, 8.0),
+        (t(-200), t(-170), 2, 40.0),
         (t(0), t(40), 3, 7.0),
     ]
+
+
+def test_sessionize_stream_late_chain_merges_into_open(spark, tmp_path):
+    """A late chain that reaches within the gap of the open session MERGES
+    into it (start extends backward) instead of emitting separately."""
+    import datetime as dt
+
+    from geobuf_cpp_spark.streaming.events import read_event_stream
+    from geobuf_cpp_spark.streaming.sessions import sessionize_stream
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    t = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    a = spark.createDataFrame([(1, t(0), 7, "view", 1.0, "")], schema)
+    # chain -150s -> -100s -> -50s: each link within gap=60, and -50s is
+    # within gap of the open session's start (0s) -> one merged session
+    b = spark.createDataFrame(
+        [(2, t(-150), 7, "view", 2.0, ""), (3, t(-100), 7, "view", 4.0, ""),
+         (4, t(-50), 7, "view", 8.0, ""),
+         (5, t(500), 7, "view", 16.0, "")], schema
+    )
+    src = str(tmp_path / "merge_src")
+    a.coalesce(1).write.parquet(os.path.join(src, "a"))
+    b.coalesce(1).write.parquet(os.path.join(src, "b"))
+
+    stream = read_event_stream(spark, src + "/*", max_files_per_trigger=1)
+    q = (
+        sessionize_stream(stream, gap_seconds=60.0)
+        .writeStream.format("memory")
+        .queryName("merge_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "merge_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("merge_sessions").toPandas()
+    finally:
+        q.stop()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert int(r["n_events"]) == 4 and float(r["sum_value"]) == 15.0
 
 
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
