@@ -392,10 +392,24 @@ def q_geobuf_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("geom"),
         F.create_map(F.lit("src"), F.lit('"orders"')).alias("properties"),
     )
+    import glob
     import os
 
     # pid-suffixed scratch dir: a concurrent run (bench vs gate) over the
-    # same sf_dir must not rmtree files another process's lazy scan reads
+    # same sf_dir must not rmtree files another process's lazy scan reads.
+    # Dead-pid leftovers from prior runs are reaped here so repeated
+    # bench/gate invocations cannot accumulate sink output unboundedly.
+    for old in glob.glob("/root/repo/.scratch/geobuf_files_*_*"):
+        try:
+            pid = int(old.rsplit("_", 1)[-1])
+        except ValueError:
+            continue
+        try:
+            os.kill(pid, 0)  # raises if the owning process is gone
+        except ProcessLookupError:
+            shutil.rmtree(old, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid: leave it
     tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
     out_dir = f"/root/repo/.scratch/geobuf_files_{tag}"
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -759,15 +773,9 @@ def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
-def q_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PRUNED-probe IVF (nprobe=2 of 16 lists) on the planted-cluster
-    table, gated against exact SQL top-k — the operating point the
-    full-probe ann_ivf gate cannot reach on the isotropic driver corpus.
-    Cluster size 40 >= k=10 and within/cross margin ~0.96 guarantee the
-    probed lists contain the exact answer."""
-    import pandas as pd  # noqa: F401
-
-    from geobuf_cpp_spark.operators.ann import build_ivf, ivf_topk
+def _planted_with_queries(spark: SparkSession):
+    """(planted DataFrame, first-20 query pandas frame) — shared by every
+    planted-cluster gate."""
     from geobuf_cpp_spark.sources.planted import planted_spark_sql
 
     planted = spark.sql(planted_spark_sql())
@@ -775,9 +783,21 @@ def q_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         planted.filter(F.col("vec_id") < 20).orderBy("vec_id").toPandas()
         .rename(columns={"vec_id": "query_id", "embedding": "vec"})
     )
+    return planted, qp[["query_id", "vec"]]
+
+
+def q_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRUNED-probe IVF (nprobe=2 of 16 lists) on the planted-cluster
+    table, gated against exact SQL top-k — the operating point the
+    full-probe ann_ivf gate cannot reach on the isotropic driver corpus.
+    Cluster size 40 >= k=10 and within/cross margin ~0.96 guarantee the
+    probed lists contain the exact answer."""
+    from geobuf_cpp_spark.operators.ann import build_ivf, ivf_topk
+
+    planted, qp = _planted_with_queries(spark)
     centroids, assignments = build_ivf(planted, n_lists=16)
     return ivf_topk(
-        planted, assignments, centroids, qp[["query_id", "vec"]], k=10, nprobe=2
+        planted, assignments, centroids, qp, k=10, nprobe=2
     ).select("query_id", "rank", "vec_id")
 
 
@@ -788,15 +808,10 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL top-k as ivf_pruned. Cluster size 40 >= candidate pool coverage of
     the true top-10 (within/cross margin ~0.96)."""
     from geobuf_cpp_spark.operators.ann import ivfpq_topk
-    from geobuf_cpp_spark.sources.planted import planted_spark_sql
 
-    planted = spark.sql(planted_spark_sql())
-    qp = (
-        planted.filter(F.col("vec_id") < 20).orderBy("vec_id").toPandas()
-        .rename(columns={"vec_id": "query_id", "embedding": "vec"})
-    )
+    planted, qp = _planted_with_queries(spark)
     return ivfpq_topk(
-        planted, qp[["query_id", "vec"]], k=10, n_lists=16, nprobe=2,
+        planted, qp, k=10, n_lists=16, nprobe=2,
         m=8, kcode=16, n_candidates=50,
     ).select("query_id", "rank", "vec_id")
 
@@ -939,6 +954,16 @@ def oracle_sql() -> dict[str, str]:
     from geobuf_cpp_spark.sources.planted import planted_duckdb_sql
 
     _PLANTED_DUCK = planted_duckdb_sql()
+    _PLANTED_EXACT_TOPK = (
+        f"WITH emb AS ({_PLANTED_DUCK}), "
+        "q AS (SELECT vec_id AS query_id, embedding AS qv FROM emb "
+        "WHERE vec_id < 20) "
+        "SELECT query_id, rank, vec_id FROM ("
+        "SELECT q.query_id, e.vec_id, "
+        "ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY "
+        "list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id ASC) AS rank "
+        "FROM q CROSS JOIN emb e) t WHERE rank <= 10"
+    )
     rt = sql_roundtrip(["lon", "lat"], MAX_PRECISION)
 
     from geobuf_cpp_spark.functions.sql_codec import (
@@ -1249,29 +1274,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM emb a JOIN emb b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.7"
         ),
-        # IVF-PQ + rerank equals exact on the planted clusters — same
-        # oracle as ivf_pruned (both prune to nprobe=2 and restore
-        # exactness, one via raw vectors, one via codes + rerank)
-        "ivfpq_topk": (
-            f"WITH emb AS ({_PLANTED_DUCK}), "
-            "q AS (SELECT vec_id AS query_id, embedding AS qv FROM emb "
-            "WHERE vec_id < 20) "
-            "SELECT query_id, rank, vec_id FROM ("
-            "SELECT q.query_id, e.vec_id, "
-            "ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY "
-            "list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id ASC) AS rank "
-            "FROM q CROSS JOIN emb e) t WHERE rank <= 10"
-        ),
-        "ivf_pruned": (
-            f"WITH emb AS ({_PLANTED_DUCK}), "
-            "q AS (SELECT vec_id AS query_id, embedding AS qv FROM emb "
-            "WHERE vec_id < 20) "
-            "SELECT query_id, rank, vec_id FROM ("
-            "SELECT q.query_id, e.vec_id, "
-            "ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY "
-            "list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id ASC) AS rank "
-            "FROM q CROSS JOIN emb e) t WHERE rank <= 10"
-        ),
+        # both pruned gates share ONE exact-top-k oracle over the planted
+        # table: ivf_pruned restores exactness via raw vectors, ivfpq_topk
+        # via codes + rerank — editing the contract edits both
+        "ivfpq_topk": _PLANTED_EXACT_TOPK,
+        "ivf_pruned": _PLANTED_EXACT_TOPK,
         # independent exact-Jaccard reimplementation over exploded shingle
         # sets — no MinHash anywhere on the oracle side. The LSH output
         # equals this set on any corpus whose qualifying pairs clear the

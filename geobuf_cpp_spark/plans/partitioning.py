@@ -21,12 +21,17 @@ from ..functions.cells import sql_cell_parent
 
 # memo for spread()'s split-count probe: getNumPartitions() forces one
 # physical-planning pass per call, which a 100-stage pipeline would pay
-# twice per operator. Keyed by the ANALYZED plan's semanticHash (cheap, no
-# physical planning) — the memo is a HINT only: a hash collision or a scan
-# whose underlying files changed mid-session only risks skipping/adding a
-# benign repartition, never a wrong result. Size-capped so a long-lived
-# driver running many distinct plans cannot accrete entries forever.
-_SPREAD_MEMO: dict = {}
+# twice per operator. Outer key: the SparkSession itself via a WEAK
+# reference — a stopped session's entries evict with it and a recycled
+# object address can never serve another session's counts. Inner key: the
+# ANALYZED plan's semanticHash (cheap, no physical planning). The memo is
+# a HINT only: a hash collision or a scan whose underlying files changed
+# mid-session only risks skipping/adding a benign repartition, never a
+# wrong result. Inner dicts are size-capped so a long-lived session
+# running many distinct plans cannot accrete entries forever.
+import weakref
+
+_SPREAD_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 _SPREAD_MEMO_CAP = 512
 
 
@@ -50,13 +55,14 @@ def spread(df: DataFrame, multiple: int = 1, force: bool = False,
     target = df.sparkSession.sparkContext.defaultParallelism * multiple
     if not force:
         if n_splits is None:
-            key = (id(df.sparkSession), df.semanticHash())
-            n_splits = _SPREAD_MEMO.get(key)
+            per_session = _SPREAD_MEMO.setdefault(df.sparkSession, {})
+            key = df.semanticHash()
+            n_splits = per_session.get(key)
             if n_splits is None:
                 n_splits = df.rdd.getNumPartitions()
-                if len(_SPREAD_MEMO) >= _SPREAD_MEMO_CAP:
-                    _SPREAD_MEMO.clear()
-                _SPREAD_MEMO[key] = n_splits
+                if len(per_session) >= _SPREAD_MEMO_CAP:
+                    per_session.clear()
+                per_session[key] = n_splits
         if n_splits >= target:
             return df
     return df.repartition(target)

@@ -15,8 +15,9 @@ event time first): a late event inside the open session's gap envelope
 [start - gap, last + gap] extends the session both ways (start shrinks to
 min, end grows to max — never rewinds); late events older than
 ``start - gap`` sessionize among themselves with the normal gap rule and
-emit as closed sessions — unless the chain reaches within ``gap`` of the
-open session, in which case it merges (start extends backward). What
+emit as closed sessions — unless an in-envelope event BRIDGES the chain
+into the open session (chain within ``gap`` of that event), in which case
+the session merges and its start extends backward. What
 append mode cannot do is retroactively MERGE sessions already emitted —
 exact stream == batch equivalence therefore requires arrivals ordered at
 session granularity (each user's sessions close before older data shows
@@ -126,12 +127,13 @@ def sessionize_stream(events: DataFrame, gap_seconds: float = 1800.0,
                     c_sv += v
                 continue
             if c_last is not None:
-                # first non-late event: resolve the pending late chain —
-                # it can connect to the open session directly OR be
-                # bridged by this event (t is in-envelope, so t <= last +
-                # gap; a chain within gap of t therefore chains through)
-                if start - c_last <= gap_us or t - c_last <= gap_us:
-                    start = c_start  # chain connects -> extend backward
+                # first non-late event: resolve the pending late chain.
+                # The chain's last event is < start - gap by construction
+                # (it can never connect to the open session DIRECTLY), but
+                # this event can BRIDGE them: t is in-envelope, so a chain
+                # within gap of t chains through it into the session.
+                if t - c_last <= gap_us:
+                    start = c_start  # bridged -> extend backward
                     n += c_n
                     sv += c_sv
                 else:
@@ -156,15 +158,12 @@ def sessionize_stream(events: DataFrame, gap_seconds: float = 1800.0,
                 n += 1
                 sv += v
         if c_last is not None:
-            # batch held only pre-envelope events: merge or emit the chain
-            if start - c_last <= gap_us:
-                start = c_start
-                n += c_n
-                sv += c_sv
-            else:
-                out.append(
-                    (user_id, _us_to_ts(c_start), _us_to_ts(c_last), c_n, c_sv)
-                )
+            # batch held only pre-envelope events: the chain is closed by
+            # construction (its last event is > gap before the open
+            # session's start, and nothing bridged it) — emit it
+            out.append(
+                (user_id, _us_to_ts(c_start), _us_to_ts(c_last), c_n, c_sv)
+            )
         state.update((start, last, n, sv))
         if flush_after_ms:
             state.setTimeoutDuration(flush_after_ms)

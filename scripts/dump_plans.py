@@ -175,56 +175,23 @@ def main() -> None:
 def aqe_skew_section(spark) -> None:
     """Runtime (not static) evidence: AQE skew-join SPLITS a hot key.
 
-    Skew handling only appears in the EXECUTED adaptive plan, so this
-    section runs the join (JVM-side, no rows to the driver) with
-    sandbox-scaled thresholds — the detection/split mechanism is the same
-    one a 100 TB run relies on at the production 256 MB threshold. Also
-    asserted by tests/test_spark_pipeline.py::test_aqe_skew_join_splits_hot_key.
+    The scenario lives in plans.aqe_demo and is shared with
+    tests/test_spark_pipeline.py::test_aqe_skew_join_splits_hot_key —
+    one definition, so the doc and the assertion cannot drift.
     """
-    conf = spark.conf
-    saved = {
-        k: conf.get(k, None)
-        for k in (
-            "spark.sql.autoBroadcastJoinThreshold",
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            "spark.sql.adaptive.coalescePartitions.enabled",
-        )
-    }
-    try:
-        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        conf.set(
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
-        )
-        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
-        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-        left = spark.range(0, 200_000).selectExpr(
-            "CASE WHEN id % 20 > 0 THEN CAST(0 AS BIGINT) "
-            "ELSE id % 97 END AS cell",
-            "id AS row_id",
-        )
-        right = spark.range(0, 97).selectExpr("id AS cell", "id * 10 AS weight")
-        joined = left.join(right, "cell")
-        joined._jdf.queryExecution().executedPlan().execute().count()
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        print("## AQE skew join — runtime split of a hot key\n")
-        print("One key carries 95% of the left side; the FINAL adaptive "
-              "plan (post-execution) shows the skewed sort-merge join and "
-              "the split shuffle read (thresholds sandbox-scaled; "
-              "mechanism identical at the 256 MB production default).\n")
-        print("```")
-        for line in plan.splitlines():
-            if re.search(r"skew=true|AQEShuffleRead|isFinalPlan", line):
-                print(line.rstrip()[:160])
-        print("```\n")
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                conf.unset(k)
-            else:
-                conf.set(k, v)
+    from geobuf_cpp_spark.plans.aqe_demo import run_skew_join_demo
+
+    _, plan = run_skew_join_demo(spark)
+    print("## AQE skew join — runtime split of a hot key\n")
+    print("One key carries 95% of the left side; the FINAL adaptive "
+          "plan (post-execution) shows the skewed sort-merge join and "
+          "the split shuffle read (thresholds sandbox-scaled; "
+          "mechanism identical at the 256 MB production default).\n")
+    print("```")
+    for line in plan.splitlines():
+        if re.search(r"skew=true|AQEShuffleRead|isFinalPlan", line):
+            print(line.rstrip()[:160])
+    print("```\n")
 
 
 if __name__ == "__main__":

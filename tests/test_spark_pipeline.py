@@ -434,54 +434,17 @@ def test_pip_join_salt_spreads_hot_cell(spark, features):
 def test_aqe_skew_join_splits_hot_key(spark):
     """The north rule's skew claim, exercised end to end: AQE must SPLIT a
     deliberately hot join key at runtime. Sandbox volumes cannot reach the
-    production thresholds (256 MB), so the thresholds scale down — the
-    mechanism under test (skew detection + partition splitting in the
-    final adaptive plan) is the same one a 100 TB run relies on."""
-    conf = spark.conf
-    saved = {
-        k: conf.get(k, None)
-        for k in (
-            "spark.sql.autoBroadcastJoinThreshold",
-            "spark.sql.adaptive.skewJoin.enabled",
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            "spark.sql.adaptive.coalescePartitions.enabled",
-        )
-    }
-    try:
-        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
-        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-        conf.set(
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
-        )
-        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
-        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-        # one cell carries 95% of the left side — the city-skew shape
-        left = spark.range(0, 200_000).selectExpr(
-            "CASE WHEN id % 20 > 0 THEN CAST(0 AS BIGINT) "
-            "ELSE id % 97 END AS cell",
-            "id AS row_id",
-        )
-        right = spark.range(0, 97).selectExpr(
-            "id AS cell", "id * 10 AS weight"
-        )
-        joined = left.join(right, "cell")
-        # execute THIS query execution (count() would plan a separate
-        # aggregate query and leave this one's adaptive plan unfinalized)
-        n = joined._jdf.queryExecution().executedPlan().execute().count()
-        assert n == 200_000
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "isFinalPlan=true" in plan
-        assert "skew=true" in plan, plan[:2000]
-        assert "AQEShuffleRead skewed" in plan, plan[:2000]
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                conf.unset(k)
-            else:
-                conf.set(k, v)
+    production thresholds (256 MB), so the shared demo scales them down —
+    the mechanism under test (skew detection + partition splitting in the
+    final adaptive plan) is the same one a 100 TB run relies on. The same
+    scenario generates the PLANS.md evidence (plans.aqe_demo)."""
+    from geobuf_cpp_spark.plans.aqe_demo import run_skew_join_demo
+
+    n, plan = run_skew_join_demo(spark)
+    assert n == 200_000
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, plan[:2000]
+    assert "AQEShuffleRead skewed" in plan, plan[:2000]
 
 
 def test_knn_distributed_boundary_tie_uses_fallback(spark):
