@@ -343,6 +343,11 @@ def dedup_clusters(docs_df, pairs_df, id_col: str = "doc_id"):
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     labels = labels.persist()
+    # Convergence check: labels only ever DECREASE under min-propagation,
+    # so the label sum is strictly monotone until the fixpoint — one
+    # aggregate per round instead of an old-vs-new join. Summed in
+    # decimal(38,0) so corpus-scale id sums cannot overflow/wrap.
+    prev_sum = None
     while True:
         nbr = (
             edges.join(
@@ -365,13 +370,14 @@ def dedup_clusters(docs_df, pairs_df, id_col: str = "doc_id"):
             )
             .persist()
         )
-        changed = new_labels.join(
-            labels.withColumnRenamed("lbl", "old"), "id"
-        ).filter("lbl != old").count()
+        cur_sum = new_labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     return labels.select(
         F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
