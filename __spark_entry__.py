@@ -872,6 +872,85 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_RADIUS = 100          # centidegrees (1°) — ~5.5k pairs at sf0.01
+CHUNK_WORDS = 8             # CCNet-style "paragraph" width (no newlines
+                            # in the driver corpus — see chunk_dedup doc)
+
+# deterministic PII injection — the driver corpus is a clean vocabulary,
+# so both engines append the same synthetic email/IP/phone per doc and
+# the scrubber is exercised on every row. ONE SQL text, run verbatim by
+# Spark (selectExpr) and DuckDB (CTE), so the input is bit-identical.
+PII_TEXT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS STRING) || '@ex' || "
+    "CAST(doc_id % 7 AS STRING) || '.com via 10.' || "
+    "CAST(doc_id % 200 AS STRING) || '.0.' || CAST(doc_id % 250 AS STRING) "
+    "|| ' tel +1 555-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')"
+)
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked distance self-join: all point pairs within 1°.
+
+    The scale story vs the oracle's brute force: DuckDB compares
+    O(n²) pairs; the Spark plan shuffles each side once on the
+    radius-sized cell key and only compares within 3x3 neighborhoods.
+    """
+    from geobuf_cpp_spark.operators.range_join import range_self_join
+
+    _prep(spark, sf_dir, "orders")
+    return range_self_join(spark.sql(P.IPOINTS_SELECT), RANGE_RADIUS)
+
+
+def q_trajectory_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user GPS-track stats over the events ping stream."""
+    from geobuf_cpp_spark.operators.trajectory import path_stats
+
+    _prep(spark, sf_dir, "events")
+    return path_stats(spark.sql(P.IPINGS_SELECT))
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style sub-document dedup: global first-occurrence keep over
+    8-word chunks; per-doc survival counts."""
+    from geobuf_cpp_spark.operators.dedup import chunk_dedup
+
+    _prep(spark, sf_dir, "documents")
+    return chunk_dedup(spark.table("documents"), chunk_words=CHUNK_WORDS)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc token repetition counts (integer-exact)."""
+    from geobuf_cpp_spark.operators.textstats import repetition_stats
+
+    _prep(spark, sf_dir, "documents")
+    return repetition_stats(spark.table("documents"))
+
+
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy: per-doc sum/min of corpus token
+    frequencies (the integer twin of mean log-probability)."""
+    from geobuf_cpp_spark.operators.textstats import token_rarity
+
+    _prep(spark, sf_dir, "documents")
+    return token_rarity(spark.table("documents"))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction over the (deterministically PII-injected)
+    corpus; counts + redacted-text fingerprint."""
+    from geobuf_cpp_spark.operators.pii import scrub_pii
+
+    _prep(spark, sf_dir, "documents")
+    injected = spark.table("documents").selectExpr(
+        "doc_id", f"{PII_TEXT_SQL} AS text"
+    )
+    return scrub_pii(injected).select(
+        "doc_id", "n_emails", "n_ips", "n_phones",
+        F.md5("clean_text").alias("clean_fp"),
+        F.length("clean_text").cast("long").alias("n_chars_clean"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -945,12 +1024,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "media_stats": q_media_stats,
         "media_features": q_media_features,
+        "range_join": q_range_join,
+        "trajectory_len": q_trajectory_len,
+        "chunk_dedup": q_chunk_dedup,
+        "repetition_stats": q_repetition_stats,
+        "token_rarity": q_token_rarity,
+        "pii_scrub": q_pii_scrub,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from geobuf_cpp_spark.functions.sql_codec import sql_point_feature_size
     from geobuf_cpp_spark.operators.multimodal import sql_media_meta
+    from geobuf_cpp_spark.operators.pii import (
+        EMAIL_RE as _PII_EMAIL,
+        IPV4_RE as _PII_IP,
+        PHONE_RE as _PII_PHONE,
+    )
     from geobuf_cpp_spark.sources.planted import planted_duckdb_sql
 
     _PLANTED_DUCK = planted_duckdb_sql()
@@ -1331,5 +1421,93 @@ def oracle_sql() -> dict[str, str]:
         "media_features": (
             f"WITH m AS ({sql_media_meta(MEDIA_N)}) "
             "SELECT media_id, kind, width, height FROM m"
+        ),
+        # brute-force O(n²) distance join — exact BIGINT arithmetic on
+        # the integer lattice, so the grid-blocked Spark plan must match
+        # the pair set bit-for-bit
+        "range_join": (
+            f"WITH p AS ({P.IPOINTS_SELECT}) "
+            "SELECT a.point_id AS id_a, b.point_id AS id_b, "
+            "(a.ix-b.ix)*(a.ix-b.ix)+(a.iy-b.iy)*(a.iy-b.iy) AS d2 "
+            "FROM p a JOIN p b ON a.point_id < b.point_id "
+            "WHERE (a.ix-b.ix)*(a.ix-b.ix)+(a.iy-b.iy)*(a.iy-b.iy) "
+            f"<= {RANGE_RADIUS * RANGE_RADIUS}"
+        ),
+        # lag-window twin; floor(sqrt(int)) is portable because IEEE-754
+        # sqrt is correctly rounded and every d2 < 2^53
+        "trajectory_len": (
+            f"WITH p AS ({P.IPINGS_SELECT}), "
+            "l AS (SELECT user_id, ix, iy, "
+            "lag(ix) OVER w AS px, lag(iy) OVER w AS py, "
+            "ROW_NUMBER() OVER w AS rn FROM p "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, rn, ix, iy, "
+            "CAST(FLOOR(SQRT(CAST((ix-px)*(ix-px)+(iy-py)*(iy-py) "
+            "AS DOUBLE))) AS BIGINT) AS step FROM l) "
+            "SELECT user_id, CAST(count(*) - 1 AS BIGINT) AS n_steps, "
+            "CAST(coalesce(sum(step), 0) AS BIGINT) AS path_len, "
+            "CAST(FLOOR(SQRT(CAST("
+            "(min_by(ix, rn) - max_by(ix, rn)) * (min_by(ix, rn) - max_by(ix, rn)) + "
+            "(min_by(iy, rn) - max_by(iy, rn)) * (min_by(iy, rn) - max_by(iy, rn)) "
+            "AS DOUBLE))) AS BIGINT) AS net_disp "
+            "FROM s GROUP BY user_id"
+        ),
+        # independent chunking via DuckDB list_slice + global
+        # first-occurrence window — same (doc_id, chunk_idx) keep rule
+        "chunk_dedup": (
+            "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks "
+            "FROM documents), "
+            "c AS (SELECT doc_id, toks, unnest(generate_series(0, "
+            f"CAST(ceil(len(toks) / {CHUNK_WORDS}.0) AS INT) - 1)) AS chunk_idx "
+            "FROM t), "
+            "ch AS (SELECT doc_id, chunk_idx, array_to_string(list_slice(toks, "
+            f"chunk_idx * {CHUNK_WORDS} + 1, chunk_idx * {CHUNK_WORDS} + {CHUNK_WORDS}), ' ') AS chunk "
+            "FROM c), "
+            "h AS (SELECT doc_id, chunk_idx, md5(chunk) AS h, "
+            "len(string_split(chunk, ' ')) AS n_words FROM ch WHERE chunk <> ''), "
+            "r AS (SELECT doc_id, n_words, ROW_NUMBER() OVER ("
+            "PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn FROM h) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, "
+            "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+            "CAST(sum(CASE WHEN rn = 1 THEN n_words ELSE 0 END) AS BIGINT) "
+            "AS kept_words FROM r GROUP BY doc_id"
+        ),
+        "repetition_stats": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) "
+            "AS tok FROM documents), "
+            "c AS (SELECT doc_id, tok, count(*) AS c FROM w "
+            "WHERE tok <> '' GROUP BY 1, 2) "
+            "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+            "CAST(count(*) AS BIGINT) AS n_distinct, "
+            "CAST(sum(c) - count(*) AS BIGINT) AS n_dup_tokens, "
+            "CAST(max(c) AS BIGINT) AS top_token_count "
+            "FROM c GROUP BY doc_id"
+        ),
+        "token_rarity": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) "
+            "AS tok FROM documents), "
+            "t AS (SELECT doc_id, tok FROM w WHERE tok <> ''), "
+            "v AS (SELECT tok, count(*) AS corpus_freq FROM t GROUP BY tok) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(corpus_freq) AS BIGINT) AS freq_sum, "
+            "CAST(min(corpus_freq) AS BIGINT) AS min_freq "
+            "FROM t JOIN v USING (tok) GROUP BY doc_id"
+        ),
+        # independent RE2 reimplementation of the scrub (Java regex on
+        # the Spark side) — the shared pattern subset has identical
+        # semantics in both engines; counts are stage-consistent
+        "pii_scrub": (
+            f"WITH t AS (SELECT doc_id, {PII_TEXT_SQL} AS text FROM documents), "
+            "s1 AS (SELECT doc_id, text, "
+            f"regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1 FROM t), "
+            "s2 AS (SELECT doc_id, text, t1, "
+            f"regexp_replace(t1, '{_PII_IP}', '<IP>', 'g') AS t2 FROM s1) "
+            "SELECT doc_id, "
+            f"CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails, "
+            f"CAST(len(regexp_extract_all(t1, '{_PII_IP}')) AS BIGINT) AS n_ips, "
+            f"CAST(len(regexp_extract_all(t2, '{_PII_PHONE}')) AS BIGINT) AS n_phones, "
+            f"md5(regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g')) AS clean_fp, "
+            f"CAST(length(regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g')) AS BIGINT) "
+            "AS n_chars_clean FROM s2"
         ),
     }

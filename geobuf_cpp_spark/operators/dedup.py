@@ -491,3 +491,54 @@ def simhash_pairs(docs_df, id_col: str = "doc_id", text_col: str = "text",
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def chunk_dedup(docs_df, chunk_words: int = 8,
+                id_col: str = "doc_id", text_col: str = "text"):
+    """Sub-document (CCNet-style paragraph) dedup over fixed word chunks.
+
+    Web corpora repeat at the PARAGRAPH level (boilerplate, quoted
+    reposts) far more than at whole-document level; CCNet dedups on
+    normalized paragraph hashes. The driver corpus has no newlines, so
+    the "paragraph" here is a deterministic chunk of ``chunk_words``
+    consecutive whitespace tokens (last chunk may be short).
+
+    Keep rule: a chunk survives iff it is the globally FIRST occurrence
+    of its text, ordering by (doc_id, chunk_idx) — exactly CCNet's
+    first-writer-wins over a corpus-wide hash partition.
+
+    Output per doc: (doc_id, n_chunks, n_kept, kept_words) — BIGINTs.
+
+    Plan: split -> chunk (JVM transform over token array, no Python) ->
+    one hash-keyed shuffle for the global first-occurrence window ->
+    per-doc re-agg. The window per hash group is tiny (duplicate count),
+    so no skew pathology; a pathological 10^9-copy chunk is still one
+    (hash, min(doc,idx)) reduction away — swap row_number for a min_by
+    semi-join if a corpus ever hits that.
+    """
+    from pyspark.sql import Window
+
+    w = int(chunk_words)
+    chunks = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(
+            "posexplode(transform("
+            f"  sequence(0, CAST(ceil(size(split(trim({text_col}), ' ')) / {w}.0) AS INT) - 1),"
+            f"  i -> array_join(slice(split(trim({text_col}), ' '), i * {w} + 1, {w}), ' ')"
+            "))"
+        ).alias("chunk_idx", "chunk"),
+    ).filter(F.col("chunk") != "")
+    hashed = chunks.select(
+        "doc_id", "chunk_idx",
+        F.md5(F.col("chunk")).alias("h"),
+        (F.size(F.split(F.col("chunk"), " "))).cast("long").alias("n_words"),
+    )
+    first = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    kept = hashed.withColumn("rn", F.row_number().over(first))
+    return kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_words")).otherwise(0))
+        .cast("long").alias("kept_words"),
+    )

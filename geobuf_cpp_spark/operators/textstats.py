@@ -163,3 +163,62 @@ def top_terms(docs_df, k: int = 10, id_col: str = "doc_id",
         .filter(F.col("rn") <= k)
         .select("lang", "term", "doc_freq", "rn")
     )
+
+
+def repetition_stats(docs_df, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition signals, integer-exact.
+
+    Per document: total tokens, distinct tokens, duplicate tokens
+    (n_tokens - n_distinct), and the count of the single most frequent
+    token (the "top unigram mass" numerator; Rae et al. 2021 filter on
+    its fraction). All counts are BIGINTs, so the oracle compare is
+    drift-free; callers form ratios downstream.
+
+    Plan: split -> explode -> (doc, token) count -> per-doc agg. Two
+    shuffles, both map-side combinable; the exploded rows are a narrow
+    (id, token) pair — at 100 TB this is the same shape as the tokenizer
+    pass the corpus already pays.
+    """
+    toks = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        (F.sum("c") - F.count("*")).cast("long").alias("n_dup_tokens"),
+        F.max("c").cast("long").alias("top_token_count"),
+    )
+
+
+def token_rarity(docs_df, id_col: str = "doc_id", text_col: str = "text"):
+    """Unigram-LM quality proxy without float logs: per-document sum and
+    min of CORPUS token frequencies.
+
+    A true unigram log-probability needs ln(count/total) — libm drift
+    across engines. The integer twin carries the same signal monotonely:
+    docs of rare tokens get a small freq_sum / min_freq, boilerplate of
+    stop-words gets a huge one. Downstream thresholds bucket on the
+    exact integers.
+
+    Plan: one corpus-wide token count (map-side combinable shuffle), then
+    a frequency join back onto the exploded tokens. The vocabulary side
+    of the join is language-sized (<< corpus) — Spark broadcasts it under
+    AQE once its post-agg size is known, so the join-back is shuffle-free
+    on the big side.
+    """
+    toks = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("corpus_freq"))
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("corpus_freq").cast("long").alias("freq_sum"),
+            F.min("corpus_freq").cast("long").alias("min_freq"),
+        )
+    )

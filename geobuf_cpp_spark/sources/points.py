@@ -89,3 +89,22 @@ def boxes_as_wire_polygons(spark, sf_dir: str):
             }
         )
     return pd.DataFrame(rows)
+
+
+# integer centidegree lattice — same spread multipliers, but kept in
+# BIGINT space end-to-end so distance predicates are exact cross-engine
+# (range join, trajectory steps: no float compare at the boundary)
+IPOINT_X_SQL = "(o_orderkey * 7919) % 36000"
+IPOINT_Y_SQL = "(o_orderkey * 9973) % 17000"
+IPOINTS_SELECT = (
+    "SELECT o_orderkey AS point_id, "
+    f"{IPOINT_X_SQL} AS ix, {IPOINT_Y_SQL} AS iy FROM orders"
+)
+
+# events as a synthetic ping stream (trajectory workloads): one integer
+# lattice point per event, entity = user_id, ordered by (ts, event_id)
+IPINGS_SELECT = (
+    "SELECT event_id, user_id, ts, "
+    "(event_id * 7919) % 36000 AS ix, "
+    "(event_id * 9973) % 17000 AS iy FROM events"
+)
