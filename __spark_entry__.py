@@ -935,6 +935,30 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_rarity(spark.table("documents"))
 
 
+def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style n-gram-overlap decontamination against the held-out
+    10% hash split — drops partial copies exact-hash decontamination
+    keeps."""
+    from geobuf_cpp_spark.operators.dedup import ngram_decontaminate
+
+    _prep(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    split = (F.col("doc_id") * 2654435761) % 4294967296
+    held = docs.where(split < 429496730)
+    train = docs.where(split >= 429496730)
+    return ngram_decontaminate(train, held, n=5).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def q_tile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-tile clipping: nation boxes cut to the z=5 tile grid."""
+    from geobuf_cpp_spark.operators.tiles import clip_boxes_to_tiles
+
+    _prep(spark, sf_dir, "nation")
+    return clip_boxes_to_tiles(spark.sql(P.BOXES_SELECT), TILE_STATS_Z)
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex PII redaction over the (deterministically PII-injected)
     corpus; counts + redacted-text fingerprint."""
@@ -1030,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "token_rarity": q_token_rarity,
         "pii_scrub": q_pii_scrub,
+        "ngram_decontaminate": q_ngram_decontaminate,
+        "tile_clip": q_tile_clip,
     }
 
 
@@ -1077,6 +1103,22 @@ def oracle_sql() -> dict[str, str]:
         "SELECT cell_prefix, count(*) AS n_features, "
         f"{_q_sum('lon')} AS qlon_sum, {_q_sum('lat')} AS qlat_sum "
         "FROM p3 GROUP BY cell_prefix"
+    )
+    from geobuf_cpp_spark.operators.tiles import sql_box_tile_clip
+
+    _clip = sql_box_tile_clip(TILE_STATS_Z)
+    _TILE_CLIP_ORACLE = (
+        f"WITH {BOXES_CTE}, "
+        "bx AS (SELECT admin_id, lon0, lat0, lon1, lat1, "
+        f"unnest(generate_series({_clip['tx0']}, {_clip['tx1']})) AS tx "
+        "FROM boxes), "
+        "bxy AS (SELECT admin_id, lon0, lat0, lon1, lat1, tx, "
+        f"unnest(generate_series({_clip['ty0']}, {_clip['ty1']})) AS ty "
+        "FROM bx) "
+        f"SELECT admin_id, CAST({TILE_STATS_Z} AS INT) AS z, tx, ty, "
+        f"{_clip['w']} AS clip_w, {_clip['h']} AS clip_h, "
+        f"({_clip['w']}) * ({_clip['h']}) AS clip_area "
+        f"FROM bxy WHERE {_clip['w']} > 0 AND {_clip['h']} > 0"
     )
     size_model = sql_point_feature_size("lon", "lat", MAX_PRECISION)
     occ = lambda lit: (  # noqa: E731 — occurrence count, portable
@@ -1510,4 +1552,20 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(length(regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g')) AS BIGINT) "
             "AS n_chars_clean FROM s2"
         ),
+        # independent gram construction (list_slice) + NOT EXISTS — no
+        # md5 digest on the oracle side, the raw gram strings join
+        "ngram_decontaminate": (
+            "WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t, "
+            "lang, n_chars, (doc_id * 2654435761) % 4294967296 < 429496730 "
+            "AS held FROM documents), "
+            "g AS (SELECT doc_id, held, array_to_string("
+            "list_slice(t, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS gram "
+            "FROM (SELECT doc_id, held, t, "
+            "unnest(generate_series(1, len(t) - 4)) AS i FROM toks) x), "
+            "hg AS (SELECT DISTINCT gram FROM g WHERE held) "
+            "SELECT doc_id, lang, n_chars FROM toks d WHERE NOT held "
+            "AND NOT EXISTS (SELECT 1 FROM g JOIN hg USING (gram) "
+            "WHERE g.doc_id = d.doc_id)"
+        ),
+        "tile_clip": _TILE_CLIP_ORACLE,
     }

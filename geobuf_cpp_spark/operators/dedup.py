@@ -398,6 +398,39 @@ def decontaminate(train_df, heldout_df, text_col: str = "text"):
     return train.join(seen, "_fp", "left_anti").drop("_fp")
 
 
+def ngram_decontaminate(train_df, heldout_df, n: int = 5,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """N-gram-overlap decontamination (the GPT-3 recipe): drop a training
+    document if it shares ANY word n-gram with the held-out set — far
+    stricter than exact-text matching, which misses partial copies and
+    quote-level leakage.
+
+    Plan: both sides explode to (doc, md5(n-gram)); the held-out gram set
+    is DISTINCT and benchmark-sized, so the contaminated-id probe is a
+    broadcast semi join on the digest — the training corpus shuffles
+    ZERO bytes; then a broadcast anti join removes the contaminated ids.
+    With a pathological held-out side both joins degrade to hash
+    shuffles on the 16-byte digest, never on text.
+    """
+    w = int(n)
+    # CASE guard: sequence(1, 0) in Spark is the DESCENDING [1, 0], so a
+    # doc shorter than n words must yield an empty gram array explicitly
+    grams = F.expr(
+        f"explode(CASE WHEN size(split(trim({text_col}), ' ')) >= {w} THEN "
+        f"transform(sequence(1, size(split(trim({text_col}), ' ')) - {w - 1}),"
+        f" i -> md5(array_join(slice(split(trim({text_col}), ' '), i, {w}), ' '))) "
+        "ELSE array() END)"
+    )
+    held_grams = heldout_df.select(grams.alias("g")).distinct()
+    train_grams = train_df.select(F.col(id_col).alias("_tid"), grams.alias("g"))
+    contaminated = (
+        train_grams.join(held_grams, "g", "left_semi").select("_tid").distinct()
+    )
+    return train_df.join(
+        contaminated, train_df[id_col] == contaminated["_tid"], "left_anti"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

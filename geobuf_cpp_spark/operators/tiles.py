@@ -107,3 +107,60 @@ def vectorize_raster(raster_df, grid: int = 16):
             )
 
     return raster_df.mapInPandas(vectorize, VECTOR_SCHEMA)
+
+
+def sql_box_tile_clip(z: int) -> dict:
+    """Shared clip formulas (SQL text) for axis-aligned boxes against the
+    z-level equirectangular tile grid — executed verbatim by Spark and
+    the DuckDB oracle, so the clip arithmetic cannot drift.
+
+    Tile width/height (360/2^z, 180/2^z degrees) are exact binary
+    doubles for any practical z, and the clip is min/max/subtract on the
+    shared inputs — deterministic IEEE arithmetic in both engines.
+    Half-open boxes [lo, hi): a box touching a tile only at its boundary
+    clips to width 0 and is filtered out.
+    """
+    n = 1 << z
+    tw = repr(360.0 / n)
+    th = repr(180.0 / n)
+    return {
+        "tx0": sql_equirect_tile_x("lon0", z),
+        "tx1": sql_equirect_tile_x("lon1", z),
+        "ty0": sql_equirect_tile_y("lat1", z),   # top edge -> smallest ty
+        "ty1": sql_equirect_tile_y("lat0", z),
+        "w": (f"LEAST(lon1, (tx + 1) * {tw} - 180.0) - "
+              f"GREATEST(lon0, tx * {tw} - 180.0)"),
+        "h": (f"LEAST(lat1, 90.0 - ty * {th}) - "
+              f"GREATEST(lat0, 90.0 - (ty + 1) * {th})"),
+    }
+
+
+def clip_boxes_to_tiles(boxes_df, z: int):
+    """Vector-tile clipping: intersect each box with every tile it
+    overlaps, emitting per-(box, tile) clipped extents — the cut stage of
+    tile materialization (a feature crossing tile borders is stored
+    per-tile, clipped to the tile's bounds).
+
+    Plan: two nested JVM sequence-explodes bounded by the box's own tile
+    span (a box spanning t tiles emits exactly t rows — no corpus-wide
+    fan-out), then pure arithmetic. At 100 TB the output is repartitioned
+    on (z, tx, ty) downstream so each tile's clipped features co-locate
+    for encoding; no join, no Python anywhere.
+    """
+    q = sql_box_tile_clip(z)
+    return (
+        boxes_df.selectExpr(
+            "admin_id", "lon0", "lat0", "lon1", "lat1",
+            f"explode(sequence({q['tx0']}, {q['tx1']})) AS tx",
+        )
+        .selectExpr(
+            "admin_id", "lon0", "lat0", "lon1", "lat1", "tx",
+            f"explode(sequence({q['ty0']}, {q['ty1']})) AS ty",
+        )
+        .selectExpr(
+            "admin_id", f"CAST({z} AS INT) AS z", "tx", "ty",
+            f"{q['w']} AS clip_w", f"{q['h']} AS clip_h",
+            f"({q['w']}) * ({q['h']}) AS clip_area",
+        )
+        .where("clip_w > 0 AND clip_h > 0")
+    )

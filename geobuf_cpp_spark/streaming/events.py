@@ -49,12 +49,17 @@ def windowed_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, checkpoint: str):
-    """Drain all available input into an in-memory table (test/dev sink)."""
+def run_to_memory(stream_df: DataFrame, name: str, checkpoint: str,
+                  output_mode: str = "complete"):
+    """Drain all available input into an in-memory table (test/dev sink).
+
+    ``complete`` suits aggregations; row-level operators (dedup, maps)
+    only support ``append``.
+    """
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .start()
     )

@@ -13,8 +13,15 @@ def test_queries_and_oracles_key_aligned():
 
 
 def test_oracles_are_nonempty_sql():
+    import re
+
     import __spark_entry__ as E
 
     for name, sql in E.oracle_sql().items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
-        assert "{" not in sql, f"{name}: unformatted placeholder left in SQL"
+        # catch unformatted f-string placeholders like {threshold} while
+        # allowing regex quantifier braces like {1,3} / {2,} in patterns
+        leftover = re.search(r"\{[A-Za-z_][A-Za-z_0-9]*\}", sql)
+        assert not leftover, (
+            f"{name}: unformatted placeholder {leftover and leftover.group()}"
+        )

@@ -226,3 +226,84 @@ def test_text_ops_stay_jvm_side(spark):
     for op in (chunk_dedup, scrub_pii, repetition_stats, token_rarity):
         plan = op(df)._jdf.queryExecution().executedPlan().toString()
         assert "PythonUDF" not in plan and "ArrowEval" not in plan, op.__name__
+
+
+# ---------------------------------------------------------------------------
+# n-gram decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_decontaminate_catches_partial_copies(spark):
+    from geobuf_cpp_spark.operators.dedup import (
+        decontaminate, ngram_decontaminate,
+    )
+
+    held = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # exact copy — both methods drop it
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            # PARTIAL copy (shares the 5-gram "beta gamma delta epsilon
+            # zeta") — only the n-gram method drops it
+            (2, "intro beta gamma delta epsilon zeta outro words"),
+            # clean doc
+            (3, "completely different sentence with fresh words here"),
+            # shorter than n words — must not crash, must survive
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    exact_ids = {r.doc_id for r in decontaminate(train, held).collect()}
+    ngram_ids = {r.doc_id
+                 for r in ngram_decontaminate(train, held, n=5).collect()}
+    assert exact_ids == {2, 3, 4}
+    assert ngram_ids == {3, 4}
+
+
+# ---------------------------------------------------------------------------
+# tile clipping
+# ---------------------------------------------------------------------------
+
+
+def test_clip_boxes_area_conservation(spark):
+    from geobuf_cpp_spark.operators.tiles import clip_boxes_to_tiles
+
+    boxes = [
+        (0, -180.0, -85.0, -168.0, -76.0),   # corner of the grid
+        (1, -3.0, -2.0, 14.0, 7.5),          # straddles tile borders
+        (2, 0.0, 0.0, 11.25, 5.625),         # EXACTLY one z=5 tile
+        (3, 100.1, 20.2, 100.2, 20.3),       # strictly inside one tile
+    ]
+    df = spark.createDataFrame(
+        boxes, "admin_id long, lon0 double, lat0 double, "
+        "lon1 double, lat1 double"
+    )
+    out = clip_boxes_to_tiles(df, 5).collect()
+    # conservation: per-box clipped area sums to the box area
+    got = {}
+    for r in out:
+        got[r.admin_id] = got.get(r.admin_id, 0.0) + r.clip_area
+        assert r.clip_w > 0 and r.clip_h > 0
+        assert 0 <= r.tx < 32 and 0 <= r.ty < 32
+    for aid, lon0, lat0, lon1, lat1 in boxes:
+        assert abs(got[aid] - (lon1 - lon0) * (lat1 - lat0)) < 1e-9, aid
+    # the exactly-one-tile box emits exactly one row (half-open bounds)
+    assert sum(1 for r in out if r.admin_id == 2) == 1
+    assert sum(1 for r in out if r.admin_id == 3) == 1
+
+
+def test_clip_boxes_plan_no_join_no_python(spark):
+    from geobuf_cpp_spark.operators.tiles import clip_boxes_to_tiles
+
+    df = spark.range(20).selectExpr(
+        "id AS admin_id", "CAST(id AS DOUBLE) AS lon0",
+        "CAST(id AS DOUBLE) AS lat0", "CAST(id + 15 AS DOUBLE) AS lon1",
+        "CAST(id + 12 AS DOUBLE) AS lat1",
+    )
+    plan = clip_boxes_to_tiles(df, 5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan

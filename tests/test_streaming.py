@@ -349,3 +349,36 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
 
     assert len(got) > 0, "no sessions closed during the stream"
     assert norm(got) == norm(closed[key + ["sum_value"]])
+
+
+def test_dedup_stream_emits_each_text_once(spark, tmp_path):
+    from geobuf_cpp_spark.streaming.dedup_stream import (
+        dedup_stream, read_doc_stream,
+    )
+    from geobuf_cpp_spark.streaming.events import run_to_memory
+
+    # docs land in doc_id order across three files; ids 0-9 unique texts,
+    # 10-14 duplicate texts of 0-4 (later arrivals — must not re-emit)
+    rows = [(i, f"2024-01-01 0{i % 10}:00:00", f"text number {i % 10}",
+             "en", "src") for i in range(15)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, ts string, text string, lang string, source string"
+    ).selectExpr("doc_id", "CAST(ts AS TIMESTAMP) AS ts", "text", "lang",
+                 "source")
+    src = str(tmp_path / "docs_src")
+    df.filter("doc_id < 5").coalesce(1).write.parquet(src + "/a")
+    df.filter("doc_id >= 5 AND doc_id < 10").coalesce(1).write.parquet(src + "/b")
+    df.filter("doc_id >= 10").coalesce(1).write.parquet(src + "/c")
+
+    stream = read_doc_stream(spark, src + "/*", max_files_per_trigger=1)
+    q = run_to_memory(dedup_stream(stream), "dedup_docs",
+                      str(tmp_path / "ckpt_dedup"), output_mode="append")
+    try:
+        got = spark.table("dedup_docs").toPandas()
+    finally:
+        q.stop()
+
+    # exactly one row per distinct text, and it is the FIRST arrival
+    assert len(got) == 10
+    assert sorted(got["text"]) == sorted(f"text number {i}" for i in range(10))
+    assert set(got["doc_id"]) == set(range(10))
