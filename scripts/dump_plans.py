@@ -168,6 +168,61 @@ def main() -> None:
         E.q_lsh_neardup(spark, SF_DIR),
         [r"hashpartitioning\(band|hashpartitioning\(ka|SortMergeJoin|BroadcastHashJoin", r"MapInPandas"],
     )
+    section(
+        "range_join — grid-blocked distance join, no cartesian product",
+        "The 3x3 neighbor fan-out is a JVM Generate over a narrow key "
+        "triple; the candidates meet in ONE equi-join on the cell key "
+        "(hash exchange each side, AQE-splittable) and the exact distance "
+        "test is a codegen filter. No CartesianProduct / "
+        "BroadcastNestedLoopJoin exists — the O(n²) shape the brute-force "
+        "oracle pays never appears.",
+        E.q_range_join(spark, SF_DIR),
+        [r"Generate", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin",
+         r"CartesianProduct|NestedLoop"],
+    )
+    section(
+        "trajectory_len — one key exchange, lag window, no join",
+        "Track stats plan as a single hashpartitioning on the entity key "
+        "followed by Window (lag + row_number share the frame) and a "
+        "final aggregate; no Join node, no Python.",
+        E.q_trajectory_len(spark, SF_DIR),
+        [r"Window", r"hashpartitioning", r"Join"],
+    )
+    section(
+        "chunk_dedup — JVM chunking, digest-keyed global window",
+        "Chunk construction is transform/slice inside WholeStageCodegen "
+        "(no Python); the first-occurrence rule is ONE exchange on the "
+        "chunk digest with a bounded per-key window.",
+        E.q_chunk_dedup(spark, SF_DIR),
+        [r"Generate", r"hashpartitioning", r"Window",
+         r"MapInPandas|ArrowEvalPython|BatchEvalPython"],
+    )
+    section(
+        "ngram_decontaminate — corpus never shuffles, digests broadcast",
+        "The held-out gram set reduces to a DISTINCT digest table that "
+        "BROADCASTS into a semi join against the training grams; the "
+        "contaminated-id set broadcasts again into the anti join. The "
+        "training corpus itself is never exchanged.",
+        E.q_ngram_decontaminate(spark, SF_DIR),
+        [r"BroadcastHashJoin.*LeftSemi|LeftSemi.*Broadcast",
+         r"BroadcastHashJoin.*LeftAnti|LeftAnti.*Broadcast", r"Exchange"],
+    )
+    section(
+        "tile_clip — bounded explode, pure arithmetic, no join",
+        "Each box generates exactly its own tile span (two nested "
+        "Generates), then the clip is codegen min/max arithmetic; no "
+        "join, no Python, no shuffle at all.",
+        E.q_tile_clip(spark, SF_DIR),
+        [r"Generate", r"WholeStageCodegen", r"Join|Exchange"],
+    )
+    section(
+        "pii_scrub — full-corpus regex scan inside codegen",
+        "All three count/redact regex passes fuse into one Project over "
+        "the scan inside WholeStageCodegen; no Python operator appears.",
+        E.q_pii_scrub(spark, SF_DIR),
+        [r"WholeStageCodegen", r"ReadSchema",
+         r"MapInPandas|ArrowEvalPython|BatchEvalPython"],
+    )
     aqe_skew_section(spark)
     spark.stop()
 
