@@ -935,6 +935,20 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_rarity(spark.table("documents"))
 
 
+STRATA_RATES = {"en": 0.25, "zh": 0.8, "es": 0.8, "de": 0.8, "fr": 0.8}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: deterministic per-language sampling rates
+    (downsample the dominant language, keep the tail)."""
+    from geobuf_cpp_spark.operators.curation import stratified_sample
+
+    _prep(spark, sf_dir, "documents")
+    return stratified_sample(
+        spark.table("documents"), STRATA_RATES
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3-style n-gram-overlap decontamination against the held-out
     10% hash split — drops partial copies exact-hash decontamination
@@ -1056,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "ngram_decontaminate": q_ngram_decontaminate,
         "tile_clip": q_tile_clip,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1104,7 +1119,10 @@ def oracle_sql() -> dict[str, str]:
         f"{_q_sum('lon')} AS qlon_sum, {_q_sum('lat')} AS qlat_sum "
         "FROM p3 GROUP BY cell_prefix"
     )
+    from geobuf_cpp_spark.operators.curation import sql_stratified_keep
     from geobuf_cpp_spark.operators.tiles import sql_box_tile_clip
+
+    _strat_keep = sql_stratified_keep("doc_id", "lang", STRATA_RATES)
 
     _clip = sql_box_tile_clip(TILE_STATS_Z)
     _TILE_CLIP_ORACLE = (
@@ -1568,4 +1586,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE g.doc_id = d.doc_id)"
         ),
         "tile_clip": _TILE_CLIP_ORACLE,
+        # the predicate text is BUILT ONCE (operators.curation) and run
+        # verbatim by both engines — exact integer hash thresholds
+        "stratified_sample": (
+            "SELECT doc_id, lang, n_chars FROM documents WHERE "
+            + _strat_keep
+        ),
     }

@@ -1,0 +1,50 @@
+"""Corpus curation — deterministic stratified sampling (mixture rates).
+
+Training-corpus construction reweights strata (language, source,
+quality bucket) to target proportions. The sampler must be
+deterministic, partition-count-invariant, and cheap at 100 TB: a
+multiplicative hash of the row id against a per-stratum threshold —
+no shuffle, no RNG state, pure codegen filter. Re-running the job, or
+running it at different parallelism, selects the IDENTICAL sample
+(the property plans/partitioning.py's doc_sample also relies on).
+
+The hash is the Knuth multiplicative scheme over 2^32; thresholds are
+exact integers (rate expressed in parts-per-2^32), so both engines
+evaluate the same BIGINT comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+KNUTH = 2654435761
+MOD = 4294967296
+
+
+def stratum_threshold(rate: float) -> int:
+    """Exact integer threshold for a sampling rate in [0, 1]."""
+    return int(rate * MOD)
+
+
+def sql_stratified_keep(id_col: str, stratum_col: str,
+                        rates: dict[str, float],
+                        default_rate: float = 0.0) -> str:
+    """Portable SQL predicate: keep row iff hash(id) < threshold(stratum).
+
+    Built once, executed verbatim by Spark and the DuckDB oracle.
+    """
+    cases = " ".join(
+        f"WHEN '{k}' THEN {stratum_threshold(v)}" for k, v in rates.items()
+    )
+    thr = (f"CASE {stratum_col} {cases} "
+           f"ELSE {stratum_threshold(default_rate)} END")
+    return f"({id_col} * {KNUTH}) % {MOD} < {thr}"
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      id_col: str = "doc_id", stratum_col: str = "lang",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Keep each stratum at its target rate, deterministically."""
+    return df.where(
+        F.expr(sql_stratified_keep(id_col, stratum_col, rates, default_rate))
+    )

@@ -307,3 +307,152 @@ def test_clip_boxes_plan_no_join_no_python(spark):
         .executedPlan().toString()
     assert "Join" not in plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+# ---------------------------------------------------------------------------
+# simplification
+# ---------------------------------------------------------------------------
+
+
+def _dp_recursive(pts, tol):
+    """Independent recursive reference implementation."""
+    import numpy as np
+
+    n = len(pts)
+    if n <= 2:
+        return np.ones(n, dtype=bool) if n == 2 else np.array([True])
+    a, b = np.asarray(pts[0]), np.asarray(pts[-1])
+    ab = b - a
+    denom = float(ab @ ab)
+    best, bi = -1.0, -1
+    for i in range(1, n - 1):
+        p = np.asarray(pts[i])
+        if denom == 0.0:
+            d2 = float(((p - a) ** 2).sum())
+        else:
+            t = min(max(float((p - a) @ ab) / denom, 0.0), 1.0)
+            proj = a + t * ab
+            d2 = float(((p - proj) ** 2).sum())
+        if d2 > best:
+            best, bi = d2, i
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    if best > tol * tol:
+        left = _dp_recursive(pts[: bi + 1], tol)
+        right = _dp_recursive(pts[bi:], tol)
+        keep[: bi + 1] |= left
+        keep[bi:] |= right
+    return keep
+
+
+def test_dp_mask_matches_recursive_reference():
+    import numpy as np
+
+    from geobuf_cpp_spark.operators.simplify import dp_mask
+
+    rng = [(i, ((i * 37) % 23) - 11 + (0.01 * i if i % 5 else 0))
+           for i in range(200)]
+    pts = np.asarray(rng, dtype=float)
+    for tol in (0.5, 2.0, 8.0, 100.0):
+        got = dp_mask(pts, tol)
+        ref = _dp_recursive(pts, tol)
+        assert (got == ref).all(), tol
+
+
+def test_dp_error_bound_and_endpoints():
+    import numpy as np
+
+    from geobuf_cpp_spark.operators.simplify import dp_mask
+
+    pts = np.asarray(
+        [(i, ((i * 91) % 47) * 0.25) for i in range(500)], dtype=float
+    )
+    tol = 3.0
+    keep = dp_mask(pts, tol)
+    assert keep[0] and keep[-1]
+    kept_idx = np.where(keep)[0]
+    # every dropped vertex within tol of the kept edge that covers it
+    for a_i, b_i in zip(kept_idx, kept_idx[1:]):
+        a, b = pts[a_i], pts[b_i]
+        ab = b - a
+        denom = float(ab @ ab)
+        for m in range(a_i + 1, b_i):
+            p = pts[m]
+            t = min(max(float((p - a) @ ab) / denom, 0.0), 1.0) if denom else 0.0
+            proj = a + t * ab
+            assert float(((p - proj) ** 2).sum()) <= tol * tol + 1e-9
+
+
+def test_simplify_wire_polygon_ring_validity():
+    import numpy as np
+
+    from geobuf_cpp_spark.operators.simplify import simplify_wire
+
+    # a noisy square ring, closed, 17 points
+    sq = []
+    for k in range(4):
+        x0, y0 = [(0, 0), (10, 0), (10, 10), (0, 10)][k]
+        x1, y1 = [(10, 0), (10, 10), (0, 10), (0, 0)][k]
+        for s in range(4):
+            f = s / 4.0
+            sq.append((x0 + (x1 - x0) * f + 0.05 * ((k * 4 + s) % 3),
+                       y0 + (y1 - y0) * f))
+    sq.append(sq[0])
+    coords = [c for p in sq for c in p]
+    lengths, flat = simplify_wire(4, 2, [17], coords, tol=0.5)
+    assert lengths[0] >= 4
+    mat = np.asarray(flat).reshape(-1, 2)
+    assert (mat[0] == mat[-1]).all()          # still closed
+    assert lengths[0] < 17                    # actually simplified
+
+
+def test_simplify_lines_spark_roundtrip(spark):
+    from geobuf_cpp_spark.operators.simplify import simplify_lines
+
+    line = {"type": 2, "dim": 2, "lengths": [6],
+            "coords": [0.0, 0.0, 1.0, 0.01, 2.0, -0.01, 3.0, 0.0,
+                       4.0, 5.0, 5.0, 5.0]}
+    point = {"type": 0, "dim": 2, "lengths": [], "coords": [7.0, 8.0]}
+    df = spark.createDataFrame(
+        [(1, line), (2, point)],
+        "id long, geom struct<type:int, dim:int, lengths:array<int>, "
+        "coords:array<double>>",
+    )
+    out = {r.id: r.geom for r in simplify_lines(df, 0.1).collect()}
+    # collinear-ish prefix collapses; the corner at (3,0) and ends survive
+    assert out[1]["coords"] == [0.0, 0.0, 3.0, 0.0, 4.0, 5.0, 5.0, 5.0]
+    assert out[1]["lengths"] == [4]
+    assert out[2]["coords"] == [7.0, 8.0]     # points pass through
+
+
+def test_simplify_idempotent_on_fixtures():
+    from geobuf_cpp_spark.operators.simplify import simplify_wire
+
+    coords = [c for i in range(300)
+              for c in (float(i), float(((i * 53) % 29) - 14))]
+    l1, c1 = simplify_wire(2, 2, [300], coords, tol=2.5)
+    l2, c2 = simplify_wire(2, 2, l1, c1, tol=2.5)
+    assert l1 == l2 and c1 == c2
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_rates_and_partition_invariance(spark):
+    from geobuf_cpp_spark.operators.curation import stratified_sample
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(9000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 0.1, "de": 0.5}          # fr falls to default 0.0
+    got = stratified_sample(df, rates).groupBy("lang").count().collect()
+    by_lang = {r.lang: r["count"] for r in got}
+    assert "fr" not in by_lang
+    assert abs(by_lang["en"] / 3000 - 0.1) < 0.03
+    assert abs(by_lang["de"] / 3000 - 0.5) < 0.03
+    # identical selection regardless of layout
+    ids_1 = {r.doc_id for r in stratified_sample(df, rates).collect()}
+    ids_2 = {r.doc_id
+             for r in stratified_sample(df.repartition(17), rates).collect()}
+    assert ids_1 == ids_2
