@@ -935,6 +935,28 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_rarity(spark.table("documents"))
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format pivot: per-user event-type count matrix.
+
+    Implemented as conditional aggregation (count_if per type) rather
+    than ``groupBy().pivot()``: the built-in pivot plans TWO exchanges
+    ((user, type) pre-count, then pivot_first on user), while this form
+    is one map-side-combinable aggregate around a SINGLE user-key
+    exchange — half the shuffle at 100 TB. Equivalence with `.pivot()`
+    is pytest-asserted.
+    """
+    _prep(spark, sf_dir, "events")
+    return spark.table("events").groupBy("user_id").agg(
+        *[
+            F.count_if(F.col("event_type") == t).alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ]
+    )
+
+
 STRATA_RATES = {"en": 0.25, "zh": 0.8, "es": 0.8, "de": 0.8, "fr": 0.8}
 
 
@@ -1071,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_decontaminate": q_ngram_decontaminate,
         "tile_clip": q_tile_clip,
         "stratified_sample": q_stratified_sample,
+        "event_pivot": q_event_pivot,
     }
 
 
@@ -1591,5 +1614,15 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": (
             "SELECT doc_id, lang, n_chars FROM documents WHERE "
             + _strat_keep
+        ),
+        # conditional-aggregation twin of the pivot
+        "event_pivot": (
+            "SELECT user_id, "
+            + ", ".join(
+                "CAST(sum(CASE WHEN event_type = '" + t + "' THEN 1 ELSE 0 "
+                "END) AS BIGINT) AS n_" + t
+                for t in EVENT_TYPES
+            )
+            + " FROM events GROUP BY user_id"
         ),
     }

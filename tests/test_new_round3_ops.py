@@ -456,3 +456,25 @@ def test_stratified_sample_rates_and_partition_invariance(spark):
     ids_2 = {r.doc_id
              for r in stratified_sample(df.repartition(17), rates).collect()}
     assert ids_1 == ids_2
+
+
+def test_event_pivot_single_aggregate_no_join(spark):
+    from pyspark.sql import functions as FN
+
+    import __spark_entry__ as E
+
+    df = E.q_event_pivot(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1      # one user-key shuffle only
+    # equivalence with Spark's built-in pivot (which plans 2 exchanges)
+    evs = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    piv = (
+        evs.groupBy("user_id").pivot("event_type", E.EVENT_TYPES).count()
+        .select(
+            "user_id",
+            *[FN.coalesce(FN.col(t), FN.lit(0)).cast("long").alias(f"n_{t}")
+              for t in E.EVENT_TYPES],
+        )
+    )
+    assert df.exceptAll(piv).count() == 0 and piv.exceptAll(df).count() == 0
