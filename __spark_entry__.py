@@ -936,6 +936,33 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel completion per user (view -> click -> purchase):
+    single-pass running-min windows, ONE key shuffle for any step count
+    — never the k-way self-join naive SQL pays."""
+    from geobuf_cpp_spark.operators.funnel import funnel_earliest
+
+    _prep(spark, sf_dir, "events")
+    return funnel_earliest(spark.table("events"), FUNNEL_STEPS)
+
+
+def q_cell_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 neighbor-sum density smoothing over the coarse cell raster —
+    convolution on the aggregated counts, O(9·cells) not O(points)."""
+    from geobuf_cpp_spark.operators.tiles import smooth_cell_counts
+
+    _prep(spark, sf_dir, "orders")
+    counts = (
+        spark.sql(P.IPOINTS_SELECT)
+        .selectExpr(f"ix div {RANGE_RADIUS} AS ix",
+                    f"iy div {RANGE_RADIUS} AS iy")
+        .groupBy("ix", "iy")
+        .agg(F.count("*").alias("n_points"))
+    )
+    return smooth_cell_counts(counts)
 
 
 def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1094,6 +1121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_clip": q_tile_clip,
         "stratified_sample": q_stratified_sample,
         "event_pivot": q_event_pivot,
+        "funnel": q_funnel,
+        "cell_smooth": q_cell_smooth,
     }
 
 
@@ -1624,5 +1653,38 @@ def oracle_sql() -> dict[str, str]:
                 for t in EVENT_TYPES
             )
             + " FROM events GROUP BY user_id"
+        ),
+        # chained running-min windows, one CTE per step (a window alias
+        # cannot be referenced inside its own SELECT), identical frame
+        "funnel": (
+            "WITH e AS (SELECT user_id, event_id, ts, event_type FROM events), "
+            "s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END) "
+            "OVER w AS t_1 FROM e WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)), "
+            "s2 AS (SELECT *, min(CASE WHEN event_type = 'click' "
+            "AND t_1 IS NOT NULL AND ts >= t_1 THEN ts END) "
+            "OVER w AS t_2 FROM s1 WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)), "
+            "s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' "
+            "AND t_2 IS NOT NULL AND ts >= t_2 THEN ts END) "
+            "OVER w AS t_3 FROM s2 WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)) "
+            "SELECT user_id, min(t_1) AS t_1, min(t_2) AS t_2, "
+            "min(t_3) AS t_3 FROM s3 GROUP BY user_id"
+        ),
+        # convolution on the aggregated counts: 9-offset fan-out of the
+        # cell table, re-sum, inner-join back to real cells
+        "cell_smooth": (
+            "WITH p AS (SELECT (o_orderkey * 7919) % 36000 AS px, "
+            "(o_orderkey * 9973) % 17000 AS py FROM orders), "
+            "c AS (SELECT px // 100 AS ix, py // 100 AS iy, "
+            "count(*) AS n_points FROM p GROUP BY 1, 2), "
+            "o AS (SELECT unnest([-1, 0, 1]) AS dx), "
+            "o2 AS (SELECT unnest([-1, 0, 1]) AS dy), "
+            "sm AS (SELECT c.ix + dx AS ix, c.iy + dy AS iy, "
+            "sum(n_points) AS s FROM c, o, o2 GROUP BY 1, 2) "
+            "SELECT c.ix, c.iy, CAST(c.n_points AS BIGINT) AS n_points, "
+            "CAST(sm.s AS BIGINT) AS smoothed "
+            "FROM c JOIN sm ON sm.ix = c.ix AND sm.iy = c.iy"
         ),
     }

@@ -164,3 +164,37 @@ def clip_boxes_to_tiles(boxes_df, z: int):
         )
         .where("clip_w > 0 AND clip_h > 0")
     )
+
+
+def smooth_cell_counts(counts_df, x_col: str = "ix", y_col: str = "iy",
+                       n_col: str = "n_points"):
+    """Raster smoothing: 3x3 neighbor-sum convolution over a sparse cell
+    grid (the density-surface step between counting and rendering).
+
+    The kernel runs on the AGGREGATED counts table, not the points: each
+    count row fans out to the 9 cells it contributes to (narrow
+    (cell, n) pairs), then one groupBy re-sums. Cost is O(9 · n_cells),
+    independent of the point count — the right order of operations at
+    100 TB where points >> cells. Edge cells simply receive fewer
+    contributions (no phantom zero-padding); grid wraparound (dateline)
+    is the caller's ghost-cell duplication, as with range_join.
+    """
+    off = F.expr("explode(transform(sequence(0, 8), i -> "
+                 "struct(i div 3 - 1 AS dx, i % 3 - 1 AS dy)))")
+    contrib = counts_df.select(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y"),
+        F.col(n_col).alias("_n"), off.alias("o"),
+    ).select(
+        (F.col("_x") + F.col("o.dx")).alias(x_col),
+        (F.col("_y") + F.col("o.dy")).alias(y_col),
+        F.col("_n"),
+    )
+    smoothed = contrib.groupBy(x_col, y_col).agg(
+        F.sum("_n").cast("long").alias("smoothed")
+    )
+    # keep only real cells (ones that have their own count), attaching
+    # the original density next to the smoothed one
+    return counts_df.join(smoothed, on=[x_col, y_col]).select(
+        x_col, y_col, F.col(n_col).cast("long").alias(n_col),
+        "smoothed",
+    )

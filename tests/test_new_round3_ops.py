@@ -478,3 +478,81 @@ def test_event_pivot_single_aggregate_no_join(spark):
         )
     )
     assert df.exceptAll(piv).count() == 0 and piv.exceptAll(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# funnel / raster smoothing
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_in_order_semantics(spark):
+    from geobuf_cpp_spark.operators.funnel import (
+        funnel_counts, funnel_earliest,
+    )
+
+    rows = [
+        # user 1 completes in order: view(1) click(3) purchase(5)
+        (10, 1, 1.0, "view"), (11, 1, 3.0, "click"), (12, 1, 5.0, "purchase"),
+        # user 2 out of order: click before any view -> stops at view
+        (20, 2, 1.0, "click"), (21, 2, 2.0, "view"), (22, 2, 3.0, "purchase"),
+        # user 3: purchase before click -> completes steps 1-2 only
+        (30, 3, 1.0, "view"), (31, 3, 2.0, "purchase"), (32, 3, 3.0, "click"),
+        # user 4: never views
+        (40, 4, 1.0, "click"), (41, 4, 2.0, "purchase"),
+        # user 5: repeat views; earliest chain counted
+        (50, 5, 1.0, "view"), (51, 5, 2.0, "view"), (52, 5, 2.5, "click"),
+        (53, 5, 9.0, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts double, event_type string"
+    )
+    steps = ["view", "click", "purchase"]
+    got = {r.user_id: (r.t_1, r.t_2, r.t_3)
+           for r in funnel_earliest(df, steps, ts_col="ts").collect()}
+    assert got[1] == (1.0, 3.0, 5.0)
+    assert got[2] == (2.0, None, None)      # click at 1.0 precedes view
+    assert got[3] == (1.0, 3.0, None)       # purchase(2.0) precedes click
+    assert got[4] == (None, None, None)
+    assert got[5] == (1.0, 2.5, 9.0)
+    counts = funnel_counts(df, steps, ts_col="ts").collect()[0]
+    assert (counts.n_step1, counts.n_step2, counts.n_step3) == (4, 3, 2)
+    # horizon: user 5's purchase at 9.0 is outside a 5s window of t_1
+    h = {r.user_id: r.t_3 for r in funnel_earliest(
+        df, steps, ts_col="ts", horizon_s=5.0).collect()}
+    assert h[5] is None and h[1] == 5.0
+
+
+def test_funnel_single_shuffle(spark):
+    from geobuf_cpp_spark.operators.funnel import funnel_earliest
+
+    df = spark.range(100).selectExpr(
+        "id AS event_id", "id % 10 AS user_id",
+        "CAST(id AS DOUBLE) AS ts",
+        "CASE id % 3 WHEN 0 THEN 'view' WHEN 1 THEN 'click' "
+        "ELSE 'purchase' END AS event_type",
+    )
+    plan = funnel_earliest(df, ["view", "click", "purchase"], ts_col="ts") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # one exchange for the window key + one for the final groupBy on the
+    # same key (Catalyst reuses the partitioning: count real exchanges)
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_smooth_cell_counts_scalar_oracle(spark):
+    from geobuf_cpp_spark.operators.tiles import smooth_cell_counts
+
+    cells = [(0, 0, 1), (1, 0, 10), (2, 0, 100), (0, 1, 1000), (5, 5, 7)]
+    df = spark.createDataFrame(cells, "ix long, iy long, n_points long")
+    got = {(r.ix, r.iy): (r.n_points, r.smoothed)
+           for r in smooth_cell_counts(df).collect()}
+    by_pos = {(x, y): n for x, y, n in cells}
+
+    def ref(x, y):
+        return sum(by_pos.get((x + dx, y + dy), 0)
+                   for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+
+    assert set(got) == set(by_pos)           # only real cells survive
+    for (x, y), (n, s) in got.items():
+        assert n == by_pos[(x, y)] and s == ref(x, y), (x, y)
+    assert got[(5, 5)] == (7, 7)             # isolated cell = own count
