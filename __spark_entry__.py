@@ -937,6 +937,43 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 FUNNEL_STEPS = ["view", "click", "purchase"]
+HILBERT_ORDER = 9           # 512x512 curve over the 360x170 cell grid
+
+
+def q_hilbert_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert layout key per point: Spark runs the vectorized NUMPY
+    kernel, the oracle an independently-derived unrolled SQL bit chain
+    — two implementations of the curve, cross-checked per row."""
+    import pandas as pd
+
+    from geobuf_cpp_spark.functions.hilbert import hilbert_d
+
+    _prep(spark, sf_dir, "orders")
+    pts = spark.sql(P.IPOINTS_SELECT).selectExpr(
+        "point_id",
+        f"ix div {RANGE_RADIUS} AS gx",
+        f"iy div {RANGE_RADIUS} AS gy",
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "point_id": pdf["point_id"],
+                "hilbert": hilbert_d(
+                    pdf["gx"].to_numpy(), pdf["gy"].to_numpy(),
+                    HILBERT_ORDER,
+                ),
+            })
+
+    return pts.mapInPandas(gen, "point_id long, hilbert long")
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the events stream."""
+    from geobuf_cpp_spark.operators.cohorts import cohort_retention
+
+    _prep(spark, sf_dir, "events")
+    return cohort_retention(spark.table("events"))
 
 
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1123,6 +1160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pivot": q_event_pivot,
         "funnel": q_funnel,
         "cell_smooth": q_cell_smooth,
+        "hilbert_index": q_hilbert_index,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -1175,6 +1214,15 @@ def oracle_sql() -> dict[str, str]:
     from geobuf_cpp_spark.operators.tiles import sql_box_tile_clip
 
     _strat_keep = sql_stratified_keep("doc_id", "lang", STRATA_RATES)
+
+    from geobuf_cpp_spark.functions.hilbert import sql_hilbert_query
+
+    _HILBERT_ORACLE = sql_hilbert_query(
+        "SELECT o_orderkey AS point_id, "
+        f"((o_orderkey * 7919) % 36000) // {RANGE_RADIUS} AS gx, "
+        f"((o_orderkey * 9973) % 17000) // {RANGE_RADIUS} AS gy FROM orders",
+        ["point_id"], "gx", "gy", HILBERT_ORDER,
+    )
 
     _clip = sql_box_tile_clip(TILE_STATS_Z)
     _TILE_CLIP_ORACLE = (
@@ -1686,5 +1734,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.ix, c.iy, CAST(c.n_points AS BIGINT) AS n_points, "
             "CAST(sm.s AS BIGINT) AS smoothed "
             "FROM c JOIN sm ON sm.ix = c.ix AND sm.iy = c.iy"
+        ),
+        # unrolled chained-CTE bit chain — independent of the numpy
+        # kernel the Spark side runs (functions/hilbert.py)
+        "hilbert_index": _HILBERT_ORACLE,
+        "cohort_retention": (
+            "WITH w AS (SELECT DISTINCT user_id, "
+            "CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS week FROM events), "
+            "f AS (SELECT user_id, min(week) AS cohort_week FROM w "
+            "GROUP BY user_id) "
+            "SELECT cohort_week, week - cohort_week AS k, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM w JOIN f USING (user_id) GROUP BY 1, 2"
         ),
     }

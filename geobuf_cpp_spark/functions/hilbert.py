@@ -1,0 +1,93 @@
+"""Hilbert-curve index — space-filling layout key for 2-D clustering.
+
+Morton/quadkey interleaving (functions.cells.quadkey_of) preserves
+locality only per quadrant: consecutive Morton codes can jump across
+the map. The Hilbert curve's consecutive indices are ALWAYS 4-adjacent
+grid neighbors, which makes it the better file-layout key for 2-D data
+skipping (sort by hilbert → write → min/max zone maps prune both lon
+and lat ranges; the trick behind Z-order/liquid clustering, improved).
+Used with plans.partitioning: repartitionByRange on the Hilbert key
+gives each output file a compact spatial footprint.
+
+Two INDEPENDENT implementations, cross-checked in tests and the gate:
+
+* ``hilbert_d`` — vectorized numpy transcription of the classic
+  Wikipedia xy2d bit loop (rotate + reflect per level);
+* ``sql_hilbert_query`` — an UNROLLED chained-CTE SQL text (one
+  projection per bit level, pure integer arithmetic — text linear in
+  ``order``) runnable verbatim by both Spark SQL and DuckDB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def hilbert_d(x: np.ndarray, y: np.ndarray, order: int) -> np.ndarray:
+    """(x, y) grid coords in [0, 2^order) -> Hilbert distance, vectorized."""
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    n = np.int64(1) << order
+    s = np.int64(1) << (order - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant: reflect when ry==0 & rx==1, then swap axes.
+        # The reflection constant n-1 (not s-1) keeps coords in [0, n):
+        # constants differing by a multiple of 2s leave every bit below
+        # 2s unchanged, and later rounds only test bits < s — so the
+        # curve is identical, without negative intermediates (which the
+        # SQL twin's %-based bit test cannot mimic portably).
+        refl = (ry == 0) & (rx == 1)
+        x = np.where(refl, n - 1 - x, x)
+        y = np.where(refl, n - 1 - y, y)
+        sw = ry == 0
+        x, y = np.where(sw, y, x), np.where(sw, x, y)
+        s >>= 1
+    return d
+
+
+def sql_hilbert_query(base_sql: str, carry_cols: list[str],
+                      x_col: str, y_col: str, order: int,
+                      out_col: str = "hilbert") -> str:
+    """Full WITH-chain SQL computing the Hilbert index per row.
+
+    ``base_sql`` must select ``carry_cols`` plus integer grid coords
+    ``x_col``/``y_col`` in [0, 2^order). One CTE per bit level rewrites
+    (hx, hy, hd) with CASE arithmetic — engine-portable (FLOOR-division
+    instead of ``div``/``//``, exact for coords < 2^26).
+    """
+    carry = ", ".join(carry_cols)
+    parts = [
+        f"h0 AS (SELECT {carry}, CAST({x_col} AS BIGINT) AS hx, "
+        f"CAST({y_col} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd "
+        f"FROM ({base_sql}) hbase"
+    ]
+    step = 0
+    for level in range(order - 1, -1, -1):
+        s = 1 << level
+        rx = f"(CAST(FLOOR(hx / {s}) AS BIGINT) % 2)"
+        ry = f"(CAST(FLOOR(hy / {s}) AS BIGINT) % 2)"
+        d_new = (
+            f"hd + {s * s} * (CASE "
+            f"WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+            f"WHEN {rx} = 0 THEN 1 "
+            f"WHEN {ry} = 1 THEN 2 ELSE 3 END)"
+        )
+        n = 1 << order
+        xr = f"(CASE WHEN {ry} = 0 AND {rx} = 1 THEN {n - 1} - hx ELSE hx END)"
+        yr = f"(CASE WHEN {ry} = 0 AND {rx} = 1 THEN {n - 1} - hy ELSE hy END)"
+        x_new = f"(CASE WHEN {ry} = 0 THEN {yr} ELSE {xr} END)"
+        y_new = f"(CASE WHEN {ry} = 0 THEN {xr} ELSE {yr} END)"
+        nxt = step + 1
+        parts.append(
+            f"h{nxt} AS (SELECT {carry}, {x_new} AS hx, {y_new} AS hy, "
+            f"{d_new} AS hd FROM h{step}"
+        )
+        step = nxt
+    ctes = "), ".join(parts) + ")"
+    return (
+        f"WITH {ctes} SELECT {carry}, hd AS {out_col} FROM h{step}"
+    )

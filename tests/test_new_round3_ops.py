@@ -556,3 +556,91 @@ def test_smooth_cell_counts_scalar_oracle(spark):
     for (x, y), (n, s) in got.items():
         assert n == by_pos[(x, y)] and s == ref(x, y), (x, y)
     assert got[(5, 5)] == (7, 7)             # isolated cell = own count
+
+
+# ---------------------------------------------------------------------------
+# hilbert index / cohort retention
+# ---------------------------------------------------------------------------
+
+
+def test_hilbert_bijection_adjacency_and_sql_parity():
+    import duckdb
+    import numpy as np
+
+    from geobuf_cpp_spark.functions.hilbert import hilbert_d, sql_hilbert_query
+
+    order, n = 5, 32
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    d = hilbert_d(xs.ravel(), ys.ravel(), order)
+    # space-filling bijection
+    assert sorted(d.tolist()) == list(range(n * n))
+    # THE Hilbert property Morton lacks: consecutive indices are
+    # 4-adjacent grid neighbors
+    o = np.argsort(d)
+    px, py = xs.ravel()[o], ys.ravel()[o]
+    assert (np.abs(np.diff(px)) + np.abs(np.diff(py)) == 1).all()
+    # the unrolled SQL chain (DuckDB) equals the numpy kernel per cell
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE g AS SELECT a.range AS x, b.range AS y "
+                f"FROM range({n}) a, range({n}) b")
+    q = sql_hilbert_query("SELECT x, y, x AS px, y AS py FROM g",
+                          ["px", "py"], "x", "y", order)
+    got = {(r[0], r[1]): r[2] for r in con.execute(q).fetchall()}
+    for x, y, dd in zip(xs.ravel(), ys.ravel(), d):
+        assert got[(int(x), int(y))] == int(dd)
+
+
+def test_hilbert_layout_beats_morton_locality():
+    """Sorting by Hilbert gives output chunks ('files') with tighter
+    spatial bounding boxes than Morton order — the zone-map pruning win."""
+    import numpy as np
+
+    from geobuf_cpp_spark.functions.hilbert import hilbert_d
+
+    n, chunks = 64, 32
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    xs, ys = xs.ravel(), ys.ravel()
+
+    def mean_bbox_area(order_key):
+        idx = np.argsort(order_key, kind="stable")
+        cx, cy = xs[idx], ys[idx]
+        areas = []
+        for c in np.array_split(np.arange(n * n), chunks):
+            areas.append(
+                (cx[c].max() - cx[c].min() + 1)
+                * (cy[c].max() - cy[c].min() + 1)
+            )
+        return float(np.mean(areas))
+
+    morton = np.zeros(n * n, dtype=np.int64)
+    for b in range(6):
+        morton |= ((xs >> b) & 1) << (2 * b)
+        morton |= ((ys >> b) & 1) << (2 * b + 1)
+    hil = hilbert_d(xs, ys, 6)
+    assert mean_bbox_area(hil) <= mean_bbox_area(morton)
+
+
+def test_cohort_retention_scalar_oracle(spark):
+    from geobuf_cpp_spark.operators.cohorts import cohort_retention
+
+    W = 604800
+    rows = [
+        # user 1: weeks 0, 1, 3 (two events in week 0 count once)
+        (1, 1.0), (1, 2.0), (1, W + 5.0), (1, 3 * W + 1.0),
+        # user 2: first seen week 1, active week 2
+        (2, W + 10.0), (2, 2 * W + 10.0),
+        # user 3: only week 0
+        (3, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, sec double").selectExpr(
+        "user_id", "CAST(sec AS TIMESTAMP) AS ts"
+    )
+    got = {(r.cohort_week, r.k): r.n_users
+           for r in cohort_retention(df).collect()}
+    assert got == {
+        (0, 0): 2,   # users 1, 3
+        (0, 1): 1,   # user 1
+        (0, 3): 1,   # user 1
+        (1, 0): 1,   # user 2
+        (1, 1): 1,   # user 2
+    }
