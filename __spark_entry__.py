@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geobuf_cpp_spark.functions.cells import (
+    RES_BASE,
     sql_cell,
     sql_cell_parent,
     sql_equirect_tile_x,
@@ -1075,6 +1076,25 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GRID_CLUSTER_RES = 8        # 256 x 256 grid
+GRID_CLUSTER_MIN_PTS = 2    # density threshold: cells below are noise
+
+
+def q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN-lite: dense grid cells -> 8-neighbor connected components.
+
+    Spark side is O(dense cells): integer neighbor-id fan-out + equi-join
+    + pointer-jumping min-label fixpoint (operators/clustering.py). The
+    oracle recomputes components independently with a quadratic
+    delta-self-join + recursive CTE in DuckDB.
+    """
+    from geobuf_cpp_spark.operators.clustering import grid_cluster
+
+    _prep(spark, sf_dir, "orders")
+    pts = spark.sql(P.POINTS_SELECT)
+    return grid_cluster(pts, GRID_CLUSTER_RES, GRID_CLUSTER_MIN_PTS)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1162,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_smooth": q_cell_smooth,
         "hilbert_index": q_hilbert_index,
         "cohort_retention": q_cohort_retention,
+        "grid_cluster": wrap(q_grid_cluster),
     }
 
 
@@ -1738,6 +1759,28 @@ def oracle_sql() -> dict[str, str]:
         # unrolled chained-CTE bit chain — independent of the numpy
         # kernel the Spark side runs (functions/hilbert.py)
         "hilbert_index": _HILBERT_ORACLE,
+        # independent reimplementation: quadratic |Δiy|<=1 ∧ |Δix|<=1
+        # self-join for adjacency (vs Spark's linear neighbor-id
+        # fan-out) + recursive-CTE transitive closure (vs Spark's
+        # pointer-jumping label propagation)
+        "grid_cluster": (
+            "WITH RECURSIVE pts AS (" + P.POINTS_SELECT + "), "
+            "cells AS (SELECT "
+            + sql_cell("lat", "lon", GRID_CLUSTER_RES)
+            + " AS cell, count(*) AS n_points FROM pts GROUP BY 1), "
+            f"dense AS (SELECT cell, n_points, "
+            f"(cell - {GRID_CLUSTER_RES * RES_BASE}) // {1 << GRID_CLUSTER_RES} AS iy, "
+            f"(cell - {GRID_CLUSTER_RES * RES_BASE}) % {1 << GRID_CLUSTER_RES} AS ix "
+            f"FROM cells WHERE n_points >= {GRID_CLUSTER_MIN_PTS}), "
+            "e AS (SELECT a.cell AS src, b.cell AS dst FROM dense a "
+            "JOIN dense b ON abs(a.iy - b.iy) <= 1 AND abs(a.ix - b.ix) <= 1 "
+            "AND a.cell <> b.cell), "
+            "walk(id, reach) AS (SELECT cell, cell FROM dense "
+            "UNION SELECT w.id, e.dst FROM walk w JOIN e ON e.src = w.reach) "
+            "SELECT d.cell, CAST(d.n_points AS BIGINT) AS n_points, "
+            "w.cluster_id FROM dense d JOIN (SELECT id, min(reach) AS "
+            "cluster_id FROM walk GROUP BY id) w ON w.id = d.cell"
+        ),
         "cohort_retention": (
             "WITH w AS (SELECT DISTINCT user_id, "
             "CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS week FROM events), "

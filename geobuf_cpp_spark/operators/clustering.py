@@ -1,0 +1,110 @@
+"""Grid-density clustering (DBSCAN-lite) over the hierarchical cell index.
+
+The classic geospatial clustering ask — "group the dense areas" — done the
+way it scales: instead of the O(n^2) pairwise epsilon-neighborhood DBSCAN
+computes, points are first aggregated onto the cell grid (one shuffle, the
+same cell ids every other operator in this engine uses), cells below
+``min_pts`` are discarded as noise, and the surviving *dense* cells are
+connected through 8-neighbor adjacency into components. Cluster identity =
+the min cell id of the component, the same keeper convention as fuzzy
+dedup (`operators/dedup.py:dedup_clusters`), whose Pregel-style min-label
+propagation this reuses verbatim.
+
+Scale shape: the candidate-edge step is NOT a self-join on coordinate
+deltas (that is what the DuckDB oracle does, and it is quadratic in dense
+cells). Each dense cell emits its 4 lexicographically-forward neighbor
+ids by pure integer arithmetic and equi-joins against the dense-cell set
+— O(dense cells) rows shuffled on an integer key, broadcast-free,
+codegen-friendly. At 100 TB the dense-cell table is orders of magnitude
+smaller than the point table, and the fixpoint loop is bounded by the
+component diameter (GraphX/Pregel shape), never the corpus size.
+
+The reference engine has no clustering operator; this is part of the
+mandated analytics surface (BASELINE.json north_rule: cell-index rollups
+and spatial joins at cluster scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geobuf_cpp_spark.functions.cells import RES_BASE, sql_cell
+from geobuf_cpp_spark.operators.dedup import dedup_clusters
+
+# lexicographically-forward neighbor offsets: each undirected 8-neighbor
+# edge is generated exactly once ((dy,dx) > (0,0) in (y,x) order)
+_FWD_OFFSETS = ((0, 1), (1, -1), (1, 0), (1, 1))
+
+
+def dense_cells(points_df: DataFrame, res: int, min_pts: int,
+                lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Aggregate points onto the grid and keep cells with >= min_pts.
+
+    One map-side-combined shuffle on the cell id; everything below the
+    density threshold is noise and never reaches the clustering step.
+    """
+    cell = F.expr(sql_cell(lat_col, lon_col, res))
+    return (
+        points_df.groupBy(cell.alias("cell"))
+        .agg(F.count("*").alias("n_points"))
+        .filter(F.col("n_points") >= min_pts)
+    )
+
+
+def _neighbor_edges(dense: DataFrame, res: int) -> DataFrame:
+    """Forward 8-neighbor edges among dense cells, by integer arithmetic.
+
+    iy/ix are recovered from the cell id (`functions/cells.py` layout:
+    res*2^52 + iy*2^res + ix), each cell emits its 4 forward neighbors
+    (border-guarded, no wraparound), and a single equi-join on the
+    neighbor id keeps only neighbors that are themselves dense.
+    """
+    n = 1 << res
+    base = res * RES_BASE
+    d = dense.select(
+        "cell",
+        ((F.col("cell") - F.lit(base)) / F.lit(n)).cast("long").alias("iy"),
+        ((F.col("cell") - F.lit(base)) % F.lit(n)).alias("ix"),
+    )
+    offs = F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy, dx in _FWD_OFFSETS
+    ])
+    nbr = (
+        d.select("cell", "iy", "ix", F.explode(offs).alias("o"))
+        .withColumn("ny", F.col("iy") + F.col("o.dy"))
+        .withColumn("nx", F.col("ix") + F.col("o.dx"))
+        .filter(
+            (F.col("ny") >= 0) & (F.col("ny") < n)
+            & (F.col("nx") >= 0) & (F.col("nx") < n)
+        )
+        .select(
+            F.col("cell").alias("id_a"),
+            (F.lit(base) + F.col("ny") * F.lit(n) + F.col("nx")).alias("id_b"),
+        )
+    )
+    return nbr.join(
+        dense.select(F.col("cell").alias("id_b")), "id_b", "inner"
+    ).select("id_a", "id_b")
+
+
+def grid_cluster(points_df: DataFrame, res: int, min_pts: int,
+                 lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """DBSCAN-lite: dense cells -> 8-neighbor components -> cluster ids.
+
+    Returns (cell, n_points, cluster_id) for every dense cell;
+    cluster_id is the min cell id of the connected component, so
+    singleton dense cells label themselves.
+    """
+    dense = dense_cells(points_df, res, min_pts, lat_col, lon_col)
+    dense = dense.persist()
+    edges = _neighbor_edges(dense, res)
+    labels = dedup_clusters(dense.withColumnRenamed("cell", "doc_id"),
+                            edges, id_col="doc_id")
+    out = (
+        dense.join(
+            labels.withColumnRenamed("doc_id", "cell"), "cell", "inner"
+        ).select("cell", "n_points", "cluster_id")
+    )
+    return out

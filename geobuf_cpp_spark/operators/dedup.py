@@ -325,13 +325,21 @@ def dedup_clusters(docs_df, pairs_df, id_col: str = "doc_id"):
 
     Pair detection (minhash/simhash/ngram/embedding) yields EDGES; what a
     training-data pipeline actually needs is one keeper per duplicate
-    CLUSTER — the transitive closure. Min-label propagation: every doc
-    starts labeled with its own id; each round takes the min over
-    neighbors' labels; fixpoint after O(component diameter) rounds
-    (near-dup clusters are shallow — a handful of rounds even at corpus
-    scale). Each round is one edge join + one aggregate, all JVM; the
-    DRIVER only runs the convergence loop (bounded by the diameter, never
-    by corpus size — the same shape GraphX/Pregel uses). Returns
+    CLUSTER — the transitive closure. Min-label propagation with pointer
+    jumping: every doc starts labeled with its own id; each round takes
+    the min over neighbors' labels, then compresses one level of
+    indirection (lbl <- lbl[lbl], the Wyllie/pointer-doubling step), so
+    convergence is O(log diameter) rounds, not O(diameter) — chains of
+    adjacent grid cells (`operators/clustering.py`) would otherwise need
+    a round per link. Each round is two JVM joins + one aggregate; the
+    DRIVER only runs the convergence loop (bounded by log(diameter),
+    never by corpus size — the same shape GraphX/Pregel uses). Every
+    round materializes via ``localCheckpoint`` to truncate lineage: the
+    loop body references ``labels`` twice, so without truncation the
+    logical plan doubles per round and the driver OOMs building plan
+    trees long before data is a problem. (On a real cluster with
+    executor churn, swap in reliable ``checkpoint()`` — same contract,
+    see plans/manifest.py for the durable variant.) Returns
     (doc_id, cluster_id) for every document; singletons label themselves;
     cluster_id = min doc id of the component (the keeper).
     """
@@ -341,8 +349,8 @@ def dedup_clusters(docs_df, pairs_df, id_col: str = "doc_id"):
     e = pairs_df.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    labels = labels.persist()
+    ).localCheckpoint()
+    labels = labels.localCheckpoint()
     # Convergence check: labels only ever DECREASE under min-propagation,
     # so the label sum is strictly monotone until the fixpoint — one
     # aggregate per round instead of an old-vs-new join. Summed in
@@ -360,15 +368,22 @@ def dedup_clusters(docs_df, pairs_df, id_col: str = "doc_id"):
             .agg(F.min("nlbl").alias("minnbr"))
             .withColumnRenamed("src", "id")
         )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(
+                F.col("lbl"), F.coalesce("minnbr", F.col("lbl"))
+            ).alias("lbl"),
+        )
+        # pointer jumping: follow one level of labels (lbl <- lbl[lbl]).
+        # lbl always names a node id (mins of node ids), so the self-join
+        # below always finds it; halves remaining path lengths per round.
+        hop = stepped.select(
+            F.col("id").alias("lbl"), F.col("lbl").alias("lbl2")
+        )
         new_labels = (
-            labels.join(nbr, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("lbl"), F.coalesce("minnbr", F.col("lbl"))
-                ).alias("lbl"),
-            )
-            .persist()
+            stepped.join(hop, "lbl", "left")
+            .select("id", F.coalesce("lbl2", "lbl").alias("lbl"))
+            .localCheckpoint()
         )
         cur_sum = new_labels.agg(
             F.sum(F.col("lbl").cast("decimal(38,0)"))

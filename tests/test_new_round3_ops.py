@@ -644,3 +644,64 @@ def test_cohort_retention_scalar_oracle(spark):
         (1, 0): 1,   # user 2
         (1, 1): 1,   # user 2
     }
+
+
+# ---------------------------------------------------------------------------
+# grid-density clustering (DBSCAN-lite)
+# ---------------------------------------------------------------------------
+
+
+def test_grid_cluster_matches_union_find(spark):
+    """Dense-cell components equal a scalar union-find over the same
+    8-neighbor adjacency; sparse cells are dropped as noise."""
+    from geobuf_cpp_spark.functions.cells import cell_of
+    from geobuf_cpp_spark.operators.clustering import grid_cluster
+
+    res, min_pts = 6, 2
+    # three dense blobs (one L-shaped, diagonally connected), plus noise
+    dense_cells = [(10, 10), (10, 11), (11, 12),      # diagonal chain
+                   (40, 40), (41, 41),                # diagonal pair
+                   (55, 5)]                           # singleton
+    pts = []
+    pid = 0
+    n = 1 << res
+    for iy, ix in dense_cells:
+        lat = (iy + 0.5) / n * 180.0 - 90.0
+        lon = (ix + 0.5) / n * 360.0 - 180.0
+        for _ in range(min_pts):
+            pts.append((pid, lat, lon)); pid += 1
+    # noise: one point alone in its own cell
+    pts.append((pid, (3 + 0.5) / n * 180.0 - 90.0, (3 + 0.5) / n * 360.0 - 180.0))
+
+    df = spark.createDataFrame(pts, "point_id long, lat double, lon double")
+    got = {r["cell"]: r["cluster_id"]
+           for r in grid_cluster(df, res, min_pts).collect()}
+
+    ids = {c: int(cell_of([(iy + 0.5) / n * 180.0 - 90.0],
+                          [(ix + 0.5) / n * 360.0 - 180.0], res)[0])
+           for c in dense_cells for iy, ix in [c]}
+    # expected components by construction
+    comp = {(10, 10): [(10, 10), (10, 11), (11, 12)],
+            (40, 40): [(40, 40), (41, 41)],
+            (55, 5): [(55, 5)]}
+    expect = {}
+    for members in comp.values():
+        lbl = min(ids[m] for m in members)
+        for m in members:
+            expect[ids[m]] = lbl
+    assert got == expect  # noise cell absent, components exact
+
+
+def test_dedup_clusters_long_chain_pointer_jumping(spark):
+    """A diameter-60 chain converges without plan blowup — the case that
+    OOM'd the pre-pointer-jumping O(diameter) loop (plan doubled per
+    round). Pointer jumping needs ~log2(60) rounds."""
+    from geobuf_cpp_spark.operators.dedup import dedup_clusters
+
+    n = 61
+    edges = [(i, i + 1) for i in range(n - 1)]
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters(docs, pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
