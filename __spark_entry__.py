@@ -1076,6 +1076,44 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_EST_TERMS = 20          # point-query the sketch for the top-N tokens
+
+
+def q_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch counter matrix over the corpus token stream.
+
+    Exact integer sums per (row, bucket): the whole 4x1024 matrix
+    hash-matches DuckDB computing identical md5-low-64 buckets."""
+    from geobuf_cpp_spark.operators.sketches import count_min_sketch
+
+    _prep(spark, sf_dir, "documents")
+    return count_min_sketch(spark.table("documents"))
+
+
+def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS point queries for the exact top-N tokens: est = min over
+    rows of the addressed counter — a deterministic function of the
+    matrix, so it hash-gates exactly."""
+    from geobuf_cpp_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    _prep(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    sketch = count_min_sketch(docs)
+    top = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(CMS_EST_TERMS)
+        .select("term")
+    )
+    return cms_estimate(sketch, top)
+
+
 GRID_CLUSTER_RES = 8        # 256 x 256 grid
 GRID_CLUSTER_MIN_PTS = 2    # density threshold: cells below are noise
 
@@ -1183,6 +1221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_index": q_hilbert_index,
         "cohort_retention": q_cohort_retention,
         "grid_cluster": wrap(q_grid_cluster),
+        "cms_sketch": q_cms_sketch,
+        "cms_estimate": q_cms_estimate,
     }
 
 
@@ -1759,6 +1799,32 @@ def oracle_sql() -> dict[str, str]:
         # unrolled chained-CTE bit chain — independent of the numpy
         # kernel the Spark side runs (functions/hilbert.py)
         "hilbert_index": _HILBERT_ORACLE,
+        # identical md5-low-64 bucket (md5_number_lower % width; width
+        # divides 2^16, so the Spark side's two-hex-byte arithmetic is
+        # the same value), exact integer counter sums
+        "cms_sketch": (
+            "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word "
+            "FROM documents), t AS (SELECT word FROM w WHERE word <> ''), "
+            "r AS (SELECT unnest([0, 1, 2, 3]) AS sketch_row) "
+            "SELECT r.sketch_row, "
+            "CAST(md5_number_lower(word || '|' || r.sketch_row) % 1024 "
+            "AS INT) AS bucket, count(*) AS cnt FROM t, r GROUP BY 1, 2"
+        ),
+        "cms_estimate": (
+            "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word "
+            "FROM documents), t AS (SELECT word FROM w WHERE word <> ''), "
+            "r AS (SELECT unnest([0, 1, 2, 3]) AS sketch_row), "
+            "cms AS (SELECT r.sketch_row, "
+            "CAST(md5_number_lower(word || '|' || r.sketch_row) % 1024 "
+            "AS INT) AS bucket, count(*) AS cnt FROM t, r GROUP BY 1, 2), "
+            "top AS (SELECT word AS term FROM ("
+            "SELECT word, count(*) AS c, "
+            "ROW_NUMBER() OVER (ORDER BY count(*) DESC, word ASC) AS rn "
+            f"FROM t GROUP BY word) s WHERE rn <= {CMS_EST_TERMS}) "
+            "SELECT top.term, min(cms.cnt) AS est FROM top JOIN cms "
+            "ON cms.bucket = CAST(md5_number_lower(top.term || '|' || "
+            "cms.sketch_row) % 1024 AS INT) GROUP BY top.term"
+        ),
         # independent reimplementation: quadratic |Δiy|<=1 ∧ |Δix|<=1
         # self-join for adjacency (vs Spark's linear neighbor-id
         # fan-out) + recursive-CTE transitive closure (vs Spark's

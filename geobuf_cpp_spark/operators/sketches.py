@@ -1,0 +1,111 @@
+"""Distributed frequency sketches for corpus-scale token statistics.
+
+Count-min sketch, built the Spark-native way: the sketch IS a DataFrame
+aggregation. Every (depth x width) counter is the exact integer sum of
+tokens hashing to that (row, bucket), so the sketch build is one
+map-side-combined shuffle over depth*width keys (4096 here) regardless of
+corpus size — the update-then-merge dance of imperative CMS libraries
+collapses into groupBy().count(), and sketch MERGE across corpus shards
+is literally the same aggregation run over their union.
+
+Cross-engine hash contract: bucket = md5_low64(token|row) % width, where
+md5_low64 is the little-endian uint64 of md5 digest bytes 8..16 — the
+value DuckDB exposes as ``md5_number_lower`` (the same anchor the SimHash
+oracle uses, `operators/dedup.py:word_hash_md5_low`). Because width
+divides 2^16, only the low two digest bytes matter, so the Spark side
+computes it JVM-only (substr on the md5 hex + conv), keeping the whole
+build inside whole-stage codegen: no Python, no UDF.
+
+Counts are exact sums -> the correctness gate hash-matches the full
+counter matrix against DuckDB computing the identical buckets. The CMS
+*estimate* property (point query >= true count, w.h.p. tight) is asserted
+in pytest; estimates are never hash-gated because they are an inequality,
+not an identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024  # must divide 2^16 (bucket uses the low two md5 bytes)
+
+
+def _bucket(tok: Column, row: int, width: int) -> Column:
+    """md5_low64(tok|row) % width, JVM-side.
+
+    md5 hex chars 17..20 are digest bytes 8 and 9 — the low two bytes of
+    the little-endian uint64 — so for width | 2^16 the full 64-bit value
+    mod width equals (byte8 + 256*byte9) mod width.
+    """
+    h = F.md5(F.concat(tok, F.lit(f"|{row}")).cast("binary"))
+    lo = F.conv(F.substring(h, 17, 2), 16, 10).cast("int")
+    hi = F.conv(F.substring(h, 19, 2), 16, 10).cast("int")
+    return (lo + hi * 256) % width
+
+
+def _tokens(docs_df: DataFrame, text_col: str) -> DataFrame:
+    return (
+        docs_df.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("tok")
+        ).filter(F.col("tok") != "")
+    )
+
+
+def count_min_sketch(docs_df: DataFrame, text_col: str = "text",
+                     depth: int = CMS_DEPTH,
+                     width: int = CMS_WIDTH) -> DataFrame:
+    """Build the CMS counter matrix: (sketch_row, bucket, cnt).
+
+    One explode + one fan-out of ``depth`` (row, bucket) pairs per token
+    + one groupBy on at most depth*width keys. The partial aggregation
+    happens map-side, so the exchange carries <= depth*width rows per
+    input partition no matter the corpus size.
+    """
+    assert (1 << 16) % width == 0, "width must divide 2^16"
+    toks = _tokens(docs_df, text_col)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(r).alias("sketch_row"),
+            _bucket(F.col("tok"), r, width).alias("bucket"),
+        )
+        for r in range(depth)
+    ])
+    return (
+        toks.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.sketch_row").alias("sketch_row"),
+            F.col("p.bucket").alias("bucket"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(sketch_df: DataFrame, queries_df: DataFrame,
+                 term_col: str = "term", depth: int = CMS_DEPTH,
+                 width: int = CMS_WIDTH) -> DataFrame:
+    """Point-query the sketch for each term: min over rows of the
+    addressed counter (the CMS upper-bound estimate).
+
+    The sketch side is <= depth*width rows -> broadcast join; terms
+    never shuffle.
+    """
+    pairs = F.array(*[
+        F.struct(
+            F.lit(r).alias("sketch_row"),
+            _bucket(F.col(term_col), r, width).alias("bucket"),
+        )
+        for r in range(depth)
+    ])
+    addressed = queries_df.select(
+        term_col, F.explode(pairs).alias("p")
+    ).select(term_col, "p.sketch_row", "p.bucket")
+    return (
+        addressed.join(
+            F.broadcast(sketch_df), ["sketch_row", "bucket"], "left"
+        )
+        .fillna(0, subset=["cnt"])
+        .groupBy(term_col)
+        .agg(F.min("cnt").alias("est"))
+    )

@@ -705,3 +705,56 @@ def test_dedup_clusters_long_chain_pointer_jumping(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in dedup_clusters(docs, pairs).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_estimate_upper_bounds_true_counts(spark):
+    """CMS point query is always >= the true count (min over rows of
+    counters that each over-count), and exact for terms with no
+    colliding neighbors in any row."""
+    from geobuf_cpp_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ("alpha " * (i + 1)).strip() + " beta gamma") for i in range(5)],
+        "doc_id long, text string",
+    )
+    sketch = count_min_sketch(docs)
+    terms = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("absent",)], "term string"
+    )
+    est = {r["term"]: r["est"] for r in cms_estimate(sketch, terms).collect()}
+    true = {"alpha": 15, "beta": 5, "gamma": 5, "absent": 0}
+    for t, c in true.items():
+        assert est[t] >= c, (t, est[t], c)
+    # 3 distinct live tokens in 1024 buckets: collisions would need an
+    # md5 bucket clash in every one of the 4 rows — assert exactness
+    assert est == true
+
+
+def test_cms_shard_merge_is_same_aggregation(spark):
+    """Sketch(union of shards) == elementwise sum of per-shard sketches:
+    CMS merge is literally the same groupBy over the union."""
+    from pyspark.sql import functions as F
+
+    from geobuf_cpp_spark.operators.sketches import count_min_sketch
+
+    a = spark.createDataFrame(
+        [(1, "x y z"), (2, "x x w")], "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(3, "y q"), (4, "z z q")], "doc_id long, text string")
+    merged = (
+        count_min_sketch(a).unionByName(count_min_sketch(b))
+        .groupBy("sketch_row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = count_min_sketch(a.unionByName(b))
+    key = lambda r: (r["sketch_row"], r["bucket"], r["cnt"])  # noqa: E731
+    assert sorted(map(key, merged.collect())) == sorted(
+        map(key, whole.collect()))
