@@ -1114,6 +1114,25 @@ def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, top)
 
 
+def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch: the 16 smallest uint64
+    token hashes. Deterministic -> the whole sketch hash-gates against
+    DuckDB computing identical md5_number_lower values."""
+    from geobuf_cpp_spark.operators.sketches import kmv_sketch
+
+    _prep(spark, sf_dir, "documents")
+    return kmv_sketch(spark.table("documents"))
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-token estimate as one exact-integer row: floored
+    (k-1)*2^64/h_k matches DuckDB's hugeint integer division."""
+    from geobuf_cpp_spark.operators.sketches import kmv_distinct
+
+    _prep(spark, sf_dir, "documents")
+    return kmv_distinct(spark.table("documents"))
+
+
 GRID_CLUSTER_RES = 8        # 256 x 256 grid
 GRID_CLUSTER_MIN_PTS = 2    # density threshold: cells below are noise
 
@@ -1223,6 +1242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cluster": wrap(q_grid_cluster),
         "cms_sketch": q_cms_sketch,
         "cms_estimate": q_cms_estimate,
+        "kmv_sketch": q_kmv_sketch,
+        "kmv_distinct": q_kmv_distinct,
     }
 
 
@@ -1824,6 +1845,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT top.term, min(cms.cnt) AS est FROM top JOIN cms "
             "ON cms.bucket = CAST(md5_number_lower(top.term || '|' || "
             "cms.sketch_row) % 1024 AS INT) GROUP BY top.term"
+        ),
+        # full-width md5_number_lower (the Spark side rebuilds the
+        # little-endian uint64 from hex byte pairs as decimal(20,0) —
+        # bit-exact, see operators/sketches.py:md5_low64)
+        "kmv_sketch": (
+            "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word "
+            "FROM documents), t AS (SELECT DISTINCT "
+            "md5_number_lower(word) AS hv FROM w WHERE word <> '') "
+            "SELECT CAST(rn AS INT) AS rank, hv AS hash_val FROM "
+            "(SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM t) s "
+            "WHERE rn <= 16"
+        ),
+        # (k-1)*2^64 = 276701161105643274240; both engines floor the
+        # integer division (Spark decimal `div`, DuckDB hugeint `//`)
+        "kmv_distinct": (
+            "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word "
+            "FROM documents), t AS (SELECT DISTINCT "
+            "md5_number_lower(word) AS hv FROM w WHERE word <> ''), "
+            "s AS (SELECT hv FROM t ORDER BY hv LIMIT 16) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_sketch, "
+            "max(hv) AS kth_hash, "
+            "CAST(CASE WHEN count(*) < 16 THEN count(*) ELSE "
+            "CAST(276701161105643274240 AS HUGEINT) // max(hv) END "
+            "AS BIGINT) AS est_distinct FROM s"
         ),
         # independent reimplementation: quadratic |Δiy|<=1 ∧ |Δix|<=1
         # self-join for adjacency (vs Spark's linear neighbor-id

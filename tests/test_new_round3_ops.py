@@ -758,3 +758,67 @@ def test_cms_shard_merge_is_same_aggregation(spark):
     key = lambda r: (r["sketch_row"], r["bucket"], r["cnt"])  # noqa: E731
     assert sorted(map(key, merged.collect())) == sorted(
         map(key, whole.collect()))
+
+
+def test_md5_low64_matches_duckdb_anchor(spark):
+    """Spark's hex-pair reconstruction of the little-endian uint64 of
+    md5 digest bytes 8..16 equals the value DuckDB exposes as
+    md5_number_lower (computed here via hashlib, same definition)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from geobuf_cpp_spark.operators.sketches import md5_low64
+
+    words = ["alpha", "beta", "hello world", "", "ünïcödé", "a" * 300]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    got = {r["s"]: int(r["v"])
+           for r in df.select("s", md5_low64(F.col("s")).alias("v")).collect()}
+    for w in words:
+        want = int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
+        assert got[w] == want, w
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    """KMV relative error is ~1/sqrt(k-2); on a 2000-token vocabulary
+    with k=64 the estimate must land within 3 standard errors."""
+    from geobuf_cpp_spark.operators.sketches import kmv_distinct
+
+    n = 2000
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i * 20, (i + 1) * 20)))
+         for i in range(n // 20)],
+        "doc_id long, text string",
+    )
+    row = kmv_distinct(docs, k=64).collect()[0]
+    assert row["n_sketch"] == 64
+    rel_err = abs(row["est_distinct"] - n) / n
+    assert rel_err < 3 / (62 ** 0.5), rel_err
+
+
+def test_kmv_sketch_merge_is_union_bottom_k(spark):
+    """Sketch(A union B) == bottom-k of (sketch(A) union sketch(B)):
+    KMV merge needs only the two k-row sketches, never the shards."""
+    from pyspark.sql import Window, functions as F
+
+    from geobuf_cpp_spark.operators.sketches import kmv_sketch
+
+    a = spark.createDataFrame(
+        [(i, " ".join(f"a{j}" for j in range(40))) for i in range(2)],
+        "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(3, " ".join(f"b{j}" for j in range(40)))],
+        "doc_id long, text string")
+    k = 16
+    merged = (
+        kmv_sketch(a, k=k).select("hash_val")
+        .unionByName(kmv_sketch(b, k=k).select("hash_val"))
+        .distinct()
+        .orderBy("hash_val").limit(k)
+        .select(F.row_number().over(Window.orderBy("hash_val"))
+                .cast("int").alias("rank"), "hash_val")
+    )
+    whole = kmv_sketch(a.unionByName(b), k=k)
+    key = lambda r: (r["rank"], r["hash_val"])  # noqa: E731
+    assert sorted(map(key, merged.collect())) == sorted(
+        map(key, whole.collect()))
