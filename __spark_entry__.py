@@ -1133,6 +1133,15 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(spark.table("documents"))
 
 
+def q_term_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level term-pair co-occurrence over the top-50 vocabulary
+    (exact-integer PMI numerators; the float log stays with the caller)."""
+    from geobuf_cpp_spark.operators.textstats import term_cooccurrence
+
+    _prep(spark, sf_dir, "documents")
+    return term_cooccurrence(spark.table("documents"))
+
+
 GRID_CLUSTER_RES = 8        # 256 x 256 grid
 GRID_CLUSTER_MIN_PTS = 2    # density threshold: cells below are noise
 
@@ -1244,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_estimate": q_cms_estimate,
         "kmv_sketch": q_kmv_sketch,
         "kmv_distinct": q_kmv_distinct,
+        "term_cooccur": q_term_cooccur,
     }
 
 
@@ -1869,6 +1879,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN count(*) < 16 THEN count(*) ELSE "
             "CAST(276701161105643274240 AS HUGEINT) // max(hv) END "
             "AS BIGINT) AS est_distinct FROM s"
+        ),
+        # independent: DuckDB recomputes vocabulary, incidence and the
+        # pair self-join from scratch; integer counts only
+        "term_cooccur": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS term FROM documents), "
+            "t AS (SELECT DISTINCT doc_id, term FROM w WHERE term <> ''), "
+            "df AS (SELECT term, count(*) AS doc_freq FROM t GROUP BY term), "
+            "v AS (SELECT term, doc_freq FROM (SELECT term, doc_freq, "
+            "ROW_NUMBER() OVER (ORDER BY doc_freq DESC, term ASC) AS rn "
+            "FROM df) s WHERE rn <= 50), "
+            "i AS (SELECT t.doc_id, t.term, v.doc_freq FROM t "
+            "JOIN v USING(term)) "
+            "SELECT a.term AS term_a, b.term AS term_b, "
+            "CAST(count(*) AS BIGINT) AS pair_docs, "
+            "CAST(any_value(a.doc_freq) AS BIGINT) AS docs_a, "
+            "CAST(any_value(b.doc_freq) AS BIGINT) AS docs_b, "
+            "(SELECT count(DISTINCT doc_id) FROM documents) AS n_docs "
+            "FROM i a JOIN i b ON a.doc_id = b.doc_id AND a.term < b.term "
+            "GROUP BY a.term, b.term"
         ),
         # independent reimplementation: quadratic |Δiy|<=1 ∧ |Δix|<=1
         # self-join for adjacency (vs Spark's linear neighbor-id

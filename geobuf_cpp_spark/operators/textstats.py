@@ -222,3 +222,58 @@ def token_rarity(docs_df, id_col: str = "doc_id", text_col: str = "text"):
             F.min("corpus_freq").cast("long").alias("min_freq"),
         )
     )
+
+
+def term_cooccurrence(docs_df, vocab_size: int = 50, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """Document-level term-pair co-occurrence over the top-``vocab_size``
+    vocabulary — the exact-integer numerator family of PMI / word
+    association mining (pair_docs, docs_a, docs_b, n_docs per pair;
+    PMI = log(pair_docs * n_docs / (docs_a * docs_b)) is left to the
+    caller so no float log enters the gated output).
+
+    Scale shape: the corpus-sized explode+distinct is computed ONCE and
+    persisted — it feeds the vocabulary count, and both sides of the
+    pair join (without the persist Catalyst would inline the lineage and
+    re-scan the corpus four times). The big side is then filtered by a
+    broadcast join against the vocabulary (<= vocab_size rows, built by
+    the same map-side-limited top-k as ``top_terms``), so the incidence
+    list entering the doc_id self-join carries at most vocab_size rows
+    per document. The self-join shuffles once on doc_id and the
+    ``a.term < b.term`` predicate keeps each unordered pair once; pair
+    counts then two-phase aggregate on a key space bounded by
+    vocab_size^2/2, independent of corpus size. The persisted incidence
+    lives until session end or ``spark.catalog.clearCache()`` (same
+    caller contract as the dedup/ann persists).
+    """
+    words = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "").distinct().persist()
+    from pyspark.sql import Window
+
+    doc_freq = words.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    w = Window.orderBy(F.desc("doc_freq"), F.asc("term"))
+    vocab = (
+        doc_freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= vocab_size)
+        .select("term", "doc_freq")
+    )
+    inc = words.join(F.broadcast(vocab), "term").select(
+        "doc_id", "term", "doc_freq")
+    a, b = inc.alias("a"), inc.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("a.term") < F.col("b.term")))
+        .groupBy(
+            F.col("a.term").alias("term_a"),
+            F.col("b.term").alias("term_b"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("pair_docs"),
+            F.first(F.col("a.doc_freq")).cast("long").alias("docs_a"),
+            F.first(F.col("b.doc_freq")).cast("long").alias("docs_b"),
+        )
+    )
+    n_docs = docs_df.select(F.countDistinct(id_col).alias("n_docs"))
+    return pairs.crossJoin(F.broadcast(n_docs))

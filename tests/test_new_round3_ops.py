@@ -822,3 +822,24 @@ def test_kmv_sketch_merge_is_union_bottom_k(spark):
     key = lambda r: (r["rank"], r["hash_val"])  # noqa: E731
     assert sorted(map(key, merged.collect())) == sorted(
         map(key, whole.collect()))
+
+
+def test_term_cooccurrence_hand_counts(spark):
+    """Pair doc-counts on a hand-built corpus: each unordered pair once,
+    doc-level (duplicates inside a doc don't double count), marginals
+    and n_docs carried for the caller's PMI."""
+    from geobuf_cpp_spark.operators.textstats import term_cooccurrence
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "cat dog fish"), (3, "dog fish"),
+         (4, "cat")],
+        "doc_id long, text string",
+    )
+    rows = {(r["term_a"], r["term_b"]):
+            (r["pair_docs"], r["docs_a"], r["docs_b"], r["n_docs"])
+            for r in term_cooccurrence(docs, vocab_size=10).collect()}
+    assert rows == {
+        ("cat", "dog"): (2, 3, 3, 4),
+        ("cat", "fish"): (1, 3, 2, 4),
+        ("dog", "fish"): (2, 3, 2, 4),
+    }
