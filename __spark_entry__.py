@@ -1133,6 +1133,28 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(spark.table("documents"))
 
 
+def q_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``$.k`` out of the events JSON
+    props column JVM-side (get_json_object, no Python) and aggregate per
+    event type — the schema-on-read path every event pipeline needs.
+    Null extractions are counted, not dropped."""
+    _prep(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        spark.table("events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_null"),
+        )
+    )
+
+
 def q_term_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level term-pair co-occurrence over the top-50 vocabulary
     (exact-integer PMI numerators; the float log stays with the caller)."""
@@ -1254,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_sketch": q_kmv_sketch,
         "kmv_distinct": q_kmv_distinct,
         "term_cooccur": q_term_cooccur,
+        "props_agg": q_props_agg,
     }
 
 
@@ -1899,6 +1922,17 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(DISTINCT doc_id) FROM documents) AS n_docs "
             "FROM i a JOIN i b ON a.doc_id = b.doc_id AND a.term < b.term "
             "GROUP BY a.term, b.term"
+        ),
+        # DuckDB's JSON arrow operator vs Spark's get_json_object —
+        # independent JSON parsers, same extracted values
+        "props_agg": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum, "
+            "CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_min, "
+            "CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max, "
+            "CAST(sum(CASE WHEN props->>'$.k' IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_null "
+            "FROM events GROUP BY event_type"
         ),
         # independent reimplementation: quadratic |Δiy|<=1 ∧ |Δix|<=1
         # self-join for adjacency (vs Spark's linear neighbor-id
