@@ -223,6 +223,43 @@ def main() -> None:
         [r"WholeStageCodegen", r"ReadSchema",
          r"MapInPandas|ArrowEvalPython|BatchEvalPython"],
     )
+    section(
+        "cms_sketch — sketch build is one bounded-key exchange, no Python",
+        "The counter matrix aggregates map-side first (partial_count "
+        "before the Exchange), so the shuffle carries at most "
+        "depth*width rows per input partition; bucket hashing is md5 "
+        "hex arithmetic inside WholeStageCodegen.",
+        E.q_cms_sketch(spark, SF_DIR),
+        [r"HashAggregate", r"Exchange", r"WholeStageCodegen",
+         r"MapInPandas|ArrowEvalPython|BatchEvalPython"],
+    )
+    section(
+        "kmv_sketch — bottom-k plans as TakeOrderedAndProject",
+        "The distinct hash set aggregates map-side, then the global "
+        "bottom-k is TakeOrderedAndProject (per-partition local k, "
+        "driver merge of k rows per partition) — no full sort, no "
+        "corpus-sized shuffle.",
+        E.q_kmv_sketch(spark, SF_DIR),
+        [r"TakeOrderedAndProject", r"HashAggregate", r"Exchange"],
+    )
+    section(
+        "term_cooccur — persisted incidence, broadcast vocabulary",
+        "The corpus explode+distinct is persisted (InMemoryTableScan "
+        "feeds vocabulary count and both pair-join sides — one corpus "
+        "scan, not four); the top-k vocabulary BROADCASTS into the "
+        "incidence filter, and the final pair aggregate is two-phase.",
+        E.q_term_cooccur(spark, SF_DIR),
+        [r"InMemoryTableScan|InMemoryRelation", r"BroadcastHashJoin",
+         r"HashAggregate", r"Scan parquet"],
+    )
+    section(
+        "props_agg — JSON extraction stays in codegen",
+        "get_json_object evaluates JVM-side inside WholeStageCodegen "
+        "over the scan; only the 5-key two-phase aggregate exchanges.",
+        E.q_props_agg(spark, SF_DIR),
+        [r"WholeStageCodegen", r"HashAggregate", r"Exchange",
+         r"MapInPandas|ArrowEvalPython|BatchEvalPython", r"ReadSchema"],
+    )
     aqe_skew_section(spark)
     spark.stop()
 
