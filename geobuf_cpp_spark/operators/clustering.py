@@ -89,6 +89,53 @@ def _neighbor_edges(dense: DataFrame, res: int) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+GRID_UF_MAX_CELLS = 1 << 22  # 4^11: grids at res <= 11 have a provably
+                             # bounded cell table (<= 4M rows INDEPENDENT
+                             # of corpus size), small enough for the
+                             # driver union-find fast path
+
+
+def _driver_union_find(cells, res: int):
+    """Vectorized 8-neighbor components over a BOUNDED dense-cell list.
+
+    Input size is capped by the grid (4^res), never the corpus — the
+    points were already aggregated away — so this is a bounded driver
+    computation (same contract as the bounded k-means sample in
+    operators/ann.py), not a collect of distributed data. Neighbor
+    lookups are numpy searchsorted against the sorted id array; the
+    union-find itself is path-halving over <= 4^res nodes.
+    """
+    import numpy as np
+
+    ids = np.sort(np.asarray(cells, dtype=np.int64))
+    n = 1 << res
+    base = res * RES_BASE
+    iy, ix = (ids - base) // n, (ids - base) % n
+    parent = np.arange(len(ids))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for dy, dx in _FWD_OFFSETS:
+        ny, nx = iy + dy, ix + dx
+        ok = (ny >= 0) & (ny < n) & (nx >= 0) & (nx < n)
+        nbr_id = base + ny * n + nx
+        pos = np.searchsorted(ids, nbr_id)
+        pos_ok = ok & (pos < len(ids))
+        hit = np.flatnonzero(pos_ok)
+        hit = hit[ids[pos[hit]] == nbr_id[hit]]
+        for a, b in zip(hit, pos[hit]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(i) for i in range(len(ids))])
+    # min id per component == id of the root (ids sorted, unions keep min)
+    return [(int(c), int(ids[r])) for c, r in zip(ids, roots)]
+
+
 def grid_cluster(points_df: DataFrame, res: int, min_pts: int,
                  lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
     """DBSCAN-lite: dense cells -> 8-neighbor components -> cluster ids.
@@ -96,9 +143,25 @@ def grid_cluster(points_df: DataFrame, res: int, min_pts: int,
     Returns (cell, n_points, cluster_id) for every dense cell;
     cluster_id is the min cell id of the connected component, so
     singleton dense cells label themselves.
+
+    Adaptive strategy: after the density aggregation the cell table is
+    bounded by 4^res, so for res <= 11 the component step runs as a
+    bounded driver union-find (one collect of <= 4M ids, zero fixpoint
+    jobs); at finer resolutions it falls back to the distributed
+    pointer-jumping loop shared with fuzzy dedup. Both paths produce
+    identical labels (pytest-asserted).
     """
     dense = dense_cells(points_df, res, min_pts, lat_col, lon_col)
     dense = dense.persist()
+    if (1 << (2 * res)) <= GRID_UF_MAX_CELLS:
+        cells = [r["cell"] for r in dense.select("cell").collect()]
+        spark = points_df.sparkSession
+        labels = spark.createDataFrame(
+            _driver_union_find(cells, res), "cell long, cluster_id long"
+        )
+        return dense.join(F.broadcast(labels), "cell", "inner").select(
+            "cell", "n_points", "cluster_id"
+        )
     edges = _neighbor_edges(dense, res)
     labels = dedup_clusters(dense.withColumnRenamed("cell", "doc_id"),
                             edges, id_col="doc_id")

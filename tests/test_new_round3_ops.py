@@ -843,3 +843,27 @@ def test_term_cooccurrence_hand_counts(spark):
         ("cat", "fish"): (1, 3, 2, 4),
         ("dog", "fish"): (2, 3, 2, 4),
     }
+
+
+def test_grid_cluster_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """The bounded driver union-find fast path and the distributed
+    pointer-jumping fallback produce identical labels on the same
+    clustered point cloud."""
+    import geobuf_cpp_spark.operators.clustering as C
+
+    import numpy as np
+    rng = np.random.default_rng(7)
+    pts = []
+    for blob, (clat, clon) in enumerate([(10, 20), (-30, 50), (10.4, 20.4)]):
+        for i in range(60):
+            pts.append((blob * 100 + i,
+                        clat + rng.uniform(-0.4, 0.4),
+                        clon + rng.uniform(-0.4, 0.4)))
+    df = spark.createDataFrame(pts, "point_id long, lat double, lon double")
+
+    fast = {(r["cell"], r["n_points"], r["cluster_id"])
+            for r in C.grid_cluster(df, 7, 2).collect()}
+    monkeypatch.setattr(C, "GRID_UF_MAX_CELLS", 0)
+    slow = {(r["cell"], r["n_points"], r["cluster_id"])
+            for r in C.grid_cluster(df, 7, 2).collect()}
+    assert fast == slow and len(fast) > 0
