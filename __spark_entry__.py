@@ -1133,6 +1133,34 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(spark.table("documents"))
 
 
+def q_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter over the corpus vocabulary as its set-bit table —
+    one map-side-deduped DISTINCT bounded by m rows; exact-integer, so
+    the whole bit set hash-gates."""
+    from geobuf_cpp_spark.operators.sketches import bloom_build
+
+    _prep(spark, sf_dir, "documents")
+    return bloom_build(spark.table("documents"))
+
+
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership probe of part-name words against the documents Bloom
+    filter (the decontamination-prefilter shape: held-out side probes a
+    kilobyte bit table instead of anti-joining the corpus). False
+    positives are deterministic, so the gate hash-matches them too."""
+    from geobuf_cpp_spark.operators.sketches import bloom_build, bloom_probe
+
+    _prep(spark, sf_dir, "documents", "part")
+    bloom = bloom_build(spark.table("documents"))
+    probe = (
+        spark.table("part")
+        .select(F.explode(F.split("p_name", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return bloom_probe(bloom, probe)
+
+
 def q_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull ``$.k`` out of the events JSON
     props column JVM-side (get_json_object, no Python) and aggregate per
@@ -1277,6 +1305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "term_cooccur": q_term_cooccur,
         "props_agg": q_props_agg,
+        "bloom_bits": q_bloom_bits,
+        "bloom_probe": q_bloom_probe,
     }
 
 
@@ -1922,6 +1952,31 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(DISTINCT doc_id) FROM documents) AS n_docs "
             "FROM i a JOIN i b ON a.doc_id = b.doc_id AND a.term < b.term "
             "GROUP BY a.term, b.term"
+        ),
+        # same md5-low-64 bucket family as the CMS oracle; the bit table
+        # is the DISTINCT of h=3 buckets per vocabulary word
+        "bloom_bits": (
+            "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word "
+            "FROM documents), t AS (SELECT DISTINCT word FROM w "
+            "WHERE word <> ''), r AS (SELECT unnest([0, 1, 2]) AS h) "
+            "SELECT DISTINCT CAST(md5_number_lower(word || '|' || r.h) "
+            "% 65536 AS INT) AS bit FROM t, r"
+        ),
+        "bloom_probe": (
+            "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word "
+            "FROM documents), t AS (SELECT DISTINCT word FROM w "
+            "WHERE word <> ''), r AS (SELECT unnest([0, 1, 2]) AS h), "
+            "bits AS (SELECT DISTINCT "
+            "CAST(md5_number_lower(word || '|' || r.h) % 65536 AS INT) "
+            "AS bit FROM t, r), "
+            "pw AS (SELECT unnest(string_split(p_name, ' ')) AS term "
+            "FROM part), p AS (SELECT DISTINCT term FROM pw "
+            "WHERE term <> ''), "
+            "pb AS (SELECT term, "
+            "CAST(md5_number_lower(term || '|' || r.h) % 65536 AS INT) "
+            "AS bit FROM p, r) "
+            "SELECT pb.term, count(bits.bit) = 3 AS maybe_present "
+            "FROM pb LEFT JOIN bits USING (bit) GROUP BY pb.term"
         ),
         # DuckDB's JSON arrow operator vs Spark's get_json_object —
         # independent JSON parsers, same extracted values

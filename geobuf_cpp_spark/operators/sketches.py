@@ -1,8 +1,8 @@
 """Distributed frequency sketches for corpus-scale token statistics.
 
-Two families, both pure DataFrame aggregations with exact-integer,
-hash-gateable outputs: count-min (frequency) and k-minimum-values
-(distinct count).
+Three families, all pure DataFrame aggregations with exact-integer,
+hash-gateable outputs: count-min (frequency), k-minimum-values
+(distinct count), and Bloom (membership).
 
 Count-min sketch, built the Spark-native way: the sketch IS a DataFrame
 aggregation. Every (depth x width) counter is the exact integer sum of
@@ -178,4 +178,60 @@ def kmv_distinct(docs_df: DataFrame, text_col: str = "text",
         ).otherwise(
             F.expr(f"CAST({num} AS DECIMAL(38,0)) div kth_hash")
         ).cast("long").alias("est_distinct"),
+    )
+
+
+BLOOM_M = 1 << 16   # bits; must divide 2^16 so the 2-hex-byte bucket
+                    # arithmetic is the full md5_low64 mod m
+BLOOM_H = 3         # hash functions
+
+
+def bloom_build(docs_df: DataFrame, text_col: str = "text",
+                m: int = BLOOM_M, h: int = BLOOM_H) -> DataFrame:
+    """Bloom filter over the corpus vocabulary, as the sorted table of
+    set bit positions (one row per set bit).
+
+    Same Spark-native collapse as the CMS build: the imperative
+    set-bit-then-merge dance becomes explode -> h bucket exprs ->
+    DISTINCT, a single map-side-deduped exchange bounded by m rows.
+    Filter union across corpus shards is the same DISTINCT over the
+    union. Deterministic -> the whole bit table hash-gates.
+    """
+    assert (1 << 16) % m == 0, "m must divide 2^16"
+    toks = _tokens(docs_df, text_col)
+    bits = F.array(*[
+        _bucket(F.col("tok"), r, m) for r in range(h)
+    ])
+    return (
+        toks.select(F.explode(bits).alias("bit"))
+        .distinct()
+        .select(F.col("bit").cast("int").alias("bit"))
+    )
+
+
+def bloom_probe(bloom_df: DataFrame, probe_df: DataFrame,
+                term_col: str = "term", m: int = BLOOM_M,
+                h: int = BLOOM_H) -> DataFrame:
+    """Membership probe: maybe_present = all h addressed bits set.
+
+    The filter is <= m rows -> broadcast; each probe term left-joins its
+    h addressed bits and counts hits, so the probe side never shuffles
+    its payload. False positives are possible by construction (and
+    deterministic, so the gate still hash-matches); false negatives are
+    not — callers use this as the cheap prefilter before an exact
+    anti-join, e.g. decontamination at 100 TB where the held-out set's
+    bit table is kilobytes.
+    """
+    bits = F.array(*[
+        _bucket(F.col(term_col), r, m) for r in range(h)
+    ])
+    addressed = probe_df.select(
+        term_col, F.explode(bits).alias("bit")
+    )
+    marked = addressed.join(
+        F.broadcast(bloom_df.withColumn("_set", F.lit(1))), "bit", "left"
+    )
+    return (
+        marked.groupBy(term_col)
+        .agg((F.sum(F.coalesce("_set", F.lit(0))) == h).alias("maybe_present"))
     )

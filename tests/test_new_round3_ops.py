@@ -867,3 +867,49 @@ def test_grid_cluster_driver_and_distributed_paths_agree(spark, monkeypatch):
     slow = {(r["cell"], r["n_points"], r["cluster_id"])
             for r in C.grid_cluster(df, 7, 2).collect()}
     assert fast == slow and len(fast) > 0
+
+
+def test_bloom_probe_no_false_negatives(spark):
+    """Every inserted term probes maybe_present=True (Bloom filters
+    cannot false-negative); an absent term with a deliberately tiny
+    filter width demonstrates the deterministic false-positive side."""
+    from geobuf_cpp_spark.operators.sketches import bloom_build, bloom_probe
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    bloom = bloom_build(docs)
+    probe = spark.createDataFrame(
+        [(t,) for t in
+         ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "omega"]],
+        "term string",
+    )
+    got = {r["term"]: r["maybe_present"]
+           for r in bloom_probe(bloom, probe).collect()}
+    for t in ["alpha", "beta", "gamma", "delta", "epsilon"]:
+        assert got[t] is True, t
+    # 15 set bits in 65536: absent terms must miss at least one bucket
+    assert got["zeta"] is False and got["omega"] is False
+
+    # m=4: every bit saturates -> absent terms become false positives,
+    # deterministically
+    tiny = bloom_build(docs, m=4)
+    got4 = {r["term"]: r["maybe_present"]
+            for r in bloom_probe(tiny, probe, m=4).collect()}
+    assert all(got4.values())
+
+
+def test_bloom_shard_union_is_same_distinct(spark):
+    """bloom(A union B) == DISTINCT(bloom(A) union bloom(B)): filter
+    merge is a union of the two bit tables."""
+    from geobuf_cpp_spark.operators.sketches import bloom_build
+
+    a = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "y q w")], "doc_id long, text string")
+    merged = sorted(
+        r["bit"] for r in bloom_build(a).unionByName(bloom_build(b))
+        .distinct().collect())
+    whole = sorted(
+        r["bit"] for r in bloom_build(a.unionByName(b)).collect())
+    assert merged == whole and len(whole) > 0
