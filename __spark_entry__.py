@@ -1133,6 +1133,16 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(spark.table("documents"))
 
 
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample: dense hourly series per user with
+    last-observation-carried-forward over the gaps. The carried value is
+    selected (never recombined), so float hash parity is exact."""
+    from geobuf_cpp_spark.operators.resample import gapfill_locf
+
+    _prep(spark, sf_dir, "events")
+    return gapfill_locf(spark.table("events"))
+
+
 def q_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom filter over the corpus vocabulary as its set-bit table —
     one map-side-deduped DISTINCT bounded by m rows; exact-integer, so
@@ -1307,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_agg": q_props_agg,
         "bloom_bits": q_bloom_bits,
         "bloom_probe": q_bloom_probe,
+        "gapfill_locf": q_gapfill_locf,
     }
 
 
@@ -1952,6 +1963,26 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(DISTINCT doc_id) FROM documents) AS n_docs "
             "FROM i a JOIN i b ON a.doc_id = b.doc_id AND a.term < b.term "
             "GROUP BY a.term, b.term"
+        ),
+        # integer bucket math (epoch_ms // 3600000 == unix_millis div),
+        # dense range via generate_series vs Spark sequence(), LOCF via
+        # IGNORE NULLS last_value in both engines; the double is only
+        # ever selected, so repr-level float parity holds
+        "gapfill_locf": (
+            "WITH x AS (SELECT user_id, epoch_ms(ts) // 3600000 AS bk, "
+            "value AS v, ROW_NUMBER() OVER (PARTITION BY user_id, "
+            "epoch_ms(ts) // 3600000 ORDER BY ts DESC, event_id DESC) "
+            "AS rn FROM events), "
+            "b AS (SELECT user_id, bk, v FROM x WHERE rn = 1), "
+            "r AS (SELECT user_id, min(bk) AS mn, max(bk) AS mx FROM b "
+            "GROUP BY 1), "
+            "g AS (SELECT user_id, unnest(generate_series(mn, mx)) AS bk "
+            "FROM r), "
+            "j AS (SELECT g.user_id, g.bk, b.v FROM g LEFT JOIN b "
+            "USING (user_id, bk)) "
+            "SELECT user_id, CAST(bk AS BIGINT) AS bucket, "
+            "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id "
+            "ORDER BY bk) AS v_locf FROM j"
         ),
         # same md5-low-64 bucket family as the CMS oracle; the bit table
         # is the DISTINCT of h=3 buckets per vocabulary word

@@ -913,3 +913,33 @@ def test_bloom_shard_union_is_same_distinct(spark):
     whole = sorted(
         r["bit"] for r in bloom_build(a.unionByName(b)).collect())
     assert merged == whole and len(whole) > 0
+
+
+def test_gapfill_locf_semantics(spark):
+    """Dense range per key; gaps carry the last value forward; within a
+    bucket the latest (ts, id) wins; ranges are per-key, not global."""
+    from datetime import datetime as dt
+
+    from geobuf_cpp_spark.operators.resample import gapfill_locf
+
+    rows = [
+        # user 1: buckets 0 and 3 observed -> 1 and 2 gap-filled
+        (1, dt(2024, 1, 1, 0, 10), 1, 10.0),
+        (2, dt(2024, 1, 1, 0, 50), 1, 20.0),   # same bucket, later ts wins
+        (3, dt(2024, 1, 1, 3, 5), 1, 30.0),
+        # user 2: single bucket, two events at the SAME ts -> max id wins
+        (4, dt(2024, 1, 1, 5, 0), 2, 40.0),
+        (5, dt(2024, 1, 1, 5, 0), 2, 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    got = {(r["user_id"], r["bucket"]): r["v_locf"]
+           for r in gapfill_locf(df).collect()}
+    base = 473352  # 2024-01-01T00 epoch hours
+    assert got == {
+        (1, base + 0): 20.0,
+        (1, base + 1): 20.0,
+        (1, base + 2): 20.0,
+        (1, base + 3): 30.0,
+        (2, base + 5): 50.0,
+    }
