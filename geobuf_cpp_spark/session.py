@@ -16,6 +16,28 @@ import zipfile
 from pyspark.sql import SparkSession
 
 
+def build_pkg_zip(zip_path: str | None = None) -> str:
+    """Zip this package for ``spark-submit --py-files`` / ``addPyFile``.
+
+    The archive roots at the package name, so ``import geobuf_cpp_spark``
+    resolves from the zip alone — no repo checkout needed on executors
+    (or, for a real submit, on the driver either).
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zip_path = zip_path or os.path.join(
+        tempfile.gettempdir(), "geobuf_cpp_spark_pkg.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, root))
+    return zip_path
+
+
 def ship_package(spark: SparkSession) -> None:
     """Distribute this package to executors (the --py-files path).
 
@@ -26,18 +48,7 @@ def ship_package(spark: SparkSession) -> None:
     """
     if getattr(spark, "_geobuf_pkg_shipped", False):
         return
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    root = os.path.dirname(pkg_dir)
-    zip_path = os.path.join(tempfile.gettempdir(), "geobuf_cpp_spark_pkg.zip")
-    with zipfile.ZipFile(zip_path, "w") as zf:
-        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
-            if "__pycache__" in dirpath:
-                continue
-            for fn in filenames:
-                if fn.endswith(".py"):
-                    full = os.path.join(dirpath, fn)
-                    zf.write(full, os.path.relpath(full, root))
-    spark.sparkContext.addPyFile(zip_path)
+    spark.sparkContext.addPyFile(build_pkg_zip())
     spark._geobuf_pkg_shipped = True
 
 
