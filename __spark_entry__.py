@@ -1143,6 +1143,16 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapfill_locf(spark.table("events"))
 
 
+def q_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h window aggregation per event type via the built-in
+    window() generator — the batch twin of the Structured Streaming
+    sliding aggregation. min/max are selections, so doubles hash-gate."""
+    from geobuf_cpp_spark.operators.resample import sliding_stats
+
+    _prep(spark, sf_dir, "events")
+    return sliding_stats(spark.table("events"))
+
+
 def q_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom filter over the corpus vocabulary as its set-bit table —
     one map-side-deduped DISTINCT bounded by m rows; exact-integer, so
@@ -1318,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_bits": q_bloom_bits,
         "bloom_probe": q_bloom_probe,
         "gapfill_locf": q_gapfill_locf,
+        "sliding_stats": q_sliding_stats,
     }
 
 
@@ -1963,6 +1974,19 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(DISTINCT doc_id) FROM documents) AS n_docs "
             "FROM i a JOIN i b ON a.doc_id = b.doc_id AND a.term < b.term "
             "GROUP BY a.term, b.term"
+        ),
+        # sliding-window model: an event at hour H belongs to the 2h/1h
+        # windows starting at H and H-1 (epoch-aligned, same as Spark's
+        # window() generator); min/max are selections -> float parity
+        "sliding_stats": (
+            "WITH x AS (SELECT event_type, value, "
+            "(epoch_ms(ts) // 3600000) * 3600 AS h FROM events), "
+            "f AS (SELECT event_type, value, h - k.o * 3600 AS win_start "
+            "FROM x, (SELECT unnest([0, 1]) AS o) k) "
+            "SELECT win_start, event_type, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "min(value) AS v_min, max(value) AS v_max "
+            "FROM f GROUP BY win_start, event_type"
         ),
         # integer bucket math (epoch_ms // 3600000 == unix_millis div),
         # dense range via generate_series vs Spark sequence(), LOCF via

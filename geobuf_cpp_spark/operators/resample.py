@@ -70,3 +70,37 @@ def gapfill_locf(events_df: DataFrame, bucket_ms: int = HOUR_MS,
         F.col("bucket").cast("long").alias("bucket"),
         F.last("v", ignorenulls=True).over(w_locf).alias("v_locf"),
     )
+
+
+def sliding_stats(events_df: DataFrame, win_s: int = 7200,
+                  hop_s: int = 3600, key_col: str = "event_type",
+                  ts_col: str = "ts", val_col: str = "value",
+                  ) -> DataFrame:
+    """Overlapping (sliding) time-window aggregation: per (window start,
+    key): event count and min/max value.
+
+    Uses the built-in ``window()`` expression — the same generator
+    Structured Streaming plans for watermarked sliding aggregations, so
+    this batch form IS the stream twin. Each event fans out to
+    win/hop window instances (2 here), then one map-side-combined
+    aggregate; min/max are selections, never arithmetic, so the double
+    columns stay hash-exact against the oracle.
+    """
+    assert win_s % hop_s == 0, "window must be a multiple of the hop"
+    w = F.window(
+        F.col(ts_col), f"{win_s} seconds", f"{hop_s} seconds")
+    return (
+        events_df.groupBy(
+            w.alias("w"), F.col(key_col).alias("key"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min(val_col).alias("v_min"),
+            F.max(val_col).alias("v_max"),
+        )
+        .select(
+            F.expr("unix_micros(cast(w.start as timestamp)) div 1000000")
+            .alias("win_start"),
+            F.col("key").alias(key_col),
+            "n_events", "v_min", "v_max",
+        )
+    )

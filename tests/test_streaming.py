@@ -382,3 +382,42 @@ def test_dedup_stream_emits_each_text_once(spark, tmp_path):
     assert len(got) == 10
     assert sorted(got["text"]) == sorted(f"text number {i}" for i in range(10))
     assert set(got["doc_id"]) == set(range(10))
+
+
+def test_sliding_stats_stream_twin(spark, tmp_path):
+    """The batch sliding_stats equals a Structured Streaming sliding
+    window() aggregation over the same events landed in three arrivals
+    — the built-in generator IS the stream plan."""
+    from geobuf_cpp_spark.operators.resample import sliding_stats
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "slide_src")
+    for k, name in enumerate("abc"):
+        events.filter(f"event_id % 3 = {k}").write.parquet(
+            os.path.join(src, name))
+
+    stream = read_event_stream(spark, src + "/*", max_files_per_trigger=2)
+    agg = (
+        stream.withWatermark("ts", "4 hours")
+        .groupBy(F.window("ts", "7200 seconds", "3600 seconds").alias("w"),
+                 "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.min("value").alias("v_min"),
+             F.max("value").alias("v_max"))
+        .select(
+            F.expr("unix_micros(cast(w.start as timestamp)) div 1000000")
+            .alias("win_start"),
+            "event_type", "n_events", "v_min", "v_max")
+    )
+    q = run_to_memory(agg, "slide_counts", str(tmp_path / "slide_ckpt"))
+    try:
+        got = spark.table("slide_counts").toPandas()
+    finally:
+        q.stop()
+    expect = sliding_stats(events).toPandas()
+    key = ["win_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    expect = expect.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(expect) and len(got) > 0
+    for c in ["n_events", "v_min", "v_max"]:
+        assert (got[c].to_numpy() == expect[c].to_numpy()).all(), c
