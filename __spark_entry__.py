@@ -1143,6 +1143,27 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapfill_locf(spark.table("events"))
 
 
+TRI_EDGE_MIN_DOCS = 300     # co-occurrence weight threshold for the
+                            # term-association graph
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the term-association graph (edges =
+    strong co-occurrence pairs). Degree-ordered orientation keeps the
+    wedge fan-out m^(3/2)-bounded (operators/graph.py); the oracle
+    recounts with a canonical x<y<z triple self-join."""
+    from geobuf_cpp_spark.operators.graph import triangle_counts
+    from geobuf_cpp_spark.operators.textstats import term_cooccurrence
+
+    _prep(spark, sf_dir, "documents")
+    edges = (
+        term_cooccurrence(spark.table("documents"))
+        .filter(F.col("pair_docs") >= TRI_EDGE_MIN_DOCS)
+        .select(F.col("term_a").alias("id_a"), F.col("term_b").alias("id_b"))
+    )
+    return triangle_counts(edges).withColumnRenamed("node", "term")
+
+
 def q_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 2h/1h window aggregation per event type via the built-in
     window() generator — the batch twin of the Structured Streaming
@@ -1329,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe": q_bloom_probe,
         "gapfill_locf": q_gapfill_locf,
         "sliding_stats": q_sliding_stats,
+        "triangle_count": q_triangle_count,
     }
 
 
@@ -1974,6 +1996,32 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(DISTINCT doc_id) FROM documents) AS n_docs "
             "FROM i a JOIN i b ON a.doc_id = b.doc_id AND a.term < b.term "
             "GROUP BY a.term, b.term"
+        ),
+        # canonical x<y<z triple self-join over the same thresholded
+        # co-occurrence edge list (term_a < term_b by construction) —
+        # independent of Spark's degree-ordered orientation
+        "triangle_count": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS term FROM documents), "
+            "t0 AS (SELECT DISTINCT doc_id, term FROM w WHERE term <> ''), "
+            "df AS (SELECT term, count(*) AS doc_freq FROM t0 GROUP BY term), "
+            "v AS (SELECT term FROM (SELECT term, "
+            "ROW_NUMBER() OVER (ORDER BY doc_freq DESC, term ASC) AS rn "
+            "FROM df) s WHERE rn <= 50), "
+            "i AS (SELECT t0.doc_id, t0.term FROM t0 JOIN v USING (term)), "
+            "e AS (SELECT a.term AS ta, b.term AS tb FROM i a JOIN i b "
+            "ON a.doc_id = b.doc_id AND a.term < b.term "
+            f"GROUP BY 1, 2 HAVING count(*) >= {TRI_EDGE_MIN_DOCS}), "
+            "tri AS (SELECT e1.ta AS x, e1.tb AS y, e2.tb AS z "
+            "FROM e e1 JOIN e e2 ON e2.ta = e1.tb "
+            "JOIN e e3 ON e3.ta = e1.ta AND e3.tb = e2.tb), "
+            "nodes AS (SELECT DISTINCT ta AS term FROM e "
+            "UNION SELECT DISTINCT tb FROM e), "
+            "corners AS (SELECT x AS term FROM tri UNION ALL "
+            "SELECT y FROM tri UNION ALL SELECT z FROM tri), "
+            "pc AS (SELECT term, count(*) AS c FROM corners GROUP BY term) "
+            "SELECT nodes.term, CAST(coalesce(pc.c, 0) AS BIGINT) "
+            "AS n_triangles FROM nodes LEFT JOIN pc USING (term)"
         ),
         # sliding-window model: an event at hour H belongs to the 2h/1h
         # windows starting at H and H-1 (epoch-aligned, same as Spark's

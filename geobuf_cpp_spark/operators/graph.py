@@ -1,0 +1,88 @@
+"""Distributed graph analytics over derived relation graphs.
+
+Triangle counting with the degree-ordered orientation (the
+node-iterator++ / Cohen's MapReduce scheme): every undirected edge is
+directed from its lower-(degree, id) endpoint to the higher one, so each
+node's OUT-degree is O(sqrt(m)) even at power-law hubs — the wedge
+fan-out that makes naive node-iterator quadratic at a hub becomes
+m^(3/2)-bounded, the proven-optimal shape for a shuffle-based engine.
+Each triangle is then counted exactly once: its two lowest-ordered
+corners form the wedge, the closing edge is probed by equi-join.
+
+Connected components live in ``operators/dedup.py:dedup_clusters``
+(pointer-jumping min-label); this module holds the counting side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _oriented(edges_df: DataFrame) -> DataFrame:
+    """Orient undirected (id_a, id_b) edges by (degree, id) rank.
+
+    Returns (src, dst, src_r, dst_r) with rank(src) < rank(dst); rank is
+    a dense global ordering of nodes by (degree, id), computed with one
+    aggregation over the edge list plus a node-count-sized window.
+    """
+    und = edges_df.select("id_a", "id_b")
+    nodes = (
+        und.select(F.col("id_a").alias("node"))
+        .unionByName(und.select(F.col("id_b").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("deg"))
+    )
+    rank = nodes.select(
+        "node",
+        F.row_number().over(
+            Window.orderBy("deg", "node")).alias("r"),
+    )
+    e = (
+        und.join(rank.withColumnRenamed("node", "id_a")
+                 .withColumnRenamed("r", "ra"), "id_a")
+        .join(rank.withColumnRenamed("node", "id_b")
+              .withColumnRenamed("r", "rb"), "id_b")
+    )
+    return e.select(
+        F.when(F.col("ra") < F.col("rb"), F.col("id_a"))
+        .otherwise(F.col("id_b")).alias("src"),
+        F.when(F.col("ra") < F.col("rb"), F.col("id_b"))
+        .otherwise(F.col("id_a")).alias("dst"),
+        F.least("ra", "rb").alias("src_r"),
+        F.greatest("ra", "rb").alias("dst_r"),
+    )
+
+
+def triangle_counts(edges_df: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts: (node, n_triangles) for
+    every node of the edge list (nodes in no triangle report 0).
+
+    Plan: orientation (one agg + two rank joins), a self-join on the
+    oriented source building each wedge once (dst_r ordered), one
+    equi-join probing the closing edge, then an explode of the three
+    corners into a two-phase count. Shuffle volume is O(m^(3/2)) worst
+    case — the orientation bound — never hub-degree-squared.
+    """
+    o = _oriented(edges_df).persist()
+    w1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"),
+                  F.col("dst_r").alias("rb"))
+    w2 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"),
+                  F.col("dst_r").alias("rc"))
+    wedges = w1.join(w2, "a").filter(F.col("rb") < F.col("rc"))
+    closing = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tris = wedges.join(closing, ["b", "c"])
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    nodes = (
+        edges_df.select(F.col("id_a").alias("node"))
+        .unionByName(edges_df.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    return nodes.join(per_node, "node", "left").select(
+        "node",
+        F.coalesce("n_triangles", F.lit(0)).cast("long")
+        .alias("n_triangles"),
+    )

@@ -943,3 +943,28 @@ def test_gapfill_locf_semantics(spark):
         (1, base + 3): 30.0,
         (2, base + 5): 50.0,
     }
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 (every node in 3 triangles) + pendant + disconnected edge
+    (zero triangles); also exercises the hub case the degree
+    orientation bounds."""
+    from geobuf_cpp_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = k4 + [(0, 9), (20, 21)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 9: 0, 20: 0, 21: 0}
+
+
+def test_triangle_counts_star_hub_has_none(spark):
+    """A star (hub degree n, no closing edges) has zero triangles —
+    the wedge join must produce nothing despite the hub fan-out."""
+    from geobuf_cpp_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 30)], "id_a long, id_b long")
+    rows = triangle_counts(df).collect()
+    assert len(rows) == 30 and all(r["n_triangles"] == 0 for r in rows)
