@@ -260,6 +260,36 @@ def main() -> None:
         [r"WholeStageCodegen", r"HashAggregate", r"Exchange",
          r"MapInPandas|ArrowEvalPython|BatchEvalPython", r"ReadSchema"],
     )
+    section(
+        "gapfill_locf — all stages keyed on the series key, no Python",
+        "Latest-per-bucket pick and the LOCF carry are two Window "
+        "stages over the same key family; the dense range is a "
+        "Generate (sequence explode) bounded by span/bucket per key; "
+        "no Python operator anywhere.",
+        E.q_gapfill_locf(spark, SF_DIR),
+        [r"Window", r"Generate", r"Exchange",
+         r"MapInPandas|ArrowEvalPython|BatchEvalPython"],
+    )
+    section(
+        "sliding_stats — window() fan-out into one two-phase aggregate",
+        "The built-in window generator expands each event into its "
+        "win/hop instances (Expand/Generate), then partial_count/"
+        "partial_min/partial_max run map-side before the single "
+        "exchange; no Python operator.",
+        E.q_sliding_stats(spark, SF_DIR),
+        [r"Expand|Generate", r"HashAggregate", r"Exchange",
+         r"MapInPandas|ArrowEvalPython|BatchEvalPython"],
+    )
+    section(
+        "triangle_count — oriented wedges, no hub blowup",
+        "Edges orient by (degree, id) rank before the wedge self-join, "
+        "so the join fan-out is bounded by out-degree (O(sqrt m)), not "
+        "hub degree; the closing-edge probe is an equi-join; corner "
+        "counts aggregate two-phase.",
+        E.q_triangle_count(spark, SF_DIR),
+        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         r"HashAggregate", r"InMemoryTableScan"],
+    )
     aqe_skew_section(spark)
     spark.stop()
 
