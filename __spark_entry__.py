@@ -26,6 +26,7 @@ from geobuf_cpp_spark.functions.cells import (
     sql_cell_parent,
     sql_equirect_tile_x,
     sql_equirect_tile_y,
+    sql_geohash,
     sql_quadkey,
 )
 from geobuf_cpp_spark.functions.sql_codec import sql_roundtrip
@@ -201,6 +202,34 @@ def q_quadkey_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return spread(P.points_df(spark, sf_dir)).mapInPandas(
         gen, "point_id long, quadkey string"
+    )
+
+
+GEOHASH_LEN = 6
+
+
+def q_geohash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard base32 geohashes: Spark runs the NUMPY closed-form
+    kernel, the oracle the SQL bit cascade (functions/cells.py:
+    sql_geohash) — independent implementations, same strings."""
+    import pandas as pd
+
+    from geobuf_cpp_spark.functions.cells import geohash_of
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "point_id": pdf["point_id"],
+                    "geohash": geohash_of(
+                        pdf["lat"].to_numpy(), pdf["lon"].to_numpy(),
+                        GEOHASH_LEN,
+                    ),
+                }
+            )
+
+    return spread(P.points_df(spark, sf_dir)).mapInPandas(
+        gen, "point_id long, geohash string"
     )
 
 
@@ -1278,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_boxes_join": wrap(q_pip_boxes_join),
         "admin_areas": wrap(q_admin_areas),
         "quadkey_assign": wrap(q_quadkey_assign),
+        "geohash_assign": wrap(q_geohash_assign),
         "cell_month_rollup": wrap(q_cell_month_rollup),
         "pip_boxes_agg": wrap(q_pip_boxes_agg),
         "knn": wrap(q_knn),
@@ -1458,6 +1488,10 @@ def oracle_sql() -> dict[str, str]:
         "quadkey_assign": (
             f"{POINTS_CTE} SELECT point_id, "
             f"{sql_quadkey('lat', 'lon', ROLLUP_RES)} AS quadkey FROM points"
+        ),
+        "geohash_assign": (
+            f"{POINTS_CTE} SELECT point_id, "
+            f"{sql_geohash('lat', 'lon', GEOHASH_LEN)} AS geohash FROM points"
         ),
         "cell_month_rollup": CELL_MONTH_SQL,
         "admin_areas": (

@@ -268,3 +268,81 @@ def sql_equirect_tile_y(lat_expr: str, z: int) -> str:
         f"GREATEST(LEAST(CAST(FLOOR((90.0 - {lat_expr}) / 180.0 * {n}) AS BIGINT),"
         f" {n - 1}), 0)"
     )
+
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_of(lat, lon, length: int = 6):
+    """Vectorized standard geohashes (base32, lon bit first).
+
+    The textbook successive-bisection encoding is closed-form: with
+    B = 5*length total bits, the ceil(B/2) lon bits are the binary
+    expansion of floor((lon+180)/360 * 2^nlon) and likewise for lat —
+    interleave MSB-first starting with longitude, then map 5-bit groups
+    through the geohash alphabet. Matches geohash.org for the shared
+    prefix semantics (same cell <=> same prefix).
+    """
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    total = 5 * length
+    nlon = (total + 1) // 2
+    nlat = total // 2
+    ix = np.clip(np.floor((lon + 180.0) / 360.0 * (1 << nlon)),
+                 0, (1 << nlon) - 1).astype(np.int64)
+    iy = np.clip(np.floor((lat + 90.0) / 180.0 * (1 << nlat)),
+                 0, (1 << nlat) - 1).astype(np.int64)
+    code = np.zeros(lat.shape, dtype=np.int64)
+    for i in range(total):
+        if i % 2 == 0:
+            bit = (ix >> (nlon - 1 - i // 2)) & 1
+        else:
+            bit = (iy >> (nlat - 1 - i // 2)) & 1
+        code = (code << 1) | bit
+    out = np.empty(lat.shape, dtype=object)
+    flat_code = code.ravel()
+    flat_out = out.ravel()
+    for j in range(flat_code.shape[0]):
+        c = int(flat_code[j])
+        flat_out[j] = "".join(
+            GEOHASH_ALPHABET[(c >> (5 * (length - 1 - k))) & 31]
+            for k in range(length)
+        )
+    return out
+
+
+def sql_geohash(lat_expr: str, lon_expr: str, length: int = 6) -> str:
+    """geohash_of as portable SQL (evaluates identically in Spark SQL and
+    DuckDB): per-character CONCAT of SUBSTR lookups into the alphabet,
+    each 5-bit group summed from FLOOR-division parity bits — the same
+    exact-in-double arithmetic family as ``sql_quadkey``.
+    """
+    total = 5 * length
+    nlon = (total + 1) // 2
+    nlat = total // 2
+    ix = (
+        f"GREATEST(LEAST(CAST(FLOOR(({lon_expr} + 180.0) / 360.0 * "
+        f"{1 << nlon}) AS BIGINT), {(1 << nlon) - 1}), 0)"
+    )
+    iy = (
+        f"GREATEST(LEAST(CAST(FLOOR(({lat_expr} + 90.0) / 180.0 * "
+        f"{1 << nlat}) AS BIGINT), {(1 << nlat) - 1}), 0)"
+    )
+    chars = []
+    for k in range(length):
+        terms = []
+        for b in range(5):
+            i = 5 * k + b            # stream bit index, MSB first
+            if i % 2 == 0:
+                src, shift = ix, nlon - 1 - i // 2
+            else:
+                src, shift = iy, nlat - 1 - i // 2
+            bit = (
+                f"(CAST(FLOOR(CAST({src} AS DOUBLE) / {1 << shift}) "
+                f"AS BIGINT) % 2)"
+            )
+            terms.append(f"{bit} * {1 << (4 - b)}")
+        v = " + ".join(terms)
+        chars.append(
+            f"SUBSTR('{GEOHASH_ALPHABET}', CAST({v} AS INT) + 1, 1)")
+    return "CONCAT(" + ", ".join(chars) + ")"

@@ -241,3 +241,43 @@ def test_quadkey_and_ring_sql_fuzz(spark):
         assert r["qk"] == str(quadkey_of(np.array([r["lat"]]), np.array([r["lon"]]), res)[0])
         expect = sorted(int(c) for c in ring_cells(int(cell_of(r["lat"], r["lon"], res)), res, 1))
         assert sorted(r["ring"]) == expect
+
+
+def test_geohash_matches_textbook_bisection():
+    """The closed-form kernel equals an independent successive-bisection
+    reference (the algorithm as published), including the canonical
+    geohash.org example."""
+    import numpy as np
+
+    from geobuf_cpp_spark.functions.cells import GEOHASH_ALPHABET, geohash_of
+
+    def reference(lat, lon, length):
+        lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+        bits, out, even = 0, [], True
+        val = 0
+        while len(out) < length:
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if lon >= mid:
+                    val = (val << 1) | 1; lon_lo = mid
+                else:
+                    val = val << 1; lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if lat >= mid:
+                    val = (val << 1) | 1; lat_lo = mid
+                else:
+                    val = val << 1; lat_hi = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out.append(GEOHASH_ALPHABET[val]); bits, val = 0, 0
+        return "".join(out)
+
+    assert reference(57.64911, 10.40744, 7) == "u4pruyd"  # geohash.org
+    rng = np.random.default_rng(11)
+    lats = rng.uniform(-89.9, 89.9, 200)
+    lons = rng.uniform(-179.9, 179.9, 200)
+    got = geohash_of(lats, lons, 6)
+    for la, lo, g in zip(lats, lons, got):
+        assert g == reference(la, lo, 6), (la, lo)
