@@ -205,6 +205,22 @@ def q_quadkey_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index build: posting entries (term, doc_id,
+    tf, first_pos) via posexplode — the IR building block; positions are
+    1-based indexes into the raw split array so both engines count
+    identically."""
+    _prep(spark, sf_dir, "documents")
+    toks = spark.table("documents").select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "term"),
+    ).filter(F.col("term") != "")
+    return toks.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf"),
+        (F.min("pos0") + 1).cast("long").alias("first_pos"),
+    )
+
+
 GEOHASH_LEN = 6
 
 
@@ -1308,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "admin_areas": wrap(q_admin_areas),
         "quadkey_assign": wrap(q_quadkey_assign),
         "geohash_assign": wrap(q_geohash_assign),
+        "inverted_index": q_inverted_index,
         "cell_month_rollup": wrap(q_cell_month_rollup),
         "pip_boxes_agg": wrap(q_pip_boxes_agg),
         "knn": wrap(q_knn),
@@ -1492,6 +1509,16 @@ def oracle_sql() -> dict[str, str]:
         "geohash_assign": (
             f"{POINTS_CTE} SELECT point_id, "
             f"{sql_geohash('lat', 'lon', GEOHASH_LEN)} AS geohash FROM points"
+        ),
+        # generate_subscripts is 1-based; Spark's posexplode 0-based + 1
+        "inverted_index": (
+            "WITH w AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS term, "
+            "generate_subscripts(string_split(text, ' '), 1) AS pos "
+            "FROM documents) "
+            "SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf, "
+            "CAST(min(pos) AS BIGINT) AS first_pos "
+            "FROM w WHERE term <> '' GROUP BY term, doc_id"
         ),
         "cell_month_rollup": CELL_MONTH_SQL,
         "admin_areas": (
