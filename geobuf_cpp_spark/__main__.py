@@ -40,6 +40,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pages", type=int, default=10000)
     p.add_argument("--out", required=True, help="output/checkpoint root")
 
+    p = sub.add_parser(
+        "curate",
+        help="documents -> dedup+quality -> decontaminate -> sample job")
+    p.add_argument("--docs",
+                   default="/root/testdata/sf0.001/documents.parquet")
+    p.add_argument("--out", required=True, help="output/checkpoint root")
+    p.add_argument("--rate", type=float, default=0.5,
+                   help="per-language keep rate for the final sample")
+
     p = sub.add_parser("bench", help="run the benchmark harness")
 
     args = ap.parse_args(argv)
@@ -109,6 +118,50 @@ def main(argv: list[str] | None = None) -> int:
             ),
         )
         print(f"pipeline complete: {joined.count()} PIP matches under {args.out}")
+        spark.stop()
+    elif args.cmd == "curate":
+        # The end-to-end training-data curation recipe, checkpointed at
+        # every stage boundary (same manifest contract as `pipeline`):
+        # quality+lang+dedup filter -> test-set decontamination ->
+        # deterministic stratified sample. Re-running with the same
+        # inputs resumes instantly from the manifests.
+        from pyspark.sql import functions as F
+
+        from .operators.curation import stratified_sample
+        from .operators.dedup import decontaminate, exact_dedup
+        from .operators.textstats import lang_signal, quality_score
+        from .plans.manifest import fingerprint, run_stage
+        from .session import get_spark
+
+        spark = get_spark("curate")
+        docs = spark.read.parquet(args.docs)
+        fp = fingerprint("curate", args.docs)
+
+        def build_clean():
+            quality = quality_score(docs).filter("keep = 1").select("doc_id")
+            lang = lang_signal(docs).filter("pred_en = 1").select("doc_id")
+            keepers = exact_dedup(docs).select(
+                F.col("keeper_id").alias("doc_id"))
+            return docs.join(quality, "doc_id").join(lang, "doc_id").join(
+                keepers, "doc_id")
+
+        clean = run_stage(spark, args.out, "clean", fp, build_clean)
+        heldout = docs.where("doc_id % 13 = 0")
+        decon = run_stage(
+            spark, args.out, "decontam", fingerprint(fp, "mod13"),
+            lambda: decontaminate(clean, heldout),
+        )
+        langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+        sampled = run_stage(
+            spark, args.out, "sample",
+            fingerprint(fp, "rate", str(args.rate)),
+            lambda: stratified_sample(
+                decon, {lg: args.rate for lg in langs}),
+        )
+        n0, n1, n2, n3 = (docs.count(), clean.count(), decon.count(),
+                          sampled.count())
+        print(f"curate complete: {n0} -> clean {n1} -> decontam {n2} "
+              f"-> sample {n3} under {args.out}")
         spark.stop()
     elif args.cmd == "bench":
         import runpy

@@ -587,3 +587,31 @@ def test_pq_roundtrip_and_recall(spark):
     got = {(r.query_id, r.rank): r.vec_id for r in reranked.itertuples()}
     want = {(r.query_id, r.rank): r.vec_id for r in exact.itertuples()}
     assert got == want  # candidates cover the true top-k -> exact result
+
+
+def test_curation_funnel_deterministic_counts(spark):
+    """The composed curation recipe (quality+lang+dedup keepers ->
+    decontaminate vs the doc_id%13 held-out split -> stratified sample)
+    is fully deterministic: exact funnel counts at sf0.001, same as the
+    `python -m geobuf_cpp_spark curate` CLI reports."""
+    from pyspark.sql import functions as F
+
+    from geobuf_cpp_spark.operators.curation import stratified_sample
+    from geobuf_cpp_spark.operators.dedup import decontaminate, exact_dedup
+    from geobuf_cpp_spark.operators.textstats import lang_signal, quality_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    quality = quality_score(docs).filter("keep = 1").select("doc_id")
+    lang = lang_signal(docs).filter("pred_en = 1").select("doc_id")
+    keepers = exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    clean = docs.join(quality, "doc_id").join(lang, "doc_id").join(
+        keepers, "doc_id")
+    decon = decontaminate(clean, docs.where("doc_id % 13 = 0"))
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    sampled = stratified_sample(decon, {lg: 0.5 for lg in langs})
+    funnel = (docs.count(), clean.count(), decon.count(), sampled.count())
+    assert funnel == (500, 422, 390, 191)
+    # every decontaminated text is genuinely absent from the held-out set
+    held_texts = {r["text"] for r in docs.where("doc_id % 13 = 0").collect()}
+    assert all(r["text"] not in held_texts
+               for r in decon.select("text").collect())
