@@ -421,3 +421,38 @@ def test_sliding_stats_stream_twin(spark, tmp_path):
     assert len(got) == len(expect) and len(got) > 0
     for c in ["n_events", "v_min", "v_max"]:
         assert (got[c].to_numpy() == expect[c].to_numpy()).all(), c
+
+
+def test_cms_sketch_stream_twin(spark, tmp_path):
+    """The CMS build IS a streaming aggregation: the same groupBy over a
+    file stream (complete mode) equals the batch sketch — the merge-is-
+    the-same-aggregation property, live under Structured Streaming."""
+    from geobuf_cpp_spark.operators.sketches import count_min_sketch
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "cms_src")
+    for k, name in enumerate("ab"):
+        docs.filter(f"doc_id % 2 = {k}").write.parquet(
+            os.path.join(src, name))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    agg = count_min_sketch(stream)
+    q = (
+        agg.writeStream.format("memory").queryName("cms_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r["sketch_row"], r["bucket"]): r["cnt"]
+               for r in spark.table("cms_stream").collect()}
+    finally:
+        q.stop()
+    want = {(r["sketch_row"], r["bucket"]): r["cnt"]
+            for r in count_min_sketch(docs).collect()}
+    assert got == want and len(want) > 0
