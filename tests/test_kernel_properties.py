@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis) for the pure kernels added in
+round 3: spatial codes and sketch primitives. No Spark session — these
+pin the scalar/numpy semantics every gated query builds on."""
+
+import hashlib
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geobuf_cpp_spark.functions.cells import GEOHASH_ALPHABET, geohash_of
+
+lats = st.floats(min_value=-89.999, max_value=89.999,
+                 allow_nan=False, allow_infinity=False)
+lons = st.floats(min_value=-179.999, max_value=179.999,
+                 allow_nan=False, allow_infinity=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lats, lons)
+def test_geohash_prefix_nesting(lat, lon):
+    """The defining geohash property: a shorter hash of the same point
+    is a PREFIX of the longer one (cells nest)."""
+    h4 = geohash_of([lat], [lon], 4)[0]
+    h6 = geohash_of([lat], [lon], 6)[0]
+    h8 = geohash_of([lat], [lon], 8)[0]
+    assert h8.startswith(h6) and h6.startswith(h4)
+    assert len(h8) == 8 and set(h8) <= set(GEOHASH_ALPHABET)
+
+
+@settings(max_examples=100, deadline=None)
+@given(lats, lons, lats, lons)
+def test_geohash_shared_prefix_implies_proximity(lat1, lon1, lat2, lon2):
+    """Same length-5 geohash => the two points fall in the same cell,
+    whose extent is bounded (<= 0.0879 deg lat x 0.3516 deg lon)."""
+    g1 = geohash_of([lat1], [lon1], 5)[0]
+    g2 = geohash_of([lat2], [lon2], 5)[0]
+    if g1 == g2:
+        # 5 chars = 25 bits = 13 lon + 12 lat bits
+        assert abs(lat1 - lat2) <= 180.0 / (1 << 12)
+        assert abs(lon1 - lon2) <= 360.0 / (1 << 13)
+
+
+words = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+    min_size=1, max_size=12)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(words, min_size=17, max_size=120))
+def test_kmv_estimator_scalar_mirror(tokens):
+    """Scalar mirror of the KMV estimator the gate runs: on >= k distinct
+    tokens the floored (k-1)*2^64/h_k estimate is positive, scales
+    inversely with h_k, and is exactly n when n < k (the fallback
+    branch); the k-th min is unique so the sketch is deterministic."""
+    from geobuf_cpp_spark.operators.sketches import KMV_K
+
+    hashes = sorted({
+        int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
+        for t in tokens
+    })
+    n = len(hashes)
+    if n < KMV_K:
+        est = n  # exact branch — identical to the operator's CASE
+        assert est == n
+        return
+    hk = hashes[KMV_K - 1]
+    est = ((KMV_K - 1) << 64) // hk
+    assert est >= 1
+    # monotonicity: removing the largest retained hash (denser bottom-k)
+    # can only raise or keep the estimate
+    hk_smaller = hashes[KMV_K - 2]
+    assert ((KMV_K - 1) << 64) // hk_smaller >= est
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(words, min_size=1, max_size=30),
+       st.lists(words, min_size=0, max_size=10))
+def test_bloom_scalar_contract_no_false_negatives(corpus, probes):
+    """Scalar mirror of the Bloom bit math: every corpus word's 3 bits
+    are set, so membership never false-negatives."""
+    m, h = 1 << 16, 3
+
+    def bucket(tok, row):
+        d = hashlib.md5(f"{tok}|{row}".encode()).digest()
+        return int.from_bytes(d[8:16], "little") % m
+
+    bits = {bucket(t, r) for t in corpus for r in range(h)}
+    for t in corpus:
+        assert all(bucket(t, r) in bits for r in range(h))
