@@ -48,6 +48,42 @@ COSINE_NEARDUP_T = 0.45
 SESSION_GAP_S = 6 * 3600.0
 
 # spatio-temporal rollup, shared text: coarse cell x order month
+# Q3-style shipping priority over the 3-way join, with revenue in exact
+# integer units: cents x basis-points (price and discount each carry two
+# decimals, so ROUND(x*100) recovers the exact integer and the product
+# sum is drift-free across engines) — one SQL text, run verbatim by both
+SHIP_PRIORITY_SQL = (
+    "WITH r AS (SELECT l.l_orderkey, o.o_orderpriority, "
+    "CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS rev_c4 "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "WHERE c.c_mktsegment = 'BUILDING') "
+    "SELECT l_orderkey, o_orderpriority, "
+    "CAST(sum(rev_c4) AS BIGINT) AS revenue_c4, "
+    "count(*) AS n_lines FROM r GROUP BY l_orderkey, o_orderpriority "
+    "ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10"
+)
+
+# Q5-style local-supplier volume: the classic 6-way star join; same
+# exact-integer revenue units; region pinned via a scalar subquery so
+# the text stays self-contained
+LOCAL_VOLUME_SQL = (
+    "SELECT n.n_name, CAST(sum("
+    "CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT) "
+    "AS revenue_c4, count(*) AS n_lines "
+    "FROM customer c "
+    "JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "AND c.c_nationkey = s.s_nationkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE r.r_name = (SELECT min(r_name) FROM region) "
+    "GROUP BY n.n_name"
+)
+
 CELL_MONTH_SQL = (
     f"SELECT {sql_cell(P.POINT_LAT_SQL, P.POINT_LON_SQL, ROLLUP_RES)} AS cell6, "
     "substr(CAST(o_orderdate AS STRING), 1, 7) AS month, "
@@ -203,6 +239,24 @@ def q_quadkey_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread(P.points_df(spark, sf_dir)).mapInPandas(
         gen, "point_id long, quadkey string"
     )
+
+
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: customer⨝orders⨝lineitem with
+    exact-integer revenue (cents x basis points). Catalyst broadcasts
+    the filtered customer side; the top-10 is TakeOrderedAndProject."""
+    _prep(spark, sf_dir, "lineitem", "orders", "customer")
+    return spark.sql(SHIP_PRIORITY_SQL)
+
+
+def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way star join with exact-integer revenue —
+    exercises Catalyst's join reordering + broadcast selection on the
+    dimension chain (region/nation/supplier broadcast; only the
+    orders⨝lineitem edge shuffles)."""
+    _prep(spark, sf_dir, "lineitem", "orders", "customer", "supplier",
+          "nation", "region")
+    return spark.sql(LOCAL_VOLUME_SQL)
 
 
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1325,6 +1379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_assign": wrap(q_quadkey_assign),
         "geohash_assign": wrap(q_geohash_assign),
         "inverted_index": q_inverted_index,
+        "ship_priority": q_ship_priority,
+        "local_volume": q_local_volume,
         "cell_month_rollup": wrap(q_cell_month_rollup),
         "pip_boxes_agg": wrap(q_pip_boxes_agg),
         "knn": wrap(q_knn),
@@ -1511,6 +1567,8 @@ def oracle_sql() -> dict[str, str]:
             f"{sql_geohash('lat', 'lon', GEOHASH_LEN)} AS geohash FROM points"
         ),
         # generate_subscripts is 1-based; Spark's posexplode 0-based + 1
+        "ship_priority": SHIP_PRIORITY_SQL,
+        "local_volume": LOCAL_VOLUME_SQL,
         "inverted_index": (
             "WITH w AS (SELECT doc_id, "
             "unnest(string_split(text, ' ')) AS term, "
