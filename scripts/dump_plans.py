@@ -290,6 +290,15 @@ def main() -> None:
         [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
          r"HashAggregate", r"InMemoryTableScan"],
     )
+    section(
+        "local_volume — 6-way star join, dimension chain broadcasts",
+        "Catalyst reorders the star join and broadcasts every dimension "
+        "(region/nation/supplier/customer at this SF); at corpus scale "
+        "only the orders-lineitem edge would shuffle. Revenue stays in "
+        "exact integer units inside codegen.",
+        E.q_local_volume(spark, SF_DIR),
+        [r"BroadcastHashJoin", r"SortMergeJoin", r"Exchange "],
+    )
     aqe_skew_section(spark)
     spark.stop()
 
