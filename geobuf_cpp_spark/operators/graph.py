@@ -15,16 +15,17 @@ Connected components live in ``operators/dedup.py:dedup_clusters``
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def _oriented(edges_df: DataFrame) -> DataFrame:
-    """Orient undirected (id_a, id_b) edges by (degree, id) rank.
-
-    Returns (src, dst, src_r, dst_r) with rank(src) < rank(dst); rank is
-    a dense global ordering of nodes by (degree, id), computed with one
-    aggregation over the edge list plus a node-count-sized window.
+    """Orient undirected (id_a, id_b) edges by the (degree, id) total
+    order, compared DIRECTLY as struct tuples — no global rank, no
+    single-partition window: the only shuffles are the degree aggregate
+    and the two degree-lookup joins, all keyed on node. Returns
+    (src, dst, dst_key) with key(src) < key(dst), where dst_key is the
+    orderable struct(deg, id) of the higher endpoint.
     """
     und = edges_df.select("id_a", "id_b")
     nodes = (
@@ -32,24 +33,18 @@ def _oriented(edges_df: DataFrame) -> DataFrame:
         .unionByName(und.select(F.col("id_b").alias("node")))
         .groupBy("node").agg(F.count("*").alias("deg"))
     )
-    rank = nodes.select(
-        "node",
-        F.row_number().over(
-            Window.orderBy("deg", "node")).alias("r"),
-    )
     e = (
-        und.join(rank.withColumnRenamed("node", "id_a")
-                 .withColumnRenamed("r", "ra"), "id_a")
-        .join(rank.withColumnRenamed("node", "id_b")
-              .withColumnRenamed("r", "rb"), "id_b")
+        und.join(nodes.withColumnRenamed("node", "id_a")
+                 .withColumnRenamed("deg", "da"), "id_a")
+        .join(nodes.withColumnRenamed("node", "id_b")
+              .withColumnRenamed("deg", "db"), "id_b")
     )
+    ka = F.struct(F.col("da").alias("deg"), F.col("id_a").alias("node"))
+    kb = F.struct(F.col("db").alias("deg"), F.col("id_b").alias("node"))
     return e.select(
-        F.when(F.col("ra") < F.col("rb"), F.col("id_a"))
-        .otherwise(F.col("id_b")).alias("src"),
-        F.when(F.col("ra") < F.col("rb"), F.col("id_b"))
-        .otherwise(F.col("id_a")).alias("dst"),
-        F.least("ra", "rb").alias("src_r"),
-        F.greatest("ra", "rb").alias("dst_r"),
+        F.when(ka < kb, F.col("id_a")).otherwise(F.col("id_b")).alias("src"),
+        F.when(ka < kb, F.col("id_b")).otherwise(F.col("id_a")).alias("dst"),
+        F.when(ka < kb, kb).otherwise(ka).alias("dst_key"),
     )
 
 
@@ -57,18 +52,19 @@ def triangle_counts(edges_df: DataFrame) -> DataFrame:
     """Per-node triangle participation counts: (node, n_triangles) for
     every node of the edge list (nodes in no triangle report 0).
 
-    Plan: orientation (one agg + two rank joins), a self-join on the
-    oriented source building each wedge once (dst_r ordered), one
-    equi-join probing the closing edge, then an explode of the three
-    corners into a two-phase count. Shuffle volume is O(m^(3/2)) worst
-    case — the orientation bound — never hub-degree-squared.
+    Plan: orientation (one agg + two degree joins, all node-keyed — no
+    global window anywhere), a self-join on the oriented source building
+    each wedge once (dst_key ordered), one equi-join probing the closing
+    edge, then an explode of the three corners into a two-phase count.
+    Shuffle volume is O(m^(3/2)) worst case — the orientation bound —
+    never hub-degree-squared.
     """
     o = _oriented(edges_df).persist()
     w1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"),
-                  F.col("dst_r").alias("rb"))
+                  F.col("dst_key").alias("kb"))
     w2 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"),
-                  F.col("dst_r").alias("rc"))
-    wedges = w1.join(w2, "a").filter(F.col("rb") < F.col("rc"))
+                  F.col("dst_key").alias("kc"))
+    wedges = w1.join(w2, "a").filter(F.col("kb") < F.col("kc"))
     closing = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     tris = wedges.join(closing, ["b", "c"])
     per_node = (
