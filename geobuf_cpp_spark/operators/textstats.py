@@ -250,13 +250,13 @@ def term_cooccurrence(docs_df, vocab_size: int = 50, id_col: str = "doc_id",
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     ).filter(F.col("term") != "").distinct().persist()
-    from pyspark.sql import Window
-
     doc_freq = words.groupBy("term").agg(F.count("*").alias("doc_freq"))
-    w = Window.orderBy(F.desc("doc_freq"), F.asc("term"))
+    # top-k as orderBy+limit -> TakeOrderedAndProject (per-partition
+    # local k, driver merge), NOT a row_number over an unpartitioned
+    # window, which would funnel the whole vocabulary through one task
     vocab = (
-        doc_freq.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= vocab_size)
+        doc_freq.orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(vocab_size)
         .select("term", "doc_freq")
     )
     inc = words.join(F.broadcast(vocab), "term").select(
