@@ -259,6 +259,20 @@ def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(LOCAL_VOLUME_SQL)
 
 
+PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                "o_orderpriority"]
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style statistics for four orders columns in ONE scan
+    (multi-column count-distinct plans as a single Expand; the wide row
+    unpivots via stack)."""
+    from geobuf_cpp_spark.operators.profile import profile_table
+
+    _prep(spark, sf_dir, "orders")
+    return profile_table(spark.table("orders"), PROFILE_COLS)
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional inverted-index build: posting entries (term, doc_id,
     tf, first_pos) via posexplode — the IR building block; positions are
@@ -1381,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "ship_priority": q_ship_priority,
         "local_volume": q_local_volume,
+        "table_profile": q_table_profile,
         "cell_month_rollup": wrap(q_cell_month_rollup),
         "pip_boxes_agg": wrap(q_pip_boxes_agg),
         "knn": wrap(q_knn),
@@ -1569,6 +1584,17 @@ def oracle_sql() -> dict[str, str]:
         # generate_subscripts is 1-based; Spark's posexplode 0-based + 1
         "ship_priority": SHIP_PRIORITY_SQL,
         "local_volume": LOCAL_VOLUME_SQL,
+        # independent: UNION ALL of per-column aggregates (DuckDB reads
+        # the table once per column; Spark's single-Expand plan must
+        # produce the identical statistics)
+        "table_profile": " UNION ALL ".join(
+            f"SELECT '{c}' AS col_name, CAST(count({c}) AS BIGINT) AS n, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_null, CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"CAST(min({c}) AS VARCHAR) AS min_s, "
+            f"CAST(max({c}) AS VARCHAR) AS max_s FROM orders"
+            for c in PROFILE_COLS
+        ),
         "inverted_index": (
             "WITH w AS (SELECT doc_id, "
             "unnest(string_split(text, ' ')) AS term, "

@@ -968,3 +968,31 @@ def test_triangle_counts_star_hub_has_none(spark):
         [(0, i) for i in range(1, 30)], "id_a long, id_b long")
     rows = triangle_counts(df).collect()
     assert len(rows) == 30 and all(r["n_triangles"] == 0 for r in rows)
+
+
+def test_profile_single_scan_and_null_handling(spark):
+    """Profiling handles nulls (count excludes them, n_null counts them,
+    distinct ignores them) and the whole profile is ONE scan — the plan
+    contains exactly one parquet/LocalTableScan leaf."""
+    import io
+    from contextlib import redirect_stdout
+
+    from geobuf_cpp_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "x int, s string",
+    )
+    got = {r["col_name"]: (r["n"], r["n_null"], r["n_distinct"],
+                           r["min_s"], r["max_s"])
+           for r in profile_table(df, ["x", "s"]).collect()}
+    assert got == {"x": (3, 1, 3, "1", "3"), "s": (3, 1, 2, "a", "b")}
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        profile_table(df, ["x", "s"]).explain("formatted")
+    plan = buf.getvalue()
+    leaves = [ln for ln in plan.splitlines()
+              if ln.strip().startswith("(") and "Scan" in ln]
+    assert len(leaves) == 1, leaves  # one source scan feeds everything
+    assert "Expand" in plan  # multi-column distinct in a single pass
