@@ -273,6 +273,19 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(spark.table("orders"), PROFILE_COLS)
 
 
+CHUNK_SIZE, CHUNK_STRIDE = 8, 4
+
+
+def q_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 8, stride 4) — the
+    embedding/RAG context-window op; per-window md5 proves the
+    reconstructed text content byte-for-byte."""
+    from geobuf_cpp_spark.operators.chunking import token_windows
+
+    _prep(spark, sf_dir, "documents")
+    return token_windows(spark.table("documents"), CHUNK_SIZE, CHUNK_STRIDE)
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional inverted-index build: posting entries (term, doc_id,
     tf, first_pos) via posexplode — the IR building block; positions are
@@ -1396,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ship_priority": q_ship_priority,
         "local_volume": q_local_volume,
         "table_profile": q_table_profile,
+        "token_windows": q_token_windows,
         "cell_month_rollup": wrap(q_cell_month_rollup),
         "pip_boxes_agg": wrap(q_pip_boxes_agg),
         "knn": wrap(q_knn),
@@ -1584,6 +1598,24 @@ def oracle_sql() -> dict[str, str]:
         # generate_subscripts is 1-based; Spark's posexplode 0-based + 1
         "ship_priority": SHIP_PRIORITY_SQL,
         "local_volume": LOCAL_VOLUME_SQL,
+        # window membership recomputed independently (ceil/floor bounds
+        # vs Spark's sequence fan-out); text content proven via md5 of
+        # the position-ordered string_agg
+        "token_windows": (
+            "WITH w AS (SELECT doc_id, "
+            "unnest(string_split(trim(text), ' ')) AS tok, "
+            "generate_subscripts(string_split(trim(text), ' '), 1) - 1 "
+            "AS pos FROM documents), "
+            "t AS (SELECT * FROM w WHERE tok <> ''), "
+            "f AS (SELECT doc_id, pos, tok, unnest(generate_series("
+            f"GREATEST(0, CAST(ceil((pos - {CHUNK_SIZE} + 1.0) / "
+            f"{CHUNK_STRIDE}) AS BIGINT)), pos // {CHUNK_STRIDE})) "
+            "AS window_id FROM t) "
+            "SELECT doc_id, window_id, "
+            "CAST(count(*) AS BIGINT) AS n_tokens, "
+            "md5(string_agg(tok, ' ' ORDER BY pos)) AS text_md5 "
+            "FROM f GROUP BY doc_id, window_id"
+        ),
         # independent: UNION ALL of per-column aggregates (DuckDB reads
         # the table once per column; Spark's single-Expand plan must
         # produce the identical statistics)

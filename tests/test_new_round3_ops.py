@@ -996,3 +996,25 @@ def test_profile_single_scan_and_null_handling(spark):
               if ln.strip().startswith("(") and "Scan" in ln]
     assert len(leaves) == 1, leaves  # one source scan feeds everything
     assert "Expand" in plan  # multi-column distinct in a single pass
+
+
+def test_token_windows_overlap_semantics(spark):
+    """Hand-checkable chunking: 10 tokens, size 4 / stride 2 -> windows
+    at 0,2,4,6,8 with the tail shortened; every token lands in exactly
+    ceil(size/stride)=2 windows except edges; reconstructed text md5
+    matches a scalar recomputation."""
+    import hashlib
+
+    from geobuf_cpp_spark.operators.chunking import token_windows
+
+    words = [f"w{i}" for i in range(10)]
+    docs = spark.createDataFrame([(1, " ".join(words))],
+                                 "doc_id long, text string")
+    rows = {r["window_id"]: (r["n_tokens"], r["text_md5"])
+            for r in token_windows(docs, size=4, stride=2).collect()}
+    expect = {}
+    for w in range(5):
+        chunk = words[w * 2: w * 2 + 4]
+        expect[w] = (len(chunk),
+                     hashlib.md5(" ".join(chunk).encode()).hexdigest())
+    assert rows == expect
