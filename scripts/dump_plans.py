@@ -299,6 +299,24 @@ def main() -> None:
         E.q_local_volume(spark, SF_DIR),
         [r"BroadcastHashJoin", r"SortMergeJoin", r"Exchange "],
     )
+    section(
+        "table_profile — one scan for every column's statistics",
+        "The multi-column exact distincts plan as a single Expand over "
+        "ONE source scan; the wide aggregate unpivots via Generate "
+        "(stack). No per-column re-reads.",
+        E.q_table_profile(spark, SF_DIR),
+        [r"Expand", r"Scan parquet", r"Generate", r"Exchange"],
+    )
+    section(
+        "token_windows — bounded fan-out chunking, order-exact rebuild",
+        "Each token Generates only its containing windows (overlap "
+        "ratio, not a self-join); the window text rebuild is an "
+        "objHashAggregate over (pos, tok) structs; one grouping "
+        "exchange total.",
+        E.q_token_windows(spark, SF_DIR),
+        [r"Generate", r"Aggregate", r"Exchange",
+         r"MapInPandas|ArrowEvalPython|BatchEvalPython"],
+    )
     aqe_skew_section(spark)
     spark.stop()
 
