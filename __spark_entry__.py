@@ -273,6 +273,38 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(spark.table("orders"), PROFILE_COLS)
 
 
+FUZZY_MAX_DIST = 4
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string matching (entity-resolution shape): distinct
+    part names self-paired within a blocking key (their last word) and
+    scored with built-in levenshtein — the blocking join is the scale
+    move (candidates per name bounded by block size, never all-pairs).
+    Both engines' levenshtein agree on ASCII; DuckDB's is byte-based on
+    multibyte text, so non-ASCII corpora need a normalization pass first
+    (documented, not hit here)."""
+    _prep(spark, sf_dir, "part")
+    names = (
+        spark.table("part").select("p_name").distinct()
+        .select(
+            F.col("p_name").alias("name"),
+            F.element_at(F.split("p_name", " "), -1).alias("blk"),
+        )
+    )
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.name") < F.col("b.name")))
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein("a.name", "b.name").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+    )
+
+
 CHUNK_SIZE, CHUNK_STRIDE = 8, 4
 
 
@@ -1410,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_volume": q_local_volume,
         "table_profile": q_table_profile,
         "token_windows": q_token_windows,
+        "fuzzy_match": q_fuzzy_match,
         "cell_month_rollup": wrap(q_cell_month_rollup),
         "pip_boxes_agg": wrap(q_pip_boxes_agg),
         "knn": wrap(q_knn),
@@ -1598,6 +1631,16 @@ def oracle_sql() -> dict[str, str]:
         # generate_subscripts is 1-based; Spark's posexplode 0-based + 1
         "ship_priority": SHIP_PRIORITY_SQL,
         "local_volume": LOCAL_VOLUME_SQL,
+        # same blocking recomputed in DuckDB; levenshtein is built-in on
+        # both engines and identical on this ASCII data
+        "fuzzy_match": (
+            "WITH n AS (SELECT DISTINCT p_name AS name, "
+            "string_split(p_name, ' ')[-1] AS blk FROM part) "
+            "SELECT a.name AS name_a, b.name AS name_b, "
+            "CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist "
+            "FROM n a JOIN n b ON a.blk = b.blk AND a.name < b.name "
+            f"WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}"
+        ),
         # window membership recomputed independently (ceil/floor bounds
         # vs Spark's sequence fan-out); text content proven via md5 of
         # the position-ordered string_agg
