@@ -273,6 +273,19 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(spark.table("orders"), PROFILE_COLS)
 
 
+PYRAMID_Z_BASE, PYRAMID_Z_MIN = 6, 3
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-zoom tile pyramid built hierarchically (one corpus scan +
+    child->parent rollups); the oracle recomputes every level directly
+    from the points, proving the hierarchical sums exact."""
+    from geobuf_cpp_spark.operators.tiles import tile_pyramid
+
+    return tile_pyramid(
+        P.points_df(spark, sf_dir), PYRAMID_Z_BASE, PYRAMID_Z_MIN)
+
+
 FUZZY_MAX_DIST = 4
 
 
@@ -1443,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "token_windows": q_token_windows,
         "fuzzy_match": q_fuzzy_match,
+        "tile_pyramid": wrap(q_tile_pyramid),
         "cell_month_rollup": wrap(q_cell_month_rollup),
         "pip_boxes_agg": wrap(q_pip_boxes_agg),
         "knn": wrap(q_knn),
@@ -1631,6 +1645,15 @@ def oracle_sql() -> dict[str, str]:
         # generate_subscripts is 1-based; Spark's posexplode 0-based + 1
         "ship_priority": SHIP_PRIORITY_SQL,
         "local_volume": LOCAL_VOLUME_SQL,
+        # every level recomputed DIRECTLY from points (no hierarchy) —
+        # the independent check that child->parent rollups are exact
+        "tile_pyramid": " UNION ALL ".join(
+            f"SELECT {z} AS z, "
+            f"{sql_equirect_tile_x('lon', z)} AS tx, "
+            f"{sql_equirect_tile_y('lat', z)} AS ty, "
+            f"count(*) AS n_points FROM ({P.POINTS_SELECT}) p GROUP BY tx, ty"
+            for z in range(PYRAMID_Z_MIN, PYRAMID_Z_BASE + 1)
+        ),
         # same blocking recomputed in DuckDB; levenshtein is built-in on
         # both engines and identical on this ASCII data
         "fuzzy_match": (

@@ -198,3 +198,45 @@ def smooth_cell_counts(counts_df, x_col: str = "ix", y_col: str = "iy",
         x_col, y_col, F.col(n_col).cast("long").alias(n_col),
         "smoothed",
     )
+
+
+def tile_pyramid(points_df, z_base: int, z_min: int,
+                 lon_col: str = "lon", lat_col: str = "lat"):
+    """Multi-zoom tile counts (z_min..z_base) built HIERARCHICALLY: the
+    corpus is scanned once for the base level, then each coarser level
+    aggregates the previous level's tile counts (4 children -> 1
+    parent, exact because floor(v*2^z) div 2 == floor(v*2^(z-1)) for
+    the equirect fractions). At 100 TB the pyramid costs one corpus
+    pass plus z_base - z_min tile-table aggregations, not one scan per
+    zoom — the materialized-view rollup pattern every tile server
+    needs.
+    """
+    assert 0 <= z_min <= z_base
+    # each level is persisted: the union's branches would otherwise
+    # inline the shared lineage and re-scan the corpus once per zoom
+    # (defeating the point); a level table is <= 4^z rows — tiny.
+    # Persists live until session end / spark.catalog.clearCache().
+    base = (
+        assign_tiles(points_df, z_base, lon_col, lat_col)
+        .groupBy("z", "tx", "ty")
+        .agg(F.count("*").cast("long").alias("n_points"))
+        .persist()
+    )
+    levels, cur = [base], base
+    for z in range(z_base - 1, z_min - 1, -1):
+        cur = (
+            cur.select(
+                F.lit(z).alias("z"),
+                F.expr("tx div 2").alias("tx"),
+                F.expr("ty div 2").alias("ty"),
+                "n_points",
+            )
+            .groupBy("z", "tx", "ty")
+            .agg(F.sum("n_points").cast("long").alias("n_points"))
+            .persist()
+        )
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

@@ -1018,3 +1018,32 @@ def test_token_windows_overlap_semantics(spark):
         expect[w] = (len(chunk),
                      hashlib.md5(" ".join(chunk).encode()).hexdigest())
     assert rows == expect
+
+
+def test_tile_pyramid_single_scan_and_conservation(spark):
+    """The pyramid reads its source ONCE (one scan leaf in the plan for
+    all zoom levels) and every level conserves the total point count."""
+    import io
+    from contextlib import redirect_stdout
+
+    from geobuf_cpp_spark.operators.tiles import tile_pyramid
+
+    import numpy as np
+    rng = np.random.default_rng(3)
+    pts = [(i, float(la), float(lo)) for i, (la, lo) in enumerate(
+        zip(rng.uniform(-80, 80, 500), rng.uniform(-170, 170, 500)))]
+    df = spark.createDataFrame(pts, "point_id long, lat double, lon double")
+    pyr = tile_pyramid(df, z_base=5, z_min=2)
+    per_level = {r["z"]: r["total"] for r in
+                 pyr.groupBy("z").agg(F.sum("n_points").alias("total"))
+                 .collect()}
+    assert per_level == {z: 500 for z in range(2, 6)}
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pyr.explain("formatted")
+    plan = buf.getvalue()
+    source_leaves = [ln for ln in plan.splitlines()
+                     if ln.strip().startswith("(") and "Scan" in ln
+                     and "InMemory" not in ln]
+    assert len(source_leaves) == 1, source_leaves  # persisted levels
