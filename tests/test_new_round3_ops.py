@@ -1047,3 +1047,54 @@ def test_tile_pyramid_single_scan_and_conservation(spark):
                      if ln.strip().startswith("(") and "Scan" in ln
                      and "InMemory" not in ln]
     assert len(source_leaves) == 1, source_leaves  # persisted levels
+
+
+def test_sketches_partition_invariant(spark):
+    """CMS, KMV and Bloom outputs are identical at 1 vs 13 input
+    partitions — the determinism a resumable 1000-executor run needs
+    (no accidental dependence on partition boundaries or merge order)."""
+    from geobuf_cpp_spark.operators.sketches import (
+        bloom_build,
+        count_min_sketch,
+        kmv_sketch,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 37} tok{i % 11} common") for i in range(200)],
+        "doc_id long, text string",
+    )
+    for build, key in [
+        (count_min_sketch, lambda r: (r["sketch_row"], r["bucket"], r["cnt"])),
+        (kmv_sketch, lambda r: (r["rank"], str(r["hash_val"]))),
+        (bloom_build, lambda r: r["bit"]),
+    ]:
+        one = sorted(map(key, build(docs.repartition(1)).collect()))
+        many = sorted(map(key, build(docs.repartition(13)).collect()))
+        assert one == many and len(one) > 0, build.__name__
+
+
+def test_vocab_topk_plans_take_ordered(spark):
+    """Regression: the co-occurrence vocabulary and KMV bottom-k must
+    plan as TakeOrderedAndProject (per-partition local k), never as a
+    row_number over an unpartitioned window (single-task funnel)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from geobuf_cpp_spark.operators.sketches import kmv_sketch
+    from geobuf_cpp_spark.operators.textstats import term_cooccurrence
+
+    docs = spark.createDataFrame(
+        [(i, f"a{i % 5} b{i % 3} c") for i in range(50)],
+        "doc_id long, text string",
+    )
+    for df in [term_cooccurrence(docs, vocab_size=4), kmv_sketch(docs)]:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "TakeOrderedAndProject" in plan
+        # a Window with an empty PARTITION BY would appear as
+        # 'Window [...row_number()...], [x ASC' with no partition spec;
+        # the kmv rank window only ever sees k rows post-limit, which
+        # plans AFTER the TakeOrderedAndProject
+        assert plan.index("TakeOrderedAndProject") > -1
