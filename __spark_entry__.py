@@ -273,6 +273,19 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(spark.table("orders"), PROFILE_COLS)
 
 
+MIX_WEIGHTS = {"en": 3, "de": 2, "fr": 1}   # weighted round-robin mix
+
+
+def q_mixture_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted interleave order for corpus mixing:
+    per-stratum hash rank x integer stride — sorted by order_key the
+    stream serves 'en' 3x as often as 'fr' at every prefix."""
+    from geobuf_cpp_spark.operators.curation import mixture_interleave
+
+    _prep(spark, sf_dir, "documents")
+    return mixture_interleave(spark.table("documents"), MIX_WEIGHTS)
+
+
 PYRAMID_Z_BASE, PYRAMID_Z_MIN = 6, 3
 
 
@@ -1457,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_windows": q_token_windows,
         "fuzzy_match": q_fuzzy_match,
         "tile_pyramid": wrap(q_tile_pyramid),
+        "mixture_order": q_mixture_order,
         "cell_month_rollup": wrap(q_cell_month_rollup),
         "pip_boxes_agg": wrap(q_pip_boxes_agg),
         "knn": wrap(q_knn),
@@ -1645,6 +1659,19 @@ def oracle_sql() -> dict[str, str]:
         # generate_subscripts is 1-based; Spark's posexplode 0-based + 1
         "ship_priority": SHIP_PRIORITY_SQL,
         "local_volume": LOCAL_VOLUME_SQL,
+        # same Knuth-hash rank + integer stride recomputed independently
+        # (norm = 3*2*1 = 6 -> strides en 2, de 3, fr 6)
+        "mixture_order": (
+            "WITH d AS (SELECT doc_id, lang, "
+            "(doc_id * 2654435761) % 4294967296 AS h FROM documents "
+            "WHERE lang IN ('en', 'de', 'fr')), "
+            "r AS (SELECT doc_id, lang, ROW_NUMBER() OVER ("
+            "PARTITION BY lang ORDER BY h, doc_id) AS stratum_rank FROM d) "
+            "SELECT doc_id, lang, CAST(stratum_rank AS BIGINT) "
+            "AS stratum_rank, CAST(stratum_rank * CASE lang "
+            "WHEN 'en' THEN 2 WHEN 'de' THEN 3 WHEN 'fr' THEN 6 END "
+            "AS BIGINT) AS order_key FROM r"
+        ),
         # every level recomputed DIRECTLY from points (no hierarchy) —
         # the independent check that child->parent rollups are exact
         "tile_pyramid": " UNION ALL ".join(

@@ -48,3 +48,48 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     return df.where(
         F.expr(sql_stratified_keep(id_col, stratum_col, rates, default_rate))
     )
+
+
+def mixture_interleave(df: DataFrame, weights: dict[str, int],
+                       id_col: str = "doc_id",
+                       stratum_col: str = "lang") -> DataFrame:
+    """Deterministic weighted interleave order for training-data mixing.
+
+    Each stratum's documents are ranked by (Knuth hash, id) — a
+    deterministic shuffle-within-stratum — and assigned the exact
+    integer order key ``rank * (W / weight_stratum)`` where W is the
+    weight product-normalizer (the LCM-free exact form: W = product of
+    all weights works, any common multiple does). Reading the corpus
+    sorted by (order_key, stratum, rank) yields the classic
+    weighted round-robin: a stratum with twice the weight appears twice
+    as often at every prefix of the stream — the mixing schedule
+    training runs need, reproducible across runs and cluster sizes.
+
+    No global window: the only window is PARTITIONED by stratum, and
+    the output is the order KEY (a sorted write consumes it), never a
+    global row number.
+    """
+    assert weights and all(w > 0 for w in weights.values())
+    norm = 1
+    for w in weights.values():
+        norm *= w
+    from pyspark.sql import Window
+
+    hash_col = (F.col(id_col) * F.lit(KNUTH)) % F.lit(MOD)
+    w_rank = Window.partitionBy(stratum_col).orderBy(
+        hash_col.asc(), F.col(id_col).asc())
+    stride = F.coalesce(
+        *[F.when(F.col(stratum_col) == k, F.lit(norm // w))
+          for k, w in weights.items()]
+    ) if len(weights) > 1 else F.lit(norm // next(iter(weights.values())))
+    out = df.filter(
+        F.col(stratum_col).isin(*weights.keys())
+    ).select(
+        F.col(id_col),
+        F.col(stratum_col),
+        F.row_number().over(w_rank).cast("long").alias("stratum_rank"),
+    ).withColumn(
+        "order_key",
+        (F.col("stratum_rank") * stride).cast("long"),
+    )
+    return out

@@ -656,3 +656,30 @@ def test_ivf_index_save_load_roundtrip(spark, tmp_path):
               for r in ivf_topk(emb, a2, c2, queries,
                                 k=10, nprobe=8).collect()}
     assert loaded == fresh
+
+
+def test_mixture_interleave_prefix_ratios(spark):
+    """Sorted by order_key, every long-enough prefix of the stream
+    serves strata in their weight ratio (weighted round-robin), and the
+    order is identical at different partition counts."""
+    from geobuf_cpp_spark.operators.curation import mixture_interleave
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    out = mixture_interleave(docs, {"en": 3, "fr": 1})
+    rows = sorted(
+        ((r["order_key"], r["lang"], r["stratum_rank"], r["doc_id"])
+         for r in out.collect())
+    )
+    # first 40 slots: en appears ~3x as often as fr
+    head = [lang for _, lang, _, _ in rows[:40]]
+    assert 27 <= head.count("en") <= 33 and 7 <= head.count("fr") <= 13
+
+    out13 = mixture_interleave(docs.repartition(13), {"en": 3, "fr": 1})
+    rows13 = sorted(
+        ((r["order_key"], r["lang"], r["stratum_rank"], r["doc_id"])
+         for r in out13.collect())
+    )
+    assert rows == rows13
