@@ -273,6 +273,16 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(spark.table("orders"), PROFILE_COLS)
 
 
+def q_kmv_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language KMV sketches — grouped cardinality estimation with
+    at most k rows per group past the distinct (WindowGroupLimit plans
+    the per-group bottom-k map-side)."""
+    from geobuf_cpp_spark.operators.sketches import kmv_sketch_grouped
+
+    _prep(spark, sf_dir, "documents")
+    return kmv_sketch_grouped(spark.table("documents"))
+
+
 MIX_WEIGHTS = {"en": 3, "de": 2, "fr": 1}   # weighted round-robin mix
 
 
@@ -1471,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": q_fuzzy_match,
         "tile_pyramid": wrap(q_tile_pyramid),
         "mixture_order": q_mixture_order,
+        "kmv_grouped": q_kmv_grouped,
         "cell_month_rollup": wrap(q_cell_month_rollup),
         "pip_boxes_agg": wrap(q_pip_boxes_agg),
         "knn": wrap(q_knn),
@@ -1659,6 +1670,16 @@ def oracle_sql() -> dict[str, str]:
         # generate_subscripts is 1-based; Spark's posexplode 0-based + 1
         "ship_priority": SHIP_PRIORITY_SQL,
         "local_volume": LOCAL_VOLUME_SQL,
+        # per-group bottom-k of the same full-width hashes
+        "kmv_grouped": (
+            "WITH w AS (SELECT lang, unnest(string_split(text, ' ')) "
+            "AS word FROM documents), "
+            "t AS (SELECT DISTINCT lang, md5_number_lower(word) AS hv "
+            "FROM w WHERE word <> '') "
+            "SELECT lang, CAST(rn AS INT) AS rank, hv AS hash_val FROM "
+            "(SELECT lang, hv, ROW_NUMBER() OVER (PARTITION BY lang "
+            "ORDER BY hv) AS rn FROM t) s WHERE rn <= 16"
+        ),
         # same Knuth-hash rank + integer stride recomputed independently
         # (norm = 3*2*1 = 6 -> strides en 2, de 3, fr 6)
         "mixture_order": (

@@ -235,3 +235,28 @@ def bloom_probe(bloom_df: DataFrame, probe_df: DataFrame,
         marked.groupBy(term_col)
         .agg((F.sum(F.coalesce("_set", F.lit(0))) == h).alias("maybe_present"))
     )
+
+
+def kmv_sketch_grouped(docs_df: DataFrame, group_col: str = "lang",
+                       text_col: str = "text", k: int = KMV_K) -> DataFrame:
+    """Per-group KMV sketches: (group, rank, hash_val) with the k
+    smallest distinct token hashes of EACH group — the shuffle-bounded
+    way to estimate per-group cardinalities (each group contributes at
+    most k rows past its distinct, however large the group).
+
+    Plans as a map-side-deduped distinct on (group, hash) followed by a
+    per-group WindowGroupLimit (partitioned window -> map-side partial
+    limit before the shuffle; no global ordering anywhere).
+    """
+    toks = docs_df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hashed = toks.select(
+        "grp", md5_low64(F.col("tok")).alias("hash_val")).distinct()
+    w = Window.partitionBy("grp").orderBy("hash_val")
+    return (
+        hashed.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "rank", "hash_val")
+    )
