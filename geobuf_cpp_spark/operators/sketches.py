@@ -21,10 +21,11 @@ computes it JVM-only (substr on the md5 hex + conv), keeping the whole
 build inside whole-stage codegen: no Python, no UDF.
 
 Counts are exact sums -> the correctness gate hash-matches the full
-counter matrix against DuckDB computing the identical buckets. The CMS
-*estimate* property (point query >= true count, w.h.p. tight) is asserted
-in pytest; estimates are never hash-gated because they are an inequality,
-not an identity.
+counter matrix against DuckDB computing the identical buckets, and the
+point ESTIMATES hash-gate too (min over addressed counters is a
+deterministic function of the matrix). The upper-bound property
+(estimate >= true count) is the part that lives in pytest, because it
+is an inequality against ground truth, not an identity between engines.
 """
 
 from __future__ import annotations
