@@ -283,6 +283,29 @@ def q_kmv_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_sketch_grouped(spark.table("documents"))
 
 
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report — the summary every curation run
+    prints: docs, distinct texts, duplicates removed, dup rate in
+    basis points (integer, so the gate stays drift-free)."""
+    _prep(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct(F.md5(F.col("text").cast("binary")))
+            .cast("long").alias("n_distinct_texts"),
+        )
+        .select(
+            "source", "n_docs", "n_distinct_texts",
+            (F.col("n_docs") - F.col("n_distinct_texts")).cast("long")
+            .alias("n_dups_removed"),
+            F.expr("(n_docs - n_distinct_texts) * 10000 div n_docs")
+            .cast("long").alias("dup_rate_bp"),
+        )
+    )
+
+
 MIX_WEIGHTS = {"en": 3, "de": 2, "fr": 1}   # weighted round-robin mix
 
 
@@ -1482,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": wrap(q_tile_pyramid),
         "mixture_order": q_mixture_order,
         "kmv_grouped": q_kmv_grouped,
+        "dedup_report": q_dedup_report,
         "cell_month_rollup": wrap(q_cell_month_rollup),
         "pip_boxes_agg": wrap(q_pip_boxes_agg),
         "knn": wrap(q_knn),
@@ -1670,6 +1694,16 @@ def oracle_sql() -> dict[str, str]:
         # generate_subscripts is 1-based; Spark's posexplode 0-based + 1
         "ship_priority": SHIP_PRIORITY_SQL,
         "local_volume": LOCAL_VOLUME_SQL,
+        # integer basis-point rate (both engines floor-divide)
+        "dedup_report": (
+            "WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts "
+            "FROM documents GROUP BY source) "
+            "SELECT source, n_docs, n_distinct_texts, "
+            "CAST(n_docs - n_distinct_texts AS BIGINT) AS n_dups_removed, "
+            "CAST((n_docs - n_distinct_texts) * 10000 // n_docs AS BIGINT) "
+            "AS dup_rate_bp FROM s"
+        ),
         # per-group bottom-k of the same full-width hashes
         "kmv_grouped": (
             "WITH w AS (SELECT lang, unnest(string_split(text, ' ')) "
