@@ -283,6 +283,27 @@ def q_kmv_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_sketch_grouped(spark.table("documents"))
 
 
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event inter-arrival statistics in exact integer
+    microseconds (lag over the (ts, event_id) order): gap count,
+    min/max gap — the burstiness profile telemetry pipelines compute."""
+    _prep(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    gaps = (
+        spark.table("events")
+        .select("user_id", (us - F.lag(us).over(w)).alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
+
+
 def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplication report — the summary every curation run
     prints: docs, distinct texts, duplicates removed, dup rate in
@@ -1506,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_order": q_mixture_order,
         "kmv_grouped": q_kmv_grouped,
         "dedup_report": q_dedup_report,
+        "interarrival": q_interarrival,
         "cell_month_rollup": wrap(q_cell_month_rollup),
         "pip_boxes_agg": wrap(q_pip_boxes_agg),
         "knn": wrap(q_knn),
@@ -1694,6 +1716,17 @@ def oracle_sql() -> dict[str, str]:
         # generate_subscripts is 1-based; Spark's posexplode 0-based + 1
         "ship_priority": SHIP_PRIORITY_SQL,
         "local_volume": LOCAL_VOLUME_SQL,
+        # same epoch_us anchor as the sessions oracle; gaps are exact
+        # integer microseconds
+        "interarrival": (
+            "WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) "
+            "OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) "
+            "AS gap_us FROM events) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps, "
+            "CAST(min(gap_us) AS BIGINT) AS min_gap_us, "
+            "CAST(max(gap_us) AS BIGINT) AS max_gap_us "
+            "FROM g WHERE gap_us IS NOT NULL GROUP BY user_id"
+        ),
         # integer basis-point rate (both engines floor-divide)
         "dedup_report": (
             "WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
