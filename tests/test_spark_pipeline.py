@@ -621,3 +621,34 @@ def test_geobuf_file_sink_roundtrip(spark, features, tmp_path):
     assert back.count() == n_in
     got_kinds = {r["kind"] for r in back.select("kind").distinct().collect()}
     assert "Point" in got_kinds
+
+
+def test_repartition_by_cell_prefix_colocates_parents(spark):
+    """The explicit cell-prefix hash partitioning the north rule names:
+    after repartition_by_cell_prefix, every row of the same parent cell
+    sits in ONE partition (spatially-near data is co-located), and the
+    child->parent derivation matches the numpy cell_parent kernel."""
+    import numpy as np
+
+    from geobuf_cpp_spark.functions.cells import cell_of, cell_parent
+    from geobuf_cpp_spark.plans.partitioning import repartition_by_cell_prefix
+
+    rng = np.random.default_rng(5)
+    lats = rng.uniform(-80, 80, 400)
+    lons = rng.uniform(-170, 170, 400)
+    cells = cell_of(lats, lons, 8)
+    df = spark.createDataFrame(
+        [(int(c),) for c in cells], "cell long")
+    out = repartition_by_cell_prefix(df, "cell", res=8, prefix_res=4,
+                                     num_partitions=7)
+    rows = out.rdd.mapPartitionsWithIndex(
+        lambda i, it: [(i, r["cell"]) for r in it]).collect()
+    parent_to_parts = {}
+    for pid, cell in rows:
+        par = int(cell_parent(np.array([cell]), 8, 4)[0])
+        parent_to_parts.setdefault(par, set()).add(pid)
+    assert len(rows) == 400
+    assert all(len(p) == 1 for p in parent_to_parts.values()), {
+        k: v for k, v in parent_to_parts.items() if len(v) > 1}
+    # and the layout actually spreads across partitions
+    assert len({pid for pid, _ in rows}) > 1
