@@ -385,3 +385,21 @@ def test_uint64_scale_feature_id():
     # int64-range ids still take the tag-12 branch
     f["id"] = -5
     assert gb.decode(gb.encode(f))["id"] == -5
+
+
+def test_str_convenience_roundtrips():
+    """Reference parity T4: str2json2str / str2geojson2str (the string
+    convenience wrappers the pybind11 module exports) round-trip a
+    feature collection through the codec losslessly."""
+    import json
+
+    from geobuf_cpp_spark.codec.geobuf import str2geojson2str, str2json2str
+
+    fc = {"type": "FeatureCollection", "features": [{
+        "type": "Feature", "properties": {"k": 1},
+        "geometry": {"type": "Point", "coordinates": [1.5, 2.5]}}]}
+    s = json.dumps(fc)
+    for fn in (str2json2str, str2geojson2str):
+        out = json.loads(fn(s))
+        assert out["features"][0]["geometry"]["coordinates"] == [1.5, 2.5]
+        assert out["features"][0]["properties"] == {"k": 1}

@@ -652,3 +652,18 @@ def test_repartition_by_cell_prefix_colocates_parents(spark):
         k: v for k, v in parent_to_parts.items() if len(v) > 1}
     # and the layout actually spreads across partitions
     assert len({pid for pid, _ in rows}) > 1
+
+
+def test_admin_polygons_dataframe_matches_generator(spark):
+    """The Spark-side admin polygon source equals the pandas generator
+    row for row (the API a distributed PIP caller uses directly)."""
+    from geobuf_cpp_spark.sources.pages import (
+        admin_polygons_dataframe,
+        generate_admin_polygons,
+    )
+
+    sdf = admin_polygons_dataframe(spark)
+    pdf = generate_admin_polygons()
+    assert sdf.count() == len(pdf)
+    assert sorted(r["admin_id"] for r in sdf.collect()) == sorted(
+        pdf["admin_id"].tolist())

@@ -456,3 +456,29 @@ def test_cms_sketch_stream_twin(spark, tmp_path):
     want = {(r["sketch_row"], r["bucket"]): r["cnt"]
             for r in count_min_sketch(docs).collect()}
     assert got == want and len(want) > 0
+
+
+def test_run_to_parquet_appends_exactly_source_rows(spark, tmp_path):
+    """The production parquet sink (append + checkpoint): a pass-through
+    stream lands every source row exactly once."""
+    events = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet").limit(200)
+    src = str(tmp_path / "rp_src")
+    events.write.parquet(src)
+    from geobuf_cpp_spark.streaming.events import run_to_parquet
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .select("event_id", "user_id")
+    )
+    out = str(tmp_path / "rp_out")
+    q = run_to_parquet(stream, out, str(tmp_path / "rp_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == events.count()
+    assert sorted(r["event_id"] for r in got.collect()) == sorted(
+        r["event_id"] for r in events.collect())
