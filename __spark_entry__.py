@@ -210,6 +210,23 @@ def q_pip_boxes_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_join(pts, admin, res=PIP_RES).select("point_id", "admin_id")
 
 
+def q_pip_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP with BOTH sides distributed (cell-cover explode + shuffle
+    equi-join + co-grouped exact refine — the shape for footprint-scale
+    polygon tables). Same oracle as the broadcast path: the two
+    strategies must agree row for row."""
+    from geobuf_cpp_spark.operators.pip_join import pip_join_large
+    from geobuf_cpp_spark.sources.pages import ADMIN_SCHEMA
+
+    pts = P.points_df(spark, sf_dir)
+    admin_pdf = P.boxes_as_wire_polygons(spark, sf_dir)
+    admin_df = spark.createDataFrame(
+        admin_pdf.to_dict("records"), schema=ADMIN_SCHEMA)
+    return pip_join_large(
+        pts, admin_df, res=PIP_RES, point_keys=("point_id",)
+    ).select("point_id", "admin_id")
+
+
 def q_pip_boxes_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         q_pip_boxes_join(spark, sf_dir)
@@ -1514,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_assign": wrap(q_cell_assign),
         "cell_rollup": wrap(q_cell_rollup),
         "pip_boxes_join": wrap(q_pip_boxes_join),
+        "pip_large": wrap(q_pip_large),
         "admin_areas": wrap(q_admin_areas),
         "quadkey_assign": wrap(q_quadkey_assign),
         "geohash_assign": wrap(q_geohash_assign),
@@ -1701,6 +1719,13 @@ def oracle_sql() -> dict[str, str]:
             " AS cell6, count(*) AS n_points FROM points GROUP BY cell6"
         ),
         "pip_boxes_join": (
+            f"{POINTS_CTE}, {BOXES_CTE} "
+            "SELECT p.point_id, b.admin_id FROM points p JOIN boxes b ON "
+            "p.lon >= b.lon0 AND p.lon < b.lon1 AND p.lat >= b.lat0 AND p.lat < b.lat1"
+        ),
+        # identical oracle as pip_boxes_join: the both-sides-distributed
+        # strategy must reproduce the broadcast strategy's rows exactly
+        "pip_large": (
             f"{POINTS_CTE}, {BOXES_CTE} "
             "SELECT p.point_id, b.admin_id FROM points p JOIN boxes b ON "
             "p.lon >= b.lon0 AND p.lon < b.lon1 AND p.lat >= b.lat0 AND p.lat < b.lat1"
