@@ -88,3 +88,28 @@ def test_bloom_scalar_contract_no_false_negatives(corpus, probes):
     bits = {bucket(t, r) for t in corpus for r in range(h)}
     for t in corpus:
         assert all(bucket(t, r) in bits for r in range(h))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 8), st.integers(1, 8))
+def test_token_window_membership_arithmetic(n_tokens, stride, extra):
+    """Scalar mirror of the chunking fan-out bounds: every token position
+    belongs to exactly the windows [ceil((p-size+1)/stride), p//stride]
+    clipped at 0 — between floor and ceil of size/stride windows once
+    p >= size-1, depending on p mod stride — and the windows tile the
+    document with no position unassigned."""
+    size = stride + extra - 1 if stride + extra - 1 >= stride else stride
+    assigned = {}
+    for p in range(n_tokens):
+        lo = max(0, -((size - 1 - p) // stride))
+        hi = p // stride
+        assert lo <= hi  # every position lands somewhere
+        for w in range(lo, hi + 1):
+            # membership is exactly the interval definition
+            assert w * stride <= p < w * stride + size
+            assigned.setdefault(w, []).append(p)
+        if p >= size - 1:
+            assert size // stride <= hi - lo + 1 <= -(-size // stride)
+    # windows are contiguous position ranges (no holes inside a window)
+    for w, ps in assigned.items():
+        assert ps == list(range(ps[0], ps[-1] + 1))
