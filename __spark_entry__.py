@@ -48,6 +48,24 @@ COSINE_NEARDUP_T = 0.45
 SESSION_GAP_S = 6 * 3600.0
 
 # spatio-temporal rollup, shared text: coarse cell x order month
+# histogram over a float measure, drift-free: ROUND(value*100) recovers
+# the exact two-decimal integer, then integer division bins — one SQL
+# text executed verbatim by both engines
+VALUE_HIST_SQL = (
+    "SELECT event_type, "
+    "CAST(ROUND(value * 100) AS BIGINT) // 100 AS bin, "
+    "count(*) AS n FROM events GROUP BY event_type, bin"
+)
+
+
+def q_value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-unit histogram of the events value measure per type —
+    binning floats without float drift (exact two-decimal recovery,
+    then integer division)."""
+    _prep(spark, sf_dir, "events")
+    return spark.sql(VALUE_HIST_SQL.replace("//", "div"))
+
+
 # Q3-style shipping priority over the 3-way join, with revenue in exact
 # integer units: cents x basis-points (price and discount each carry two
 # decimals, so ROUND(x*100) recovers the exact integer and the product
@@ -1546,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_grouped": q_kmv_grouped,
         "dedup_report": q_dedup_report,
         "interarrival": q_interarrival,
+        "value_hist": q_value_hist,
         "cell_month_rollup": wrap(q_cell_month_rollup),
         "pip_boxes_agg": wrap(q_pip_boxes_agg),
         "knn": wrap(q_knn),
@@ -1741,6 +1760,7 @@ def oracle_sql() -> dict[str, str]:
         # generate_subscripts is 1-based; Spark's posexplode 0-based + 1
         "ship_priority": SHIP_PRIORITY_SQL,
         "local_volume": LOCAL_VOLUME_SQL,
+        "value_hist": VALUE_HIST_SQL,
         # same epoch_us anchor as the sessions oracle; gaps are exact
         # integer microseconds
         "interarrival": (
