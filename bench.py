@@ -123,24 +123,34 @@ def main() -> None:
             timings[name] = round(best, 3)
 
     total = round(sum(timings.values()) + pipeline_sec, 3)
-    print(
-        json.dumps(
-            {
-                "metric": "encode+pip_pipeline_plus_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "pipeline_sec": round(pipeline_sec, 3),
-                "pipeline_cold_sec": round(pipeline_cold_sec, 3),
-                "pages": n_pages,
-                "pages_per_sec": round(pages_per_sec, 1),
-                "pip_matches": n_matches,
-                "cpus": cpus,
-            }
-        )
+    record = json.dumps(
+        {
+            "metric": "encode+pip_pipeline_plus_queries",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "pipeline_sec": round(pipeline_sec, 3),
+            "pipeline_cold_sec": round(pipeline_cold_sec, 3),
+            "pages": n_pages,
+            "pages_per_sec": round(pages_per_sec, 1),
+            "pip_matches": n_matches,
+            "cpus": cpus,
+        }
     )
+    # round 3's record was lost to Spark console output interleaving with
+    # the driver's tail capture. Belt and braces: stop Spark FIRST (no more
+    # JVM writes to our streams), persist a copy the judge can always read,
+    # then emit the one-line JSON as the final stdout line.
     spark.stop()
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "latest.json"), "w") as fh:
+            fh.write(record + "\n")
+    except OSError:
+        pass
+    sys.stdout.flush()
+    print(record, flush=True)
 
 
 if __name__ == "__main__":
