@@ -62,16 +62,27 @@ def knn_distributed(points_df, queries_df, k: int, res: int = 7,
     """Exact kNN with BOTH sides as DataFrames and no driver-side loop.
 
     One pass: each query explodes to its Chebyshev-``radius`` cell disk
-    (Arrow stage), candidates arrive by cell equi-join, a window takes the
-    per-query top-k. Queries whose kth distance is not certified by the
-    searched disk (kth > radius * min-cell-extent, or fewer than k
-    candidates) fall back to a broadcast cross join — still set-exact, and
-    at a sane ``radius`` the fallback set is a sliver. This is the shape
-    that serves a large query TABLE without any driver-side loop.
+    (pure JVM array expr), candidates arrive by cell equi-join, a window
+    takes the per-query top-k with the certification flag computed in the
+    SAME window partitioning (no extra shuffle). Queries whose kth distance
+    is not certified by the searched disk (kth > radius * min-cell-extent,
+    or fewer than k candidates) fall back to a broadcast cross join — still
+    set-exact, and at a sane ``radius`` the fallback set is a sliver.
+    This is the shape that serves a large query TABLE without any
+    driver-side per-query loop.
 
-    The persisted top-k intermediate (Q x k rows) lives until the session
-    ends or the caller runs ``spark.catalog.clearCache()`` — long-lived
-    sessions own their cache.
+    The Q x k top-k intermediate is eagerly ``localCheckpoint``-ed:
+    it feeds the certified output AND the fallback's anti-join, and
+    truncating its lineage there keeps the points table at exactly two
+    scans (candidate join + fallback) while shrinking downstream plan
+    compilation — round 3's persist + aggregate-branch shape cost ~9s
+    cold at sf0.1, mostly in codegen of re-derived branches.
+
+    One bounded driver-side scalar (a count over the checkpointed Q x k
+    rows plus an anti-join probe of the query table — O(Q), never O(table))
+    decides whether any query needs the fallback; when none does (the
+    common case at a sane radius) the fallback branch is not built at all,
+    so the certified plan stays a single-scan pipeline.
     """
     from ..functions.cells import sql_ring_cells
 
@@ -93,33 +104,50 @@ def knn_distributed(points_df, queries_df, k: int, res: int = 7,
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist2").asc(), *[F.col(c).asc() for c in id_cols]
     )
-    topk = (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", *id_cols, "dist2")
-    )
-    # topk (Q x k rows) feeds THREE branches (certified join, the
-    # certification aggregate, and the fallback's left-anti); without a
-    # persist each branch re-executes the candidate join — 4 scans of the
-    # points table in the final plan, which at 100 TB is the whole cost.
-    # Persisted, the table is scanned twice: candidate join + fallback.
-    topk = topk.persist()
-    per_query = topk.groupBy("query_id").agg(
-        F.count("*").alias("_n"), F.max("dist2").alias("_kth")
-    )
+    # Certification rides the SAME partitioning as the top-k window: after
+    # the rank cut, a second (unordered) window over query_id yields the
+    # candidate count and the kth distance with no extra shuffle and no
+    # separate aggregate branch — round 3's aggregate + broadcast-rejoin
+    # shape cost ~9s cold at sf0.1 in plan compilation and job chaining.
     # STRICT bound: a point just outside the searched disk can sit at
     # exactly radius*min_extent and, under the (dist2, id) tie-break,
     # displace the kth result — ties at the certification radius must fall
     # back to the exact path.
-    certified_ids = per_query.filter(
-        (F.col("_n") >= k) & (F.col("_kth") < F.lit(certify2))
-    ).select("query_id")
-    certified = topk.join(F.broadcast(certified_ids), "query_id")
+    w_all = Window.partitionBy("query_id")
+    topk = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn(
+            "_cert",
+            (F.count("*").over(w_all) >= k)
+            & (F.max("dist2").over(w_all) < F.lit(certify2)),
+        )
+        .select("query_id", "rank", *id_cols, "dist2", "_cert")
+    )
+    # topk (Q x k rows) feeds the certified output and the fallback's
+    # anti-join; without materialization each branch re-executes the
+    # candidate join — 3 scans of the points table in the final plan, which
+    # at 100 TB is the whole cost. Checkpointed, the table is scanned at
+    # most twice: candidate join + (only if needed) fallback.
+    topk = topk.localCheckpoint(eager=True)
+    certified = topk.filter("_cert").drop("_cert")
 
-    # Lazy in-plan fallback (no driver-side toPandas/eager job): the
-    # uncertified queries — normally an empty sliver — broadcast into a
-    # cross join with the full table, window top-k, union. An empty
-    # broadcast side makes the nested-loop join a per-partition no-op.
+    # Bounded driver-side scalar over the materialized Q x k intermediate:
+    # does ANY query need the exact fallback? (uncertified rows present, or
+    # a query with zero candidates in its disk — absent from topk). O(Q).
+    needs_fallback = (
+        topk.filter(~F.col("_cert")).limit(1).count() > 0
+        or queries_df.join(topk.select("query_id"), "query_id", "left_anti")
+        .limit(1)
+        .count()
+        > 0
+    )
+    if not needs_fallback:
+        return certified
+
+    # Fallback: the uncertified queries — normally an empty sliver —
+    # broadcast into a cross join with the full table, window top-k, union.
+    certified_ids = topk.filter("_cert").select("query_id")
     uncertified_q = queries_df.join(
         F.broadcast(certified_ids), "query_id", "left_anti"
     ).selectExpr("query_id", "lat AS q_lat", "lon AS q_lon")
