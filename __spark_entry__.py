@@ -806,6 +806,25 @@ def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming exact dedup (first-seen-wins per text
+    digest). documents has no event-time column, so arrival time is
+    synthesized deterministically as doc_id % 7 hours past a fixed epoch —
+    the deliberate ties make the (ts, doc_id) composite tiebreak load-
+    bearing, distinguishing this from exact_dedup's plain min(doc_id)."""
+    from geobuf_cpp_spark.streaming.dedup_stream import dedup_batch_twin
+
+    _prep(spark, sf_dir, "documents")
+    docs = spark.table("documents").withColumn(
+        "ts",
+        F.expr(
+            "timestamp '2024-01-01 00:00:00' "
+            "+ make_interval(0, 0, 0, 0, CAST(doc_id % 7 AS INT), 0, 0)"
+        ),
+    )
+    return dedup_batch_twin(docs, ts_col="ts", id_col="doc_id")
+
+
 def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-timeout sessionization (batch twin of the stateful streaming
     operator; float sum_value excluded — summation order is engine-
@@ -1581,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "last_event_per_user": q_last_event_per_user,
         "sessions": q_sessions,
+        "stream_dedup": q_stream_dedup,
         "asof_view": q_asof_view,
         "interval_view": q_interval_view,
         "rolling_events": q_rolling_events,
@@ -1946,6 +1966,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, event_type, "
             "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
             "FROM events) t WHERE rn = 1"
+        ),
+        "stream_dedup": (
+            "WITH d AS (SELECT doc_id, text, "
+            "TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id % 7) HOUR "
+            "AS ts FROM documents), "
+            "r AS (SELECT md5(text) AS fp, doc_id, ts, "
+            "row_number() OVER (PARTITION BY md5(text) ORDER BY ts, doc_id) "
+            "AS rn, count(*) OVER (PARTITION BY md5(text)) AS n_copies "
+            "FROM d) "
+            "SELECT fp, doc_id AS kept_doc_id, ts AS kept_ts, n_copies "
+            "FROM r WHERE rn = 1"
         ),
         "sessions": (
             f"WITH t AS (SELECT user_id, ts, CASE WHEN epoch_us(ts) - "
