@@ -388,6 +388,78 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
         P.points_df(spark, sf_dir), PYRAMID_Z_BASE, PYRAMID_Z_MIN)
 
 
+
+SIMPLIFY_AMPS = "WHEN 0 THEN -6.0D WHEN 1 THEN -2.0D WHEN 2 THEN 0.25D WHEN 3 THEN 0.75D ELSE 3.5D"
+
+# Expected (n_kept, sum of kept x, sum of kept y) for every amplitude-index
+# combo of the planted 5-vertex zigzag under Douglas-Peucker tolerance 1.0,
+# computed by an INDEPENDENT recursive scalar DP (textbook recursion,
+# clamped point-to-segment distance, strict > tolerance, first-max tie) --
+# not by the engine's iterative kernel. Minimum decision margin across all
+# 125 shapes is 0.024 in distance units, so float64 cross-engine agreement
+# is guaranteed. Regenerate with scripts/gen_simplify_golden.py.
+SIMPLIFY_GOLDEN_VALUES = (
+    "(0,0,0,4,19.0,-12.0), (0,0,1,5,24.0,-14.0), (0,0,2,5,24.0,-11.75), (0,0,3,5,24.0,-11.25), (0,0,4,5,24.0,-8.5),"
+            "(0,1,0,5,24.0,-14.0), (0,1,1,4,17.0,-8.0), (0,1,2,4,19.0,-5.75), (0,1,3,4,19.0,-5.25), (0,1,4,4,19.0,-2.5),"
+            "(0,2,0,5,24.0,-11.75), (0,2,1,5,24.0,-7.75), (0,2,2,4,17.0,-5.75), (0,2,3,4,17.0,-5.75), (0,2,4,4,19.0,-2.5),"
+            "(0,3,0,5,24.0,-11.25), (0,3,1,5,24.0,-7.25), (0,3,2,4,17.0,-5.25), (0,3,3,4,17.0,-5.25), (0,3,4,4,19.0,-2.5),"
+            "(0,4,0,5,24.0,-8.5), (0,4,1,5,24.0,-4.5), (0,4,2,5,24.0,-2.25), (0,4,3,5,24.0,-1.75), (0,4,4,5,24.0,1.0),"
+            "(1,0,0,4,22.0,-12.0), (1,0,1,4,22.0,-8.0), (1,0,2,4,22.0,-5.75), (1,0,3,4,22.0,-5.25), (1,0,4,4,22.0,-2.5),"
+            "(1,1,0,5,24.0,-10.0), (1,1,1,4,19.0,-4.0), (1,1,2,3,12.0,-2.0), (1,1,3,5,24.0,-3.25), (1,1,4,5,24.0,-0.5),"
+            "(1,2,0,5,24.0,-7.75), (1,2,1,5,24.0,-3.75), (1,2,2,4,17.0,-1.75), (1,2,3,4,17.0,-1.75), (1,2,4,4,19.0,1.5),"
+            "(1,3,0,5,24.0,-7.25), (1,3,1,5,24.0,-3.25), (1,3,2,4,17.0,-1.25), (1,3,3,4,17.0,-1.25), (1,3,4,4,19.0,1.5),"
+            "(1,4,0,5,24.0,-4.5), (1,4,1,5,24.0,-0.5), (1,4,2,5,24.0,1.75), (1,4,3,5,24.0,2.25), (1,4,4,5,24.0,5.0),"
+            "(2,0,0,5,24.0,-11.75), (2,0,1,5,24.0,-7.75), (2,0,2,5,24.0,-5.5), (2,0,3,5,24.0,-5.0), (2,0,4,5,24.0,-2.25),"
+            "(2,1,0,4,22.0,-8.0), (2,1,1,3,15.0,-2.0), (2,1,2,4,22.0,-1.75), (2,1,3,4,22.0,-1.25), (2,1,4,4,22.0,1.5),"
+            "(2,2,0,4,22.0,-5.75), (2,2,1,4,22.0,-1.75), (2,2,2,2,10.0,0.0), (2,2,3,2,10.0,0.0), (2,2,4,4,22.0,3.75),"
+            "(2,3,0,4,22.0,-5.25), (2,3,1,4,22.0,-1.25), (2,3,2,2,10.0,0.0), (2,3,3,2,10.0,0.0), (2,3,4,4,22.0,4.25),"
+            "(2,4,0,4,22.0,-2.5), (2,4,1,4,22.0,1.5), (2,4,2,4,22.0,3.75), (2,4,3,4,22.0,4.25), (2,4,4,4,22.0,7.0),"
+            "(3,0,0,5,24.0,-11.25), (3,0,1,5,24.0,-7.25), (3,0,2,5,24.0,-5.0), (3,0,3,5,24.0,-4.5), (3,0,4,5,24.0,-1.75),"
+            "(3,1,0,4,19.0,-5.25), (3,1,1,4,17.0,-1.25), (3,1,2,5,24.0,-1.0), (3,1,3,5,24.0,-0.5), (3,1,4,5,24.0,2.25),"
+            "(3,2,0,4,22.0,-5.75), (3,2,1,4,22.0,-1.75), (3,2,2,2,10.0,0.0), (3,2,3,2,10.0,0.0), (3,2,4,4,22.0,3.75),"
+            "(3,3,0,4,22.0,-5.25), (3,3,1,4,22.0,-1.25), (3,3,2,2,10.0,0.0), (3,3,3,2,10.0,0.0), (3,3,4,4,22.0,4.25),"
+            "(3,4,0,4,22.0,-2.5), (3,4,1,4,22.0,1.5), (3,4,2,4,22.0,3.75), (3,4,3,4,22.0,4.25), (3,4,4,4,22.0,7.0),"
+            "(4,0,0,5,24.0,-8.5), (4,0,1,5,24.0,-4.5), (4,0,2,5,24.0,-2.25), (4,0,3,5,24.0,-1.75), (4,0,4,5,24.0,1.0),"
+            "(4,1,0,4,19.0,-2.5), (4,1,1,4,17.0,1.5), (4,1,2,5,24.0,1.75), (4,1,3,5,24.0,2.25), (4,1,4,5,24.0,5.0),"
+            "(4,2,0,5,24.0,-2.25), (4,2,1,4,19.0,1.5), (4,2,2,4,17.0,3.75), (4,2,3,4,17.0,3.75), (4,2,4,5,24.0,7.25),"
+            "(4,3,0,5,24.0,-1.75), (4,3,1,4,19.0,1.5), (4,3,2,4,17.0,4.25), (4,3,3,4,17.0,4.25), (4,3,4,5,24.0,7.75),"
+            "(4,4,0,5,24.0,1.0), (4,4,1,5,24.0,5.0), (4,4,2,5,24.0,7.25), (4,4,3,5,24.0,7.75), (4,4,4,4,19.0,7.0)"
+)
+
+
+def q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker gate: one planted 5-vertex zigzag LineString per
+    sampled order, amplitudes indexed by (o_orderkey%5, o_custkey%5,
+    (o_orderkey+o_custkey)%5) -> 125 distinct shapes covering every
+    recursion depth (keep 2, 3, 4, or all 5 vertices). The REAL
+    mapInPandas operator simplifies the wire structs; the oracle joins
+    the golden table computed by an independent recursive DP."""
+    from geobuf_cpp_spark.operators.simplify import simplify_lines
+
+    _prep(spark, sf_dir, "orders")
+    amp = "CASE {k} % 5 " + SIMPLIFY_AMPS + " END"
+    base = spark.table("orders").filter("o_orderkey % 17 = 0").selectExpr(
+        "o_orderkey AS line_id",
+        "named_struct("
+        "'type', CAST(2 AS TINYINT), 'dim', CAST(2 AS TINYINT), "
+        "'lengths', array(5), "
+        "'coords', array(0D, 0D, "
+        f"2D, {amp.format(k='o_orderkey')}, "
+        f"5D, {amp.format(k='o_custkey')}, "
+        f"7D, {amp.format(k='(o_orderkey + o_custkey)')}, "
+        "10D, 0D)) AS geom",
+    )
+    simp = simplify_lines(base, tolerance=1.0)
+    n = "size(geom.coords) div 2"
+    return simp.selectExpr(
+        "line_id",
+        f"CAST({n} AS INT) AS n_out",
+        f"aggregate(sequence(1, CAST({n} AS INT)), 0D, "
+        "(acc, i) -> acc + element_at(geom.coords, i * 2 - 1)) AS xsum",
+        f"aggregate(sequence(1, CAST({n} AS INT)), 0D, "
+        "(acc, i) -> acc + element_at(geom.coords, i * 2)) AS ysum",
+    )
+
 FUZZY_MAX_DIST = 4
 
 
@@ -1579,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_windows": q_token_windows,
         "fuzzy_match": q_fuzzy_match,
         "tile_pyramid": wrap(q_tile_pyramid),
+        "simplify": q_simplify,
         "mixture_order": q_mixture_order,
         "kmv_grouped": q_kmv_grouped,
         "dedup_report": q_dedup_report,
@@ -1827,6 +1900,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         # every level recomputed DIRECTLY from points (no hierarchy) —
         # the independent check that child->parent rollups are exact
+        "simplify": (
+            "WITH combos AS (SELECT * FROM (VALUES "
+            + SIMPLIFY_GOLDEN_VALUES +
+            ") t(i1, i2, i3, n_out, xsum, ysum)), "
+            "b AS (SELECT o_orderkey AS line_id, o_orderkey % 5 AS i1, "
+            "o_custkey % 5 AS i2, (o_orderkey + o_custkey) % 5 AS i3 "
+            "FROM orders WHERE o_orderkey % 17 = 0) "
+            "SELECT b.line_id, CAST(c.n_out AS INTEGER) AS n_out, "
+            "CAST(c.xsum AS DOUBLE) AS xsum, CAST(c.ysum AS DOUBLE) AS ysum "
+            "FROM b JOIN combos c ON b.i1 = c.i1 AND b.i2 = c.i2 "
+            "AND b.i3 = c.i3"
+        ),
         "tile_pyramid": " UNION ALL ".join(
             f"SELECT {z} AS z, "
             f"{sql_equirect_tile_x('lon', z)} AS tx, "
