@@ -30,6 +30,7 @@ from geobuf_cpp_spark.functions.cells import (
     sql_quadkey,
 )
 from geobuf_cpp_spark.functions.sql_codec import sql_roundtrip
+from geobuf_cpp_spark.operators.curation import sql_knuth_hash
 from geobuf_cpp_spark.plans.partitioning import spread
 from geobuf_cpp_spark.session import ship_package
 from geobuf_cpp_spark.sources import points as P
@@ -50,10 +51,13 @@ SESSION_GAP_S = 6 * 3600.0
 # spatio-temporal rollup, shared text: coarse cell x order month
 # histogram over a float measure, drift-free: ROUND(value*100) recovers
 # the exact two-decimal integer, then integer division bins — one SQL
-# text executed verbatim by both engines
+# text executed verbatim by both engines. GREATEST(.., 0) pins the
+# operand non-negative, where DuckDB's `//` (floor) and Spark's `div`
+# (truncate toward zero) agree — without it a negative measure would bin
+# differently per engine (-50 // 100 = -1 vs -50 div 100 = 0).
 VALUE_HIST_SQL = (
     "SELECT event_type, "
-    "CAST(ROUND(value * 100) AS BIGINT) // 100 AS bin, "
+    "GREATEST(CAST(ROUND(value * 100) AS BIGINT), 0) // 100 AS bin, "
     "count(*) AS n FROM events GROUP BY event_type, bin"
 )
 
@@ -113,7 +117,7 @@ CELL_MONTH_SQL = (
 # < 2^63, exact in BIGINT on both engines
 DOC_SAMPLE_SQL = (
     "SELECT doc_id, lang, n_chars FROM documents "
-    "WHERE (doc_id * 2654435761) % 4294967296 < 429496730"
+    "WHERE ((((doc_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296 < 429496730"
 )
 
 TOP_DOCS_SQL = (
@@ -1050,7 +1054,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark, sf_dir, "documents")
     docs = spark.table("documents")
-    in_sample = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) < F.lit(429496730)
+    in_sample = F.expr(sql_knuth_hash("doc_id")) < F.lit(429496730)
     heldout = docs.filter(in_sample)
     train = docs.filter(~in_sample)
     return decontaminate(train, heldout).select("doc_id", "lang", "n_chars")
@@ -1408,7 +1412,7 @@ def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark, sf_dir, "documents")
     docs = spark.table("documents")
-    split = (F.col("doc_id") * 2654435761) % 4294967296
+    split = F.expr(sql_knuth_hash("doc_id"))
     held = docs.where(split < 429496730)
     train = docs.where(split >= 429496730)
     return ngram_decontaminate(train, held, n=5).select(
@@ -1889,7 +1893,7 @@ def oracle_sql() -> dict[str, str]:
         # (norm = 3*2*1 = 6 -> strides en 2, de 3, fr 6)
         "mixture_order": (
             "WITH d AS (SELECT doc_id, lang, "
-            "(doc_id * 2654435761) % 4294967296 AS h FROM documents "
+            "((((doc_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296 AS h FROM documents "
             "WHERE lang IN ('en', 'de', 'fr')), "
             "r AS (SELECT doc_id, lang, ROW_NUMBER() OVER ("
             "PARTITION BY lang ORDER BY h, doc_id) AS stratum_rank FROM d) "
@@ -2179,9 +2183,9 @@ def oracle_sql() -> dict[str, str]:
         "top_docs_per_lang": TOP_DOCS_SQL,
         "decontaminate": (
             "WITH heldout AS (SELECT DISTINCT md5(text) AS h FROM documents "
-            "WHERE (doc_id * 2654435761) % 4294967296 < 429496730) "
+            "WHERE ((((doc_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296 < 429496730) "
             "SELECT doc_id, lang, n_chars FROM documents d "
-            "WHERE (doc_id * 2654435761) % 4294967296 >= 429496730 "
+            "WHERE ((((doc_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296 >= 429496730 "
             "AND NOT EXISTS (SELECT 1 FROM heldout WHERE h = md5(d.text))"
         ),
         "corpus_filter": (
@@ -2382,7 +2386,7 @@ def oracle_sql() -> dict[str, str]:
         # md5 digest on the oracle side, the raw gram strings join
         "ngram_decontaminate": (
             "WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t, "
-            "lang, n_chars, (doc_id * 2654435761) % 4294967296 < 429496730 "
+            "lang, n_chars, ((((doc_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296 < 429496730 "
             "AS held FROM documents), "
             "g AS (SELECT doc_id, held, array_to_string("
             "list_slice(t, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS gram "

@@ -35,11 +35,13 @@ def hilbert_d(x: np.ndarray, y: np.ndarray, order: int) -> np.ndarray:
         ry = ((y & s) > 0).astype(np.int64)
         d += s * s * ((3 * rx) ^ ry)
         # rotate quadrant: reflect when ry==0 & rx==1, then swap axes.
-        # The reflection constant n-1 (not s-1) keeps coords in [0, n):
-        # constants differing by a multiple of 2s leave every bit below
-        # 2s unchanged, and later rounds only test bits < s — so the
-        # curve is identical, without negative intermediates (which the
-        # SQL twin's %-based bit test cannot mimic portably).
+        # The reflection constant n-1 (not the textbook s-1) keeps coords
+        # in [0, n): n-1 and s-1 are congruent mod s (n-s is a multiple
+        # of s), so (c - x) has identical bits below s for either
+        # constant, and all later rounds only test bits strictly below
+        # the current s — the curve is identical, without negative
+        # intermediates (which the SQL twin's %-based bit test cannot
+        # mimic portably).
         refl = (ry == 0) & (rx == 1)
         x = np.where(refl, n - 1 - x, x)
         y = np.where(refl, n - 1 - y, y)

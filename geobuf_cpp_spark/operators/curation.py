@@ -19,6 +19,25 @@ from pyspark.sql import DataFrame, functions as F
 
 KNUTH = 2654435761
 MOD = 4294967296
+_M31 = 2147483648
+
+
+def sql_knuth_hash(id_col: str) -> str:
+    """Portable overflow-safe Knuth hash text, shared by both engines.
+
+    The naive ``(id * KNUTH) % 2^32`` silently wraps in Spark for
+    id >= ~3.47e9 (non-ANSI BIGINT overflow) while DuckDB raises, and a
+    negative id makes the modulo negative so ``< threshold`` predicates
+    degenerate to always-true. Pre-reducing the id to a non-negative
+    31-bit residue first caps the product at (2^31-1) * KNUTH < 2^63 —
+    defined and identical in every engine, for EVERY BIGINT id. For
+    0 <= id < 2^31 (all driver test data) the reduction is the identity,
+    so sample membership is unchanged. Ids differing by a multiple of
+    2^31 collide — irrelevant for sampling, where the hash only needs a
+    uniform residue, not injectivity.
+    """
+    return (f"(((({id_col} % {_M31}) + {_M31}) % {_M31}) * {KNUTH})"
+            f" % {MOD}")
 
 
 def stratum_threshold(rate: float) -> int:
@@ -38,7 +57,7 @@ def sql_stratified_keep(id_col: str, stratum_col: str,
     )
     thr = (f"CASE {stratum_col} {cases} "
            f"ELSE {stratum_threshold(default_rate)} END")
-    return f"({id_col} * {KNUTH}) % {MOD} < {thr}"
+    return f"{sql_knuth_hash(id_col)} < {thr}"
 
 
 def stratified_sample(df: DataFrame, rates: dict[str, float],
@@ -75,7 +94,7 @@ def mixture_interleave(df: DataFrame, weights: dict[str, int],
         norm *= w
     from pyspark.sql import Window
 
-    hash_col = (F.col(id_col) * F.lit(KNUTH)) % F.lit(MOD)
+    hash_col = F.expr(sql_knuth_hash(id_col))
     w_rank = Window.partitionBy(stratum_col).orderBy(
         hash_col.asc(), F.col(id_col).asc())
     stride = F.coalesce(

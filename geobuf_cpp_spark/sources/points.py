@@ -70,25 +70,23 @@ def boxes_as_wire_polygons(spark, sf_dir: str):
     import pandas as pd
 
     b = boxes_df(spark, sf_dir).toPandas()
-    rows = []
-    for _, r in b.iterrows():
-        ring = [
-            r["lon0"], r["lat0"], r["lon1"], r["lat0"],
-            r["lon1"], r["lat1"], r["lon0"], r["lat1"],
-            r["lon0"], r["lat0"],
-        ]
-        rows.append(
-            {
-                "admin_id": int(r["admin_id"]),
-                "geom": {
+    return pd.DataFrame(
+        {
+            "admin_id": b["admin_id"].astype(int),
+            "geom": [
+                {
                     "type": 4,
                     "dim": 2,
                     "lengths": [5],
-                    "coords": [float(c) for c in ring],
-                },
-            }
-        )
-    return pd.DataFrame(rows)
+                    "coords": [lon0, lat0, lon1, lat0, lon1, lat1,
+                               lon0, lat1, lon0, lat0],
+                }
+                for lon0, lat0, lon1, lat1 in zip(
+                    b["lon0"].astype(float), b["lat0"].astype(float),
+                    b["lon1"].astype(float), b["lat1"].astype(float))
+            ],
+        }
+    )
 
 
 # integer centidegree lattice — same spread multipliers, but kept in
