@@ -65,6 +65,37 @@ def test_range_join_two_sided_ordered_pairs(spark):
     assert got == {(1, 10, 25), (2, 11, 16)}
 
 
+def test_range_self_join_antimeridian_wrap(spark):
+    from geobuf_cpp_spark.operators.range_join import range_self_join
+
+    P, r = 36000, 100
+    pts = [
+        (1, 10, 500),       # just east of the seam
+        (2, 35950, 520),    # just west of it: wrapped dx=60, dy=20
+        (3, 35990, 500),    # wrapped dx=20 from id 1, dx=40 from id 2
+        (4, 18000, 500),    # far from the seam, no wrap partner
+        (5, 18050, 500),    # planar pair with id 4
+    ]
+    df = spark.createDataFrame(pts, "point_id long, ix long, iy long")
+
+    unwrapped = {
+        (row.id_a, row.id_b, row.d2)
+        for row in range_self_join(df, r).collect()
+    }
+    assert unwrapped == {(4, 5, 2500), (2, 3, 2000)}
+
+    wrapped = {
+        (row.id_a, row.id_b, row.d2)
+        for row in range_self_join(df, r, wrap_x=P).collect()
+    }
+    # seam pairs appear exactly once, with the exact WRAPPED distance;
+    # planar pairs are untouched
+    assert wrapped == {
+        (4, 5, 2500), (2, 3, 2000),
+        (1, 2, 60 * 60 + 20 * 20), (1, 3, 20 * 20),
+    }
+
+
 def test_range_join_plan_is_single_equi_join_no_python(spark):
     from geobuf_cpp_spark.operators.range_join import range_self_join
 
