@@ -667,3 +667,60 @@ def test_admin_polygons_dataframe_matches_generator(spark):
     assert sdf.count() == len(pdf)
     assert sorted(r["admin_id"] for r in sdf.collect()) == sorted(
         pdf["admin_id"].tolist())
+
+
+# ---------------------------------------------------------------------------
+# plan-regression guards: lock PLANS.md's flagship physical-plan claims so a
+# silent Catalyst regression (or a careless refactor) cannot demote them.
+# Asserted on the initial physical plan at sf0.001 — the properties under
+# guard (join strategy, group-limit pushdown, scan-level filter pushdown)
+# are decided before AQE re-planning.
+# ---------------------------------------------------------------------------
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _plan_of(spark, name):
+    import __spark_entry__ as entry
+
+    df = entry.queries()[name](spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_plan_guard_pip_join_broadcasts_boxes(spark):
+    """PIP join must broadcast the admin-box side: the corpus side joins
+    with NO hash-partition shuffle (at 100 TB the shuffle IS the cost)."""
+    plan = _plan_of(spark, "pip_boxes_join")
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+
+
+def test_plan_guard_topk_uses_window_group_limit(spark):
+    """Per-group top-k must compile to WindowGroupLimit with a Partial
+    (map-side) phase — each task pre-prunes to k rows per group before
+    the shuffle, the property that bounds shuffle volume at scale."""
+    for name in ("top_docs_per_lang", "last_event_per_user"):
+        plan = _plan_of(spark, name)
+        assert "WindowGroupLimit" in plan, (name, plan[:1500])
+        assert "Partial" in plan, (name, plan[:1500])
+
+
+def test_plan_guard_global_topk_avoids_total_sort(spark):
+    """Global top-k must be TakeOrderedAndProject (per-partition heads +
+    driver merge), never a full Sort of the aggregate."""
+    plan = _plan_of(spark, "hot_cells_topk")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_plan_guard_stored_filter_reaches_parquet_scan(spark):
+    """A stored-column predicate must reach the scan as a PushedFilter,
+    and scans must read only the projected columns."""
+    plan = _plan_of(spark, "ship_priority")
+    assert "PushedFilters: [IsNotNull(c_mktsegment), " in plan, plan[:2000]
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan, plan[:2000]
+    # column pruning: the lineitem scan reads exactly its 3 used columns
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,"
+        "l_discount:double>" in plan
+    ), plan[:2000]
