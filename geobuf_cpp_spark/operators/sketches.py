@@ -158,15 +158,18 @@ def kmv_sketch(docs_df: DataFrame, text_col: str = "text",
 
 
 def kmv_distinct(docs_df: DataFrame, text_col: str = "text",
-                 k: int = KMV_K) -> DataFrame:
+                 k: int = KMV_K, sketch: DataFrame | None = None) -> DataFrame:
     """KMV distinct-token estimate as one exact-integer row.
 
     est = (k-1) * 2^64 div h_k (the classic KMV estimator with the
     division floored, so both engines produce the identical integer);
     when the vocabulary has fewer than ``k`` distinct hashes the sketch
-    IS the vocabulary and the estimate is the exact count.
+    IS the vocabulary and the estimate is the exact count. Pass a
+    pre-built (possibly persisted) ``sketch`` to reuse it across
+    consumers instead of re-scanning the corpus.
     """
-    sketch = kmv_sketch(docs_df, text_col, k)
+    if sketch is None:
+        sketch = kmv_sketch(docs_df, text_col, k)
     num = (k - 1) << 64
     return sketch.agg(
         F.count("*").cast("long").alias("n_sketch"),
