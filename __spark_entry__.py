@@ -544,6 +544,20 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_K = 5
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-k salient terms under the exact-integer idf weighting
+    (operators/textstats.tfidf_topk) — the retrieval/keyword-extraction
+    primitive, gated without transcendental floats."""
+    from geobuf_cpp_spark.operators.textstats import tfidf_topk
+
+    _prep(spark, sf_dir, "documents")
+    return tfidf_topk(spark.table("documents"), k=TFIDF_K)
+
+
+
 GEOHASH_LEN = 6
 
 
@@ -1289,6 +1303,21 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_self_join(spark.sql(P.IPOINTS_SELECT), RANGE_RADIUS)
 
 
+X_PERIOD = 36000            # lattice x wraps at 360 degrees (centideg)
+
+
+def q_range_join_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Antimeridian-aware distance self-join: the same grid-blocked plan
+    plus +/-period ghosts on seam-adjacent build points, so pairs
+    crossing x=0/36000 surface with their exact wrapped distance. The
+    oracle brute-forces the wrapped metric least(|dx|, P-|dx|)."""
+    from geobuf_cpp_spark.operators.range_join import range_self_join
+
+    _prep(spark, sf_dir, "orders")
+    return range_self_join(spark.sql(P.IPOINTS_SELECT), RANGE_RADIUS,
+                           wrap_x=X_PERIOD)
+
+
 def q_trajectory_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user GPS-track stats over the events ping stream."""
     from geobuf_cpp_spark.operators.trajectory import path_stats
@@ -1681,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_assign": wrap(q_quadkey_assign),
         "geohash_assign": wrap(q_geohash_assign),
         "inverted_index": q_inverted_index,
+        "tfidf_topk": q_tfidf_topk,
         "ship_priority": q_ship_priority,
         "local_volume": q_local_volume,
         "table_profile": q_table_profile,
@@ -1742,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": q_media_stats,
         "media_features": q_media_features,
         "range_join": q_range_join,
+        "range_join_wrap": q_range_join_wrap,
         "trajectory_len": q_trajectory_len,
         "chunk_dedup": q_chunk_dedup,
         "repetition_stats": q_repetition_stats,
@@ -1993,6 +2024,20 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(min({c}) AS VARCHAR) AS min_s, "
             f"CAST(max({c}) AS VARCHAR) AS max_s FROM orders"
             for c in PROFILE_COLS
+        ),
+        "tfidf_topk": (
+            "WITH w AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS term FROM documents), "
+            "t AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM w WHERE term <> '' GROUP BY doc_id, term), "
+            "d AS (SELECT term, CAST(count(*) AS BIGINT) AS df "
+            "FROM t GROUP BY term), "
+            "s AS (SELECT t.doc_id, t.term, t.tf, d.df, "
+            "(t.tf * 1048576) // d.df AS score FROM t JOIN d USING (term)), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, term) AS rn FROM s) "
+            "SELECT doc_id, CAST(rn AS INTEGER) AS rank, term, tf, df, "
+            "CAST(score AS BIGINT) AS score FROM r WHERE rn <= 5"
         ),
         "inverted_index": (
             "WITH w AS (SELECT doc_id, "
@@ -2329,6 +2374,15 @@ def oracle_sql() -> dict[str, str]:
         # brute-force O(n²) distance join — exact BIGINT arithmetic on
         # the integer lattice, so the grid-blocked Spark plan must match
         # the pair set bit-for-bit
+        "range_join_wrap": (
+            f"WITH p AS ({P.IPOINTS_SELECT}), "
+            "w AS (SELECT a.point_id AS id_a, b.point_id AS id_b, "
+            "CASE WHEN abs(a.ix-b.ix) <= 36000 - abs(a.ix-b.ix) "
+            "THEN abs(a.ix-b.ix) ELSE 36000 - abs(a.ix-b.ix) END AS dxw, "
+            "a.iy - b.iy AS dy FROM p a JOIN p b ON a.point_id < b.point_id) "
+            "SELECT id_a, id_b, dxw*dxw + dy*dy AS d2 FROM w "
+            f"WHERE dxw*dxw + dy*dy <= {RANGE_RADIUS * RANGE_RADIUS}"
+        ),
         "range_join": (
             f"WITH p AS ({P.IPOINTS_SELECT}) "
             "SELECT a.point_id AS id_a, b.point_id AS id_b, "

@@ -277,3 +277,39 @@ def term_cooccurrence(docs_df, vocab_size: int = 50, id_col: str = "doc_id",
     )
     n_docs = docs_df.select(F.countDistinct(id_col).alias("n_docs"))
     return pairs.crossJoin(F.broadcast(n_docs))
+
+
+def tfidf_topk(docs_df, k: int = 5, id_col: str = "doc_id",
+               text_col: str = "text", scale: int = 1 << 20):
+    """Per-document top-k salient terms by exact-integer inverse document
+    frequency: score = (tf * scale) div df.
+
+    The textbook tf-idf weight tf * ln(N/df) ranks a document's terms by
+    tf against inverse frequency; since N (corpus size) multiplies every
+    term of a document equally it never changes the per-document order,
+    so the corpus-constant is dropped and the log replaced with a linear
+    inverse — a deterministic BIGINT score both engines compute
+    identically (no transcendental floats), bounded by tf * scale < 2^63
+    for any real document at any corpus size.
+
+    Plan shape: token explode -> (doc, term) hash agg -> term-keyed df
+    agg -> one term equi-join -> WindowGroupLimit top-k per document
+    (map-side partial prune, so shuffle volume is k rows per document).
+    """
+    from pyspark.sql import Window
+
+    toks = docs_df.select(
+        F.col(id_col), F.explode(F.split(text_col, " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count("*").cast("long").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = tf.join(df, "term").withColumn(
+        "score", F.expr(f"(tf * {int(scale)}) div df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", "score")
+    )
