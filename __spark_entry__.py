@@ -635,6 +635,49 @@ def q_knn_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nearest_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-region assignment on the integer lattice: every point to
+    its closest admin box by exact BIGINT clamped axis distance (the
+    reverse-geocode step after a PIP miss); broadcast dimension, no
+    corpus shuffle."""
+    from geobuf_cpp_spark.operators.nearest import nearest_box
+
+    _prep(spark, sf_dir, "orders", "nation")
+    pts = spark.sql(P.IPOINTS_SELECT).selectExpr(
+        "point_id", "ix - 18000 AS ix", "iy - 8500 AS iy")
+    boxes = spark.sql(P.IBOXES_SELECT)
+    return nearest_box(pts, boxes)
+
+
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide deciles of document length WITHOUT a global
+    sort (operators/curation.exact_rank_buckets: value-histogram rank
+    decomposition) — the quality-bucketed mixture-construction step."""
+    from geobuf_cpp_spark.operators.curation import exact_rank_buckets
+
+    _prep(spark, sf_dir, "documents")
+    return exact_rank_buckets(
+        spark.table("documents"), "n_chars", "doc_id", n_buckets=10
+    ).withColumnRenamed("bucket", "decile")
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE (last-writer-wins): customer base snapshot merged
+    with an orders-derived changelog of segment updates; per-key top-1
+    compiles to WindowGroupLimit so shuffle volume is O(keys)."""
+    from geobuf_cpp_spark.operators.merge import merge_upsert
+
+    _prep(spark, sf_dir, "customer", "orders")
+    base = spark.sql(
+        "SELECT c_custkey AS custkey, c_mktsegment AS segment, "
+        "TIMESTAMP '1990-01-01 00:00:00' AS ts FROM customer")
+    updates = spark.sql(
+        "SELECT o_custkey AS custkey, o_orderpriority AS segment, "
+        "CAST(o_orderdate AS TIMESTAMP) AS ts FROM orders")
+    return merge_upsert(base, updates, ["custkey"], "ts",
+                        tie_cols=["segment"])
+
+
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geobuf_cpp_spark.operators.tiles import assign_tiles
 
@@ -1773,6 +1816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "range_join": q_range_join,
         "range_join_wrap": q_range_join_wrap,
+        "nearest_admin": q_nearest_admin,
+        "quality_deciles": q_quality_deciles,
+        "merge_upsert": q_merge_upsert,
         "trajectory_len": q_trajectory_len,
         "chunk_dedup": q_chunk_dedup,
         "repetition_stats": q_repetition_stats,
@@ -2374,6 +2420,41 @@ def oracle_sql() -> dict[str, str]:
         # brute-force O(n²) distance join — exact BIGINT arithmetic on
         # the integer lattice, so the grid-blocked Spark plan must match
         # the pair set bit-for-bit
+        "nearest_admin": (
+            f"WITH p0 AS ({P.IPOINTS_SELECT}), "
+            "p AS (SELECT point_id, ix - 18000 AS ix, iy - 8500 AS iy "
+            "FROM p0), "
+            f"b AS ({P.IBOXES_SELECT}), "
+            "d AS (SELECT p.point_id, b.admin_id, "
+            "CAST(GREATEST(b.lon0 - p.ix, p.ix - b.lon1, 0) AS BIGINT) "
+            "AS dx, "
+            "CAST(GREATEST(b.lat0 - p.iy, p.iy - b.lat1, 0) AS BIGINT) "
+            "AS dy FROM p CROSS JOIN b), "
+            "s AS (SELECT point_id, admin_id, dx*dx + dy*dy AS d2, "
+            "row_number() OVER (PARTITION BY point_id "
+            "ORDER BY dx*dx + dy*dy, admin_id) AS rn FROM d) "
+            "SELECT point_id, admin_id, d2 FROM s WHERE rn = 1"
+        ),
+        "quality_deciles": (
+            "WITH r AS (SELECT doc_id, n_chars, "
+            "row_number() OVER (ORDER BY n_chars, doc_id) AS rank "
+            "FROM documents), "
+            "n AS (SELECT count(*) AS total FROM documents) "
+            "SELECT doc_id, n_chars, CAST(rank AS BIGINT) AS rank, "
+            "CAST((rank - 1) * 10 // total + 1 AS INTEGER) AS decile "
+            "FROM r CROSS JOIN n"
+        ),
+        "merge_upsert": (
+            "WITH u AS ("
+            "SELECT c_custkey AS custkey, c_mktsegment AS segment, "
+            "TIMESTAMP '1990-01-01 00:00:00' AS ts, 0 AS src FROM customer "
+            "UNION ALL "
+            "SELECT o_custkey AS custkey, o_orderpriority AS segment, "
+            "CAST(o_orderdate AS TIMESTAMP) AS ts, 1 AS src FROM orders), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY custkey "
+            "ORDER BY ts DESC, src DESC, segment) AS rn FROM u) "
+            "SELECT custkey, segment, ts FROM r WHERE rn = 1"
+        ),
         "range_join_wrap": (
             f"WITH p AS ({P.IPOINTS_SELECT}), "
             "w AS (SELECT a.point_id AS id_a, b.point_id AS id_b, "

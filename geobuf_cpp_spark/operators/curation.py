@@ -112,3 +112,45 @@ def mixture_interleave(df: DataFrame, weights: dict[str, int],
         (F.col("stratum_rank") * stride).cast("long"),
     )
     return out
+
+
+def exact_rank_buckets(df: DataFrame, value_col: str, id_col: str,
+                       n_buckets: int = 10) -> DataFrame:
+    """Exact global-rank bucketing (deciles etc.) WITHOUT a global sort.
+
+    A bare NTILE window has no partition key — one reducer sorts the
+    whole corpus, the canonical scale-killer. Instead the global rank is
+    decomposed: rank(row) = (# rows with a smaller value) + (row_number
+    of the row within its value group, ordered by id). The first term
+    comes from a value histogram — one hash aggregate bounded by the
+    DISTINCT value domain, cumulated on a single small partition of
+    value-counts (bounded by the domain, never the corpus) and broadcast
+    back; the second is a window partitioned by value, which distributes.
+    bucket = ((rank-1) * n_buckets) div N + 1 — exact, deterministic,
+    identical in any engine.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(value_col).agg(F.count("*").alias("_n"))
+    w_vals = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, -1)
+    cum = counts.select(
+        value_col,
+        F.coalesce(F.sum("_n").over(w_vals), F.lit(0)).alias("_before"),
+    )
+    total = counts.agg(F.sum("_n").cast("long").alias("_N"))
+    w_in = Window.partitionBy(value_col).orderBy(id_col)
+    return (
+        df.select(id_col, value_col)
+        .join(F.broadcast(cum), value_col)
+        .withColumn("rank", (F.col("_before")
+                             + F.row_number().over(w_in)).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            value_col,
+            "rank",
+            (F.expr(f"(rank - 1) * {int(n_buckets)} div _N") + 1)
+            .cast("int").alias("bucket"),
+        )
+    )

@@ -1,0 +1,56 @@
+"""Nearest-region assignment — every point to its closest admin box.
+
+The reverse-geocoding companion of the PIP join (operators/pip_join.py):
+containment answers "which region am I in", this answers "which region
+is closest" for points that fall in no region (offshore coordinates,
+boundary gaps) — the assignment step a geocoding pipeline runs after
+containment misses. Reference tie-in: geobuf-cpp's cell machinery
+serves exactly this lookup shape once geometries are indexed
+(/root/reference/README.md:17 query framing).
+
+Scale plan: the admin side is a broadcastable dimension (thousands of
+rows at most), so the pairing is a broadcast nested-loop over a
+dimension of bounded size — the corpus side never shuffles, and the
+per-point reduction is a single min(struct) hash aggregate on the
+point id (map-side partial). Distance is the clamped axis distance to
+the closed box in exact BIGINT (zero float drift cross-engine);
+antimeridian wrap is out of scope here (see range_join.wrap_x for the
+ghosting pattern if needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def nearest_box(points: DataFrame, boxes: DataFrame,
+                x_col: str = "ix", y_col: str = "iy",
+                id_col: str = "point_id") -> DataFrame:
+    """(point_id, admin_id, d2): closest box by squared clamped axis
+    distance, ties broken by the smaller admin_id. Points inside a box
+    get d2 = 0 (distance to the CLOSED box — both edges inclusive)."""
+    dx = F.greatest(
+        F.col("lon0") - F.col(x_col),
+        F.col(x_col) - F.col("lon1"),
+        F.lit(0),
+    ).cast("long")
+    dy = F.greatest(
+        F.col("lat0") - F.col(y_col),
+        F.col(y_col) - F.col("lat1"),
+        F.lit(0),
+    ).cast("long")
+    pairs = points.crossJoin(F.broadcast(boxes)).withColumn(
+        "d2", dx * dx + dy * dy
+    )
+    # lexicographic struct-min = (min d2, then min admin_id): one
+    # hash aggregate with map-side partials, no window, no shuffle of
+    # anything wider than (id, best-struct)
+    return (
+        pairs.groupBy(id_col)
+        .agg(F.min(F.struct("d2", "admin_id")).alias("_b"))
+        .select(
+            id_col,
+            F.col("_b.admin_id").alias("admin_id"),
+            F.col("_b.d2").alias("d2"),
+        )
+    )

@@ -39,6 +39,18 @@ BOXES_SELECT = (
     "FROM nation"
 )
 
+# the same boxes on the integer centidegree lattice (lon0 = degrees*100
+# as BIGINT-safe ints; pair with IPOINTS ix-18000 / iy-8500) — exact
+# integer distance predicates for the nearest-region assignment
+IBOXES_SELECT = (
+    "SELECT CAST(n_nationkey AS BIGINT) AS admin_id, "
+    "CAST(((n_nationkey * 89) % 300 - 180) * 100 AS BIGINT) AS lon0, "
+    "CAST(((n_nationkey * 53) % 150 - 85) * 100 AS BIGINT) AS lat0, "
+    "CAST(((n_nationkey * 89) % 300 - 180) * 100 + 1200 AS BIGINT) AS lon1, "
+    "CAST(((n_nationkey * 53) % 150 - 85) * 100 + 900 AS BIGINT) AS lat1 "
+    "FROM nation"
+)
+
 # kNN query sites = box centers
 QUERIES_SELECT = (
     "SELECT CAST(n_nationkey AS BIGINT) AS query_id, "

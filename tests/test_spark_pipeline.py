@@ -700,7 +700,7 @@ def test_plan_guard_topk_uses_window_group_limit(spark):
     """Per-group top-k must compile to WindowGroupLimit with a Partial
     (map-side) phase — each task pre-prunes to k rows per group before
     the shuffle, the property that bounds shuffle volume at scale."""
-    for name in ("top_docs_per_lang", "last_event_per_user"):
+    for name in ("top_docs_per_lang", "last_event_per_user", "merge_upsert"):
         plan = _plan_of(spark, name)
         assert "WindowGroupLimit" in plan, (name, plan[:1500])
         assert "Partial" in plan, (name, plan[:1500])
