@@ -317,6 +317,47 @@ def main() -> None:
         [r"Generate", r"Aggregate", r"Exchange",
          r"MapInPandas|ArrowEvalPython|BatchEvalPython"],
     )
+    section(
+        "nearest_admin — broadcast dimension, corpus never shuffles",
+        "The 25-box dimension broadcasts into a nested-loop pairing; "
+        "the per-point reduction is min(struct) with a map-side partial "
+        "HashAggregate, so the only exchange carries one row per point.",
+        E.q_nearest_admin(spark, SF_DIR),
+        [r"BroadcastNestedLoopJoin", r"HashAggregate", r"Exchange "],
+    )
+    section(
+        "merge_upsert — changelog replay prunes to one row per key",
+        "base ∪ updates with per-key top-1 compiles to WindowGroupLimit "
+        "Partial before the key exchange: shuffle volume is O(live "
+        "keys), not O(changelog length).",
+        E.q_merge_upsert(spark, SF_DIR),
+        [r"WindowGroupLimit", r"Exchange ", r"Union"],
+    )
+    section(
+        "quality_deciles — exact global ranks without a global sort",
+        "The rank decomposition joins a broadcast value-histogram back "
+        "to the corpus; the only corpus-wide window partitions by "
+        "value. No single-reducer corpus sort appears anywhere.",
+        E.q_quality_deciles(spark, SF_DIR),
+        [r"Window", r"BroadcastExchange", r"Exchange hashpartitioning"],
+    )
+    section(
+        "tfidf_topk — term-keyed df join + map-side group limit",
+        "tf and df are two-phase hash aggregates; the per-document "
+        "top-k prunes map-side via WindowGroupLimit Partial, so the "
+        "final shuffle carries at most k rows per document.",
+        E.q_tfidf_topk(spark, SF_DIR),
+        [r"WindowGroupLimit", r"HashAggregate \(", r"Exchange "],
+    )
+    section(
+        "range_join_wrap — antimeridian ghosts ride the same equi-join",
+        "Seam-adjacent build points Generate ±period ghosts (conditional "
+        "explode, no re-scan union); the join remains the single "
+        "cell-keyed equi-join — no cartesian, no Python.",
+        E.q_range_join_wrap(spark, SF_DIR),
+        [r"Generate", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         r"CartesianProduct"],
+    )
     aqe_skew_section(spark)
     spark.stop()
 
