@@ -412,6 +412,9 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+_SIMPLIFY_AMPS_SQL = ("WHEN 0 THEN -6.0 WHEN 1 THEN -2.0 WHEN 2 THEN 0.25 "
+                      "WHEN 3 THEN 0.75 ELSE 3.5")
+
 SIMPLIFY_AMPS = "WHEN 0 THEN -6.0D WHEN 1 THEN -2.0D WHEN 2 THEN 0.25D WHEN 3 THEN 0.75D ELSE 3.5D"
 
 # Expected (n_kept, sum of kept x, sum of kept y) for every amplitude-index
@@ -450,18 +453,12 @@ SIMPLIFY_GOLDEN_VALUES = (
 )
 
 
-def q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Douglas-Peucker gate: one planted 5-vertex zigzag LineString per
-    sampled order, amplitudes indexed by (o_orderkey%5, o_custkey%5,
-    (o_orderkey+o_custkey)%5) -> 125 distinct shapes covering every
-    recursion depth (keep 2, 3, 4, or all 5 vertices). The REAL
-    mapInPandas operator simplifies the wire structs; the oracle joins
-    the golden table computed by an independent recursive DP."""
-    from geobuf_cpp_spark.operators.simplify import simplify_lines
-
+def _planted_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted 5-vertex zigzag LineStrings (wire structs) shared by
+    the simplify and geom_bbox gates."""
     _prep(spark, sf_dir, "orders")
     amp = "CASE {k} % 5 " + SIMPLIFY_AMPS + " END"
-    base = spark.table("orders").filter("o_orderkey % 17 = 0").selectExpr(
+    return spark.table("orders").filter("o_orderkey % 17 = 0").selectExpr(
         "o_orderkey AS line_id",
         "named_struct("
         "'type', CAST(2 AS TINYINT), 'dim', CAST(2 AS TINYINT), "
@@ -472,7 +469,28 @@ def q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"7D, {amp.format(k='(o_orderkey + o_custkey)')}, "
         "10D, 0D)) AS geom",
     )
-    simp = simplify_lines(base, tolerance=1.0)
+
+
+def q_geom_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-geometry bounding boxes computed ENTIRELY in Spark SQL array
+    expressions over the wire struct (operators/geom_stats.sql_bbox_exprs
+    — whole-stage codegen, no Python anywhere); closed-form oracle over
+    the planted amplitudes."""
+    from geobuf_cpp_spark.operators.geom_stats import bboxes
+
+    return bboxes(_planted_lines(spark, sf_dir))
+
+
+def q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker gate: one planted 5-vertex zigzag LineString per
+    sampled order, amplitudes indexed by (o_orderkey%5, o_custkey%5,
+    (o_orderkey+o_custkey)%5) -> 125 distinct shapes covering every
+    recursion depth (keep 2, 3, 4, or all 5 vertices). The REAL
+    mapInPandas operator simplifies the wire structs; the oracle joins
+    the golden table computed by an independent recursive DP."""
+    from geobuf_cpp_spark.operators.simplify import simplify_lines
+
+    simp = simplify_lines(_planted_lines(spark, sf_dir), tolerance=1.0)
     n = "size(geom.coords) div 2"
     return simp.selectExpr(
         "line_id",
@@ -1761,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": q_fuzzy_match,
         "tile_pyramid": wrap(q_tile_pyramid),
         "simplify": q_simplify,
+        "geom_bbox": q_geom_bbox,
         "mixture_order": q_mixture_order,
         "kmv_grouped": q_kmv_grouped,
         "dedup_report": q_dedup_report,
@@ -2013,6 +2032,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         # every level recomputed DIRECTLY from points (no hierarchy) —
         # the independent check that child->parent rollups are exact
+        "geom_bbox": (
+            "WITH a AS (SELECT o_orderkey AS line_id, "
+            "CASE o_orderkey % 5 " + _SIMPLIFY_AMPS_SQL + " END AS a1, "
+            "CASE o_custkey % 5 " + _SIMPLIFY_AMPS_SQL + " END AS a2, "
+            "CASE (o_orderkey + o_custkey) % 5 " + _SIMPLIFY_AMPS_SQL
+            + " END AS a3 "
+            "FROM orders WHERE o_orderkey % 17 = 0) "
+            "SELECT line_id, CAST(0 AS DOUBLE) AS xmin, "
+            "CAST(LEAST(0, a1, a2, a3) AS DOUBLE) AS ymin, "
+            "CAST(10 AS DOUBLE) AS xmax, "
+            "CAST(GREATEST(0, a1, a2, a3) AS DOUBLE) AS ymax FROM a"
+        ),
         "simplify": (
             "WITH combos AS (SELECT * FROM (VALUES "
             + SIMPLIFY_GOLDEN_VALUES +

@@ -33,3 +33,33 @@ def areas(polygons_df, id_col: str = "admin_id", geom_col: str = "geom"):
     return polygons_df.select(id_col, geom_col).mapInPandas(
         gen, f"{id_col} long, area double"
     )
+
+
+def sql_bbox_exprs(geom_col: str = "geom") -> list[str]:
+    """JVM-side bounding box of a wire-struct geometry — pure Spark SQL
+    array expressions, NO Python stage anywhere.
+
+    The wire layout packs coords as [x0, y0(, z0), x1, y1, ...]; the
+    bbox is a filter on index parity + array_min/array_max. Whole-stage
+    codegen applies, so at corpus scale this is a single scan-side
+    projection (the Python-kernel path exists for ops that genuinely
+    need numpy; a bbox does not).
+    """
+    def axis(sel: str, agg: str, name: str) -> str:
+        return (
+            f"{agg}(filter(transform({geom_col}.coords, (c, i) -> "
+            f"struct(c AS c, i AS i)), s -> s.i % {geom_col}.dim = {sel})."
+            f"c) AS {name}"
+        )
+
+    return [
+        axis("0", "array_min", "xmin"),
+        axis("1", "array_min", "ymin"),
+        axis("0", "array_max", "xmax"),
+        axis("1", "array_max", "ymax"),
+    ]
+
+
+def bboxes(geoms_df, id_col: str = "line_id", geom_col: str = "geom"):
+    """(id, xmin, ymin, xmax, ymax) per geometry row, all in codegen."""
+    return geoms_df.selectExpr(id_col, *sql_bbox_exprs(geom_col))
