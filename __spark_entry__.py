@@ -474,7 +474,7 @@ def _planted_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_geom_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-geometry bounding boxes computed ENTIRELY in Spark SQL array
     expressions over the wire struct (operators/geom_stats.sql_bbox_exprs
-    — whole-stage codegen, no Python anywhere); closed-form oracle over
+    — all JVM-side, no Python anywhere); closed-form oracle over
     the planted amplitudes."""
     from geobuf_cpp_spark.operators.geom_stats import bboxes
 

@@ -40,10 +40,11 @@ def sql_bbox_exprs(geom_col: str = "geom") -> list[str]:
     array expressions, NO Python stage anywhere.
 
     The wire layout packs coords as [x0, y0(, z0), x1, y1, ...]; the
-    bbox is a filter on index parity + array_min/array_max. Whole-stage
-    codegen applies, so at corpus scale this is a single scan-side
-    projection (the Python-kernel path exists for ops that genuinely
-    need numpy; a bbox does not).
+    bbox is a filter on index parity + array_min/array_max — evaluated
+    entirely JVM-side (higher-order array functions run interpreted but
+    never cross into Python), so at corpus scale this is a single
+    scan-side projection (the Python-kernel path exists for ops that
+    genuinely need numpy; a bbox does not).
     """
     def axis(sel: str, agg: str, name: str) -> str:
         return (
@@ -61,5 +62,5 @@ def sql_bbox_exprs(geom_col: str = "geom") -> list[str]:
 
 
 def bboxes(geoms_df, id_col: str = "line_id", geom_col: str = "geom"):
-    """(id, xmin, ymin, xmax, ymax) per geometry row, all in codegen."""
+    """(id, xmin, ymin, xmax, ymax) per geometry row, all JVM-side."""
     return geoms_df.selectExpr(id_col, *sql_bbox_exprs(geom_col))
