@@ -471,6 +471,25 @@ def _planted_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COMPACT_TARGET_ROWS = 5000
+COMPACT_PREFIX_RES = 4
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner over the quadkey storage prefix:
+    per prefix, rows + the output file count at the target rows-per-file
+    (plans/compaction.py). Exact integer ceiling division both engines."""
+    from geobuf_cpp_spark.functions.cells import sql_quadkey
+    from geobuf_cpp_spark.plans.compaction import compaction_plan
+
+    _prep(spark, sf_dir, "orders")
+    keyed = spark.sql(P.POINTS_SELECT).selectExpr(
+        "point_id",
+        sql_quadkey("lat", "lon", COMPACT_PREFIX_RES) + " AS prefix",
+    )
+    return compaction_plan(keyed, "prefix", COMPACT_TARGET_ROWS)
+
+
 def q_geom_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-geometry bounding boxes computed ENTIRELY in Spark SQL array
     expressions over the wire struct (operators/geom_stats.sql_bbox_exprs
@@ -1780,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": wrap(q_tile_pyramid),
         "simplify": q_simplify,
         "geom_bbox": q_geom_bbox,
+        "compaction_plan": q_compaction_plan,
         "mixture_order": q_mixture_order,
         "kmv_grouped": q_kmv_grouped,
         "dedup_report": q_dedup_report,
@@ -2032,6 +2052,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         # every level recomputed DIRECTLY from points (no hierarchy) —
         # the independent check that child->parent rollups are exact
+        "compaction_plan": (
+            f"WITH p AS ({P.POINTS_SELECT}), "
+            "q AS (SELECT "
+            + sql_quadkey("lat", "lon", COMPACT_PREFIX_RES)
+            + " AS prefix FROM p) "
+            "SELECT prefix, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST((count(*) + {COMPACT_TARGET_ROWS - 1}) "
+            f"// {COMPACT_TARGET_ROWS} AS BIGINT) AS n_files "
+            "FROM q GROUP BY prefix"
+        ),
         "geom_bbox": (
             "WITH a AS (SELECT o_orderkey AS line_id, "
             "CASE o_orderkey % 5 " + _SIMPLIFY_AMPS_SQL + " END AS a1, "
