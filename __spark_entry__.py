@@ -2521,15 +2521,22 @@ def oracle_sql() -> dict[str, str]:
             "w AS (SELECT a.point_id AS id_a, b.point_id AS id_b, "
             "CASE WHEN abs(a.ix-b.ix) <= 36000 - abs(a.ix-b.ix) "
             "THEN abs(a.ix-b.ix) ELSE 36000 - abs(a.ix-b.ix) END AS dxw, "
-            "a.iy - b.iy AS dy FROM p a JOIN p b ON a.point_id < b.point_id) "
+            "a.iy - b.iy AS dy FROM p a JOIN p b ON a.point_id < b.point_id "
+            f"AND a.iy - b.iy <= {RANGE_RADIUS} "
+            f"AND b.iy - a.iy <= {RANGE_RADIUS}) "
             "SELECT id_a, id_b, dxw*dxw + dy*dy AS d2 FROM w "
             f"WHERE dxw*dxw + dy*dy <= {RANGE_RADIUS * RANGE_RADIUS}"
         ),
+        # the two |delta| <= r band conditions are IMPLIED by the distance
+        # predicate (dy^2 <= d2 <= r^2) — pure logical strengthening that
+        # lets DuckDB's IEJoin prune the O(n^2) pair space at sf0.1
         "range_join": (
             f"WITH p AS ({P.IPOINTS_SELECT}) "
             "SELECT a.point_id AS id_a, b.point_id AS id_b, "
             "(a.ix-b.ix)*(a.ix-b.ix)+(a.iy-b.iy)*(a.iy-b.iy) AS d2 "
             "FROM p a JOIN p b ON a.point_id < b.point_id "
+            f"AND a.iy - b.iy <= {RANGE_RADIUS} "
+            f"AND b.iy - a.iy <= {RANGE_RADIUS} "
             "WHERE (a.ix-b.ix)*(a.ix-b.ix)+(a.iy-b.iy)*(a.iy-b.iy) "
             f"<= {RANGE_RADIUS * RANGE_RADIUS}"
         ),
