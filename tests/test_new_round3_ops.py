@@ -1129,3 +1129,71 @@ def test_vocab_topk_plans_take_ordered(spark):
         # the kmv rank window only ever sees k rows post-limit, which
         # plans AFTER the TakeOrderedAndProject
         assert plan.index("TakeOrderedAndProject") > -1
+
+
+def test_merge_upsert_updates_beat_base_on_ties(spark):
+    from geobuf_cpp_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "old", "2024-01-01 00:00:00"), (2, "keep", "2024-06-01 00:00:00")],
+        "k long, v string, ts string",
+    ).selectExpr("k", "v", "CAST(ts AS TIMESTAMP) AS ts")
+    updates = spark.createDataFrame(
+        [
+            (1, "tie-wins", "2024-01-01 00:00:00"),   # equal ts: update wins
+            (2, "stale", "2024-01-01 00:00:00"),      # older than base: loses
+            (3, "insert", "2024-03-01 00:00:00"),     # new key
+            (3, "insert-late", "2024-04-01 00:00:00"),  # latest wins in-source
+        ],
+        "k long, v string, ts string",
+    ).selectExpr("k", "v", "CAST(ts AS TIMESTAMP) AS ts")
+    got = {
+        r["k"]: r["v"]
+        for r in merge_upsert(base, updates, ["k"], "ts",
+                              tie_cols=["v"]).collect()
+    }
+    assert got == {1: "tie-wins", 2: "keep", 3: "insert-late"}
+
+
+def test_nearest_box_inside_boundary_and_ties(spark):
+    from geobuf_cpp_spark.operators.nearest import nearest_box
+
+    boxes = spark.createDataFrame(
+        [(10, 0, 0, 10, 10), (20, 20, 0, 30, 10)],
+        "admin_id long, lon0 long, lat0 long, lon1 long, lat1 long",
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, 5, 5),     # inside box 10 -> d2 = 0
+            (2, 10, 5),    # on the shared-edge x of box 10 -> closed box, 0
+            (3, 15, 5),    # exactly midway (5 from both) -> tie -> admin 10
+            (4, 33, 14),   # outside both; nearest corner of box 20 is (30,10)
+        ],
+        "point_id long, ix long, iy long",
+    )
+    got = {r["point_id"]: (r["admin_id"], r["d2"])
+           for r in nearest_box(pts, boxes).collect()}
+    assert got == {1: (10, 0), 2: (10, 0), 3: (10, 25), 4: (20, 25)}
+
+
+def test_exact_rank_buckets_matches_global_ntile_semantics(spark):
+    from geobuf_cpp_spark.operators.curation import exact_rank_buckets
+
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "id": range(37),
+        "v": [(i * 13) % 7 for i in range(37)],   # heavy value ties
+    })
+    got = exact_rank_buckets(
+        spark.createDataFrame(pdf), "v", "id", n_buckets=4
+    ).toPandas().sort_values("id").reset_index(drop=True)
+    expect = pdf.sort_values(["v", "id"]).reset_index(drop=True)
+    expect["rank"] = range(1, len(expect) + 1)
+    expect["bucket"] = (expect["rank"] - 1) * 4 // len(expect) + 1
+    merged = got.merge(expect, on="id", suffixes=("", "_e"))
+    assert (merged["rank"] == merged["rank_e"]).all()
+    assert (merged["bucket"] == merged["bucket_e"]).all()
+    # buckets are contiguous in rank order and near-equal in size
+    sizes = got.groupby("bucket").size()
+    assert sizes.max() - sizes.min() <= 1
