@@ -65,12 +65,23 @@ def main() -> None:
     corpus = tempfile.mkdtemp(prefix="scaling_pages_") + "/pages"
     generate_corpus(n_pages, corpus)
     results = {}
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
     try:
-        for cpus in levels:
-            t0 = time.time()
-            results[cpus] = run_level(cpus, n_pages, corpus)
-            print(f"local[{cpus}]: {results[cpus]['pages_per_sec']} pages/sec "
-                  f"(pipeline {results[cpus]['pipeline_sec']}s, wall {time.time()-t0:.0f}s)")
+        # ALTERNATE levels across reps and keep each level's best run:
+        # this host shows 3-5x throughput swings from outside-container
+        # load (round-3/4 observations), and alternation keeps a drifting
+        # noise floor from biasing one level; best-of approximates the
+        # uncontended machine both levels are entitled to.
+        for rep in range(reps):
+            for cpus in levels:
+                t0 = time.time()
+                r = run_level(cpus, n_pages, corpus)
+                best = results.get(cpus)
+                if best is None or r["pages_per_sec"] > best["pages_per_sec"]:
+                    results[cpus] = r
+                print(f"rep {rep} local[{cpus}]: {r['pages_per_sec']} "
+                      f"pages/sec (pipeline {r['pipeline_sec']}s, "
+                      f"wall {time.time()-t0:.0f}s)")
     finally:
         shutil.rmtree(os.path.dirname(corpus), ignore_errors=True)
     eff = (results[n4]["pages_per_sec"] / results[n]["pages_per_sec"]) / (n4 / n)
