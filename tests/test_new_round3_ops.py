@@ -1197,3 +1197,89 @@ def test_exact_rank_buckets_matches_global_ntile_semantics(spark):
     # buckets are contiguous in rank order and near-equal in size
     sizes = got.groupby("bucket").size()
     assert sizes.max() - sizes.min() <= 1
+
+
+# ---------------------------------------------------------------------------
+# segment-intersection join
+# ---------------------------------------------------------------------------
+
+
+def _segs_intersect_fractions(s1, s2):
+    """Independent oracle: exact rational parametric solve (no orientation
+    tests — different math from the operator's CLRS predicate)."""
+    from fractions import Fraction
+
+    (x1, y1, x2, y2), (x3, y3, x4, y4) = s1, s2
+    dx1, dy1 = x2 - x1, y2 - y1
+    dx2, dy2 = x4 - x3, y4 - y3
+    denom = dx1 * dy2 - dy1 * dx2
+    if denom != 0:
+        t = Fraction((x3 - x1) * dy2 - (y3 - y1) * dx2, denom)
+        u = Fraction((x3 - x1) * dy1 - (y3 - y1) * dx1, denom)
+        return 0 <= t <= 1 and 0 <= u <= 1
+    # parallel: collinear iff the connecting vector is also parallel
+    if (x3 - x1) * dy1 - (y3 - y1) * dx1 != 0:
+        return False
+    # collinear: 1-D interval overlap along the dominant axis (falls back
+    # to y for vertical lines; degenerate points reduce to containment)
+    if dx1 != 0 or dx2 != 0 or x1 != x3:
+        lo1, hi1 = min(x1, x2), max(x1, x2)
+        lo2, hi2 = min(x3, x4), max(x3, x4)
+        if dx1 == 0 and dx2 == 0:
+            pass  # both vertical at same x: compare y below
+        else:
+            return lo1 <= hi2 and lo2 <= hi1
+    lo1, hi1 = min(y1, y2), max(y1, y2)
+    lo2, hi2 = min(y3, y4), max(y3, y4)
+    return lo1 <= hi2 and lo2 <= hi1
+
+
+def test_segment_intersections_match_rational_oracle(spark):
+    from geobuf_cpp_spark.operators.segments import segment_intersections
+
+    rng = __import__("numpy").random.default_rng(11)
+    segs = []
+    for i in range(160):
+        ax, ay = int(rng.integers(0, 400)), int(rng.integers(0, 400))
+        segs.append((i, ax, ay, ax + int(rng.integers(-60, 61)),
+                     ay + int(rng.integers(-60, 61))))
+    # adversarial cases: shared endpoint, T-touch, collinear overlap,
+    # collinear disjoint, vertical pair, degenerate points
+    segs += [
+        (500, 0, 0, 10, 10), (501, 10, 10, 20, 0),    # shared endpoint
+        (502, 0, 20, 20, 20), (503, 10, 20, 10, 40),  # T-touch
+        (504, 0, 50, 30, 50), (505, 20, 50, 60, 50),  # collinear overlap
+        (506, 0, 60, 10, 60), (507, 20, 60, 30, 60),  # collinear disjoint
+        (508, 70, 0, 70, 30), (509, 70, 10, 70, 50),  # vertical overlap
+        (510, 5, 5, 5, 5), (511, 0, 0, 10, 10),       # point ON a segment
+        (512, 99, 99, 99, 99),                         # isolated point
+    ]
+    df = spark.createDataFrame(
+        segs, "seg_id long, ax long, ay long, bx long, by long")
+    got = {(r.id_a, r.id_b)
+           for r in segment_intersections(df, cell_size=64).collect()}
+    expect = set()
+    for i, a in enumerate(segs):
+        for b in segs[i + 1:]:
+            if _segs_intersect_fractions(a[1:], b[1:]):
+                expect.add((min(a[0], b[0]), max(a[0], b[0])))
+    assert got == expect
+    assert (500, 501) in got and (502, 503) in got
+    assert (504, 505) in got and (506, 507) not in got
+    assert (508, 509) in got and (510, 511) in got
+
+
+def test_segment_intersections_plan_no_cartesian_no_python(spark):
+    from geobuf_cpp_spark.operators.segments import segment_intersections
+
+    df = spark.range(300).selectExpr(
+        "id AS seg_id",
+        "(id * 37) % 1000 AS ax", "(id * 91) % 1000 AS ay",
+        "(id * 37) % 1000 + (id * 7) % 101 - 50 AS bx",
+        "(id * 91) % 1000 + (id * 13) % 101 - 50 AS by",
+    )
+    plan = segment_intersections(df, 128)._jdf.queryExecution(
+        ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
