@@ -999,6 +999,20 @@ def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language p50/p90 of document length via the histogram
+    rank decomposition (operators/grouped_stats.py) — no per-group sort,
+    no approx sketch; the oracle recomputes each element with a
+    window-rank formulation (independent derivation, same definition)."""
+    from geobuf_cpp_spark.operators.grouped_stats import grouped_quantiles
+
+    _prep(spark, sf_dir, "documents")
+    return grouped_quantiles(
+        spark.table("documents"), "lang", "n_chars",
+        [(1, 2, "p50_chars"), (9, 10, "p90_chars")],
+    )
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming exact dedup (first-seen-wins per text
     digest). documents has no event-time column, so arrival time is
@@ -1841,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_event_per_user": q_last_event_per_user,
         "sessions": q_sessions,
         "stream_dedup": q_stream_dedup,
+        "lang_quantiles": q_lang_quantiles,
         "asof_view": q_asof_view,
         "interval_view": q_interval_view,
         "rolling_events": q_rolling_events,
@@ -2259,6 +2274,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, event_type, "
             "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
             "FROM events) t WHERE rn = 1"
+        ),
+        "lang_quantiles": (
+            "WITH r AS (SELECT lang, n_chars, "
+            "row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn, "
+            "count(*) OVER (PARTITION BY lang) AS n FROM documents) "
+            "SELECT lang, CAST(max(n) AS BIGINT) AS n_rows, "
+            "CAST(min(CASE WHEN rn >= (n + 1) // 2 THEN n_chars END) "
+            "AS BIGINT) AS p50_chars, "
+            "CAST(min(CASE WHEN rn >= (9 * n + 9) // 10 THEN n_chars END) "
+            "AS BIGINT) AS p90_chars "
+            "FROM r GROUP BY lang"
         ),
         "stream_dedup": (
             "WITH d AS (SELECT doc_id, text, "
