@@ -1013,6 +1013,56 @@ def q_lang_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned table end to end (sources/snapshots.py): commit
+    the even-doc_id half of documents as v1, append the odd half as v2,
+    then TIME-TRAVEL both versions and aggregate. The oracle predicts
+    each version's aggregates straight from documents — correct only if
+    v1 stays immutable under the append and each manifest pins exactly
+    its dirs."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+
+    from geobuf_cpp_spark.sources.snapshots import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    _prep(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "lang", "n_chars")
+    # pid-scoped scratch + dead-pid reaping, same discipline as
+    # q_geobuf_files (concurrent bench/gate runs must not collide)
+    for old in _glob.glob("/root/repo/.scratch/snap_*_*"):
+        try:
+            pid = int(old.rsplit("_", 1)[-1])
+        except ValueError:
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(old, ignore_errors=True)
+        except PermissionError:
+            pass
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    table = f"/root/repo/.scratch/snap_{tag}"
+    shutil.rmtree(table, ignore_errors=True)
+    write_snapshot(docs.where("doc_id % 2 = 0"), table, mode="overwrite")
+    write_snapshot(docs.where("doc_id % 2 = 1"), table, mode="append")
+    out = None
+    for v in (1, 2):
+        agg = read_snapshot(spark, table, version=v).selectExpr(
+            f"{v} AS version", "doc_id", "n_chars"
+        ).groupBy("version").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming exact dedup (first-seen-wins per text
     digest). documents has no event-time column, so arrival time is
@@ -1856,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,
         "stream_dedup": q_stream_dedup,
         "lang_quantiles": q_lang_quantiles,
+        "snapshot_reads": q_snapshot_reads,
         "asof_view": q_asof_view,
         "interval_view": q_interval_view,
         "rolling_events": q_rolling_events,
@@ -2274,6 +2325,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, event_type, "
             "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
             "FROM events) t WHERE rn = 1"
+        ),
+        "snapshot_reads": (
+            "SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(doc_id) AS BIGINT) AS id_sum, "
+            "CAST(sum(n_chars) AS BIGINT) AS chars_sum "
+            "FROM documents WHERE doc_id % 2 = 0 "
+            "UNION ALL "
+            "SELECT 2 AS version, CAST(count(*) AS BIGINT), "
+            "CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT) "
+            "FROM documents"
         ),
         "lang_quantiles": (
             "WITH r AS (SELECT lang, n_chars, "

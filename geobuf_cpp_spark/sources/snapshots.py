@@ -1,0 +1,91 @@
+"""Snapshot-versioned parquet tables — Iceberg-style reads without Iceberg.
+
+The north star frames the corpus as an Iceberg table; the library is not
+in this container, so this module implements the load-bearing subset of
+the table-format contract directly over parquet + JSON manifests:
+
+* **Immutable data files**: every commit writes its rows under a fresh
+  ``data/<commit-id>/`` directory — existing files are never rewritten
+  or deleted by appends.
+* **Manifest-pinned snapshots**: commit N is the manifest file
+  ``v{N}.json`` listing every data directory visible at that version.
+  A reader resolves ONE manifest and reads exactly those directories —
+  concurrent or failed writers can never make it see a torn state.
+* **Atomic commit**: the manifest is written to a temp name and
+  ``os.rename``-ed into place (same-filesystem rename is atomic), the
+  same crash-safety discipline as plans/manifest.py.
+* **Time travel**: ``read_snapshot(version=K)`` reproduces any
+  historical version bit-for-bit, because the data dirs it lists are
+  immutable.
+
+At cluster scale the manifest stays tiny (one JSON per commit listing
+directories, not files) and reads prune to the listed dirs — the scan
+itself is ordinary distributed parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, f"v{version}.json")
+
+
+def snapshot_versions(table_dir: str) -> list[int]:
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for name in os.listdir(table_dir):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def write_snapshot(df: DataFrame, table_dir: str,
+                   mode: str = "append") -> int:
+    """Commit ``df`` as a new snapshot; returns the new version number.
+
+    ``mode='append'`` makes the new version see prior data plus ``df``;
+    ``mode='overwrite'`` starts the lineage over (old versions stay
+    readable — nothing is deleted; retire them with a separate GC pass
+    that drops dirs unreferenced by retained manifests).
+    """
+    assert mode in ("append", "overwrite")
+    versions = snapshot_versions(table_dir)
+    prev = versions[-1] if versions else 0
+    commit_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(table_dir, "data", commit_id)
+    df.write.mode("error").parquet(data_dir)
+
+    dirs = [os.path.join("data", commit_id)]
+    if mode == "append" and prev:
+        with open(_manifest_path(table_dir, prev)) as fh:
+            dirs = json.load(fh)["data_dirs"] + dirs
+    version = prev + 1
+    tmp = _manifest_path(table_dir, version) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "data_dirs": dirs}, fh)
+    os.rename(tmp, _manifest_path(table_dir, version))
+    return version
+
+
+def read_snapshot(spark: SparkSession, table_dir: str,
+                  version: int | None = None) -> DataFrame:
+    """Read the table as of ``version`` (default: latest)."""
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots under {table_dir}")
+    v = version if version is not None else versions[-1]
+    if v not in versions:
+        raise FileNotFoundError(f"snapshot v{v} not found in {versions}")
+    with open(_manifest_path(table_dir, v)) as fh:
+        dirs = json.load(fh)["data_dirs"]
+    return spark.read.parquet(*[os.path.join(table_dir, d) for d in dirs])

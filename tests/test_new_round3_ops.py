@@ -1283,3 +1283,47 @@ def test_segment_intersections_plan_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+# ---------------------------------------------------------------------------
+# snapshot-versioned tables
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_time_travel_and_crash_safety(spark, tmp_path):
+    from geobuf_cpp_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "tbl")
+    df1 = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
+    df2 = spark.range(10, 15).selectExpr("id", "id * 2 AS v")
+    assert write_snapshot(df1, table, mode="overwrite") == 1
+    assert write_snapshot(df2, table, mode="append") == 2
+
+    # time travel: v1 unchanged by the append, v2 = union
+    assert read_snapshot(spark, table, version=1).count() == 10
+    assert read_snapshot(spark, table).count() == 15
+    assert sorted(r["id"] for r in
+                  read_snapshot(spark, table, version=1).collect()) == \
+        list(range(10))
+
+    # a torn commit (leftover tmp manifest) is invisible to readers
+    import json as _json
+    tmp_manifest = str(tmp_path / "tbl" / "v3.json.tmp.99999")
+    with open(tmp_manifest, "w") as fh:
+        _json.dump({"version": 3, "data_dirs": ["data/bogus"]}, fh)
+    assert snapshot_versions(table) == [1, 2]
+    assert read_snapshot(spark, table).count() == 15
+
+    # overwrite restarts the lineage; history remains readable
+    df3 = spark.range(100, 103).selectExpr("id", "id * 2 AS v")
+    assert write_snapshot(df3, table, mode="overwrite") == 3
+    assert read_snapshot(spark, table, version=3).count() == 3
+    assert read_snapshot(spark, table, version=2).count() == 15
+
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table, version=9)
