@@ -1327,3 +1327,31 @@ def test_snapshot_time_travel_and_crash_safety(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         read_snapshot(spark, table, version=9)
+
+
+def test_snapshot_incremental_changes_read(spark, tmp_path):
+    from geobuf_cpp_spark.sources.snapshots import (
+        read_changes,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "cdc")
+    write_snapshot(spark.range(0, 10).selectExpr("id"), table,
+                   mode="overwrite")
+    write_snapshot(spark.range(10, 15).selectExpr("id"), table,
+                   mode="append")
+    write_snapshot(spark.range(15, 17).selectExpr("id"), table,
+                   mode="append")
+    assert sorted(r["id"] for r in
+                  read_changes(spark, table, 1, 2).collect()) == \
+        list(range(10, 15))
+    assert sorted(r["id"] for r in
+                  read_changes(spark, table, 1, 3).collect()) == \
+        list(range(10, 17))
+    assert read_changes(spark, table, 2, 2).count() == 0
+
+    import pytest as _pytest
+    write_snapshot(spark.range(99, 100).selectExpr("id"), table,
+                   mode="overwrite")
+    with _pytest.raises(ValueError, match="overwrite boundary"):
+        read_changes(spark, table, 2, 4)
