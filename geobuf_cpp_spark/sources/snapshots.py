@@ -50,16 +50,27 @@ def snapshot_versions(table_dir: str) -> list[int]:
 
 
 def write_snapshot(df: DataFrame, table_dir: str,
-                   mode: str = "append") -> int:
+                   mode: str = "append",
+                   batch_id: int | None = None) -> int:
     """Commit ``df`` as a new snapshot; returns the new version number.
 
     ``mode='append'`` makes the new version see prior data plus ``df``;
     ``mode='overwrite'`` starts the lineage over (old versions stay
     readable — nothing is deleted; retire them with a separate GC pass
     that drops dirs unreferenced by retained manifests).
+
+    ``batch_id`` makes the commit IDEMPOTENT per id: if some manifest
+    already records it, that version is returned and nothing is written
+    — the contract a Structured Streaming ``foreachBatch`` sink needs
+    for exactly-once output under micro-batch replay.
     """
     assert mode in ("append", "overwrite")
     versions = snapshot_versions(table_dir)
+    if batch_id is not None:
+        for v in versions:
+            with open(_manifest_path(table_dir, v)) as fh:
+                if json.load(fh).get("batch_id") == batch_id:
+                    return v
     prev = versions[-1] if versions else 0
     commit_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(table_dir, "data", commit_id)
@@ -72,9 +83,27 @@ def write_snapshot(df: DataFrame, table_dir: str,
     version = prev + 1
     tmp = _manifest_path(table_dir, version) + f".tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
-        json.dump({"version": version, "data_dirs": dirs}, fh)
+        manifest = {"version": version, "data_dirs": dirs}
+        if batch_id is not None:
+            manifest["batch_id"] = batch_id
+        json.dump(manifest, fh)
     os.rename(tmp, _manifest_path(table_dir, version))
     return version
+
+
+def snapshot_stream_sink(table_dir: str):
+    """``foreachBatch`` function committing each micro-batch as an
+    append snapshot, exactly-once: Spark replays a failed micro-batch
+    with the SAME batch_id, and the batch_id-idempotent commit turns the
+    replay into a no-op instead of duplicate rows.
+
+        stream.writeStream.foreachBatch(snapshot_stream_sink(dir))...
+    """
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        write_snapshot(batch_df, table_dir, mode="append",
+                       batch_id=int(batch_id))
+
+    return write
 
 
 def read_snapshot(spark: SparkSession, table_dir: str,

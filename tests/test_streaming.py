@@ -482,3 +482,46 @@ def test_run_to_parquet_appends_exactly_source_rows(spark, tmp_path):
     assert got.count() == events.count()
     assert sorted(r["event_id"] for r in got.collect()) == sorted(
         r["event_id"] for r in events.collect())
+
+
+def test_snapshot_stream_sink_exactly_once(spark, tmp_path):
+    """Streaming ingest into the snapshot table via foreachBatch:
+    every source row lands exactly once, and a replayed micro-batch
+    (same batch_id) is a no-op instead of duplicate rows."""
+    from geobuf_cpp_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_stream_sink,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    src = str(tmp_path / "snap_src")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for k, name in enumerate("ab"):
+        events.filter(f"event_id % 2 = {k}").write.parquet(
+            os.path.join(src, name))
+
+    table = str(tmp_path / "snap_table")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(snapshot_stream_sink(table))
+        .option("checkpointLocation", str(tmp_path / "ckpt_snap"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    total = events.count()
+    assert read_snapshot(spark, table).count() == total
+    n_versions = len(snapshot_versions(table))
+
+    # simulate a micro-batch REPLAY: re-commit batch_id 0 — no-op
+    replay = write_snapshot(
+        events.limit(5), table, mode="append", batch_id=0)
+    assert replay == 1
+    assert len(snapshot_versions(table)) == n_versions
+    assert read_snapshot(spark, table).count() == total
