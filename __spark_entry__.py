@@ -255,6 +255,18 @@ def q_pip_boxes_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_join(pts, admin, res=PIP_RES).select("point_id", "admin_id")
 
 
+def q_pip_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP against polygons WITH interior hole rings: the even-odd
+    multi-ring path of the exact kernel, oracle-gated (in outer AND NOT
+    in hole, both half-open) — the ring-parity semantics only pytests
+    covered before."""
+    from geobuf_cpp_spark.operators.pip_join import pip_join
+
+    pts = P.points_df(spark, sf_dir)
+    admin = P.boxes_as_holed_polygons(spark, sf_dir)
+    return pip_join(pts, admin, res=PIP_RES).select("point_id", "admin_id")
+
+
 def q_pip_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIP with BOTH sides distributed (cell-cover explode + shuffle
     equi-join + co-grouped exact refine — the shape for footprint-scale
@@ -1869,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_rollup": wrap(q_cell_rollup),
         "pip_boxes_join": wrap(q_pip_boxes_join),
         "pip_large": wrap(q_pip_large),
+        "pip_holes": wrap(q_pip_holes),
         "admin_areas": wrap(q_admin_areas),
         "quadkey_assign": wrap(q_quadkey_assign),
         "geohash_assign": wrap(q_geohash_assign),
@@ -2072,6 +2085,14 @@ def oracle_sql() -> dict[str, str]:
             f"{POINTS_CTE}, {BOXES_CTE} "
             "SELECT p.point_id, b.admin_id FROM points p JOIN boxes b ON "
             "p.lon >= b.lon0 AND p.lon < b.lon1 AND p.lat >= b.lat0 AND p.lat < b.lat1"
+        ),
+        "pip_holes": (
+            f"{POINTS_CTE}, {BOXES_CTE} "
+            "SELECT p.point_id, b.admin_id FROM points p JOIN boxes b ON "
+            "p.lon >= b.lon0 AND p.lon < b.lon1 "
+            "AND p.lat >= b.lat0 AND p.lat < b.lat1 "
+            "AND NOT (p.lon >= b.lon0 + 3.0 AND p.lon < b.lon0 + 9.0 "
+            "AND p.lat >= b.lat0 + 2.0 AND p.lat < b.lat0 + 7.0)"
         ),
         # identical oracle as pip_boxes_join: the both-sides-distributed
         # strategy must reproduce the broadcast strategy's rows exactly

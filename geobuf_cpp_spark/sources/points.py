@@ -100,6 +100,41 @@ def boxes_as_wire_polygons(spark, sf_dir: str):
         }
     )
 
+# hole inset in degrees (exact integer-valued doubles, same half-open
+# convention as the outer ring): hole = [lon0+3, lon0+9) x [lat0+2, lat0+7)
+HOLE = (3.0, 9.0, 2.0, 7.0)
+
+
+def boxes_as_holed_polygons(spark, sf_dir: str):
+    """The nation boxes as wire Polygons WITH an interior hole ring —
+    drives the even-odd multi-ring path of the exact PIP kernel."""
+    import pandas as pd
+
+    b = boxes_df(spark, sf_dir).toPandas()
+    hx0, hx1, hy0, hy1 = HOLE
+    return pd.DataFrame(
+        {
+            "admin_id": b["admin_id"].astype(int),
+            "geom": [
+                {
+                    "type": 4,
+                    "dim": 2,
+                    "lengths": [5, 5],
+                    "coords": (
+                        [lon0, lat0, lon1, lat0, lon1, lat1,
+                         lon0, lat1, lon0, lat0]
+                        + [lon0 + hx0, lat0 + hy0, lon0 + hx1, lat0 + hy0,
+                           lon0 + hx1, lat0 + hy1, lon0 + hx0, lat0 + hy1,
+                           lon0 + hx0, lat0 + hy0]
+                    ),
+                }
+                for lon0, lat0, lon1, lat1 in zip(
+                    b["lon0"].astype(float), b["lat0"].astype(float),
+                    b["lon1"].astype(float), b["lat1"].astype(float))
+            ],
+        }
+    )
+
 
 # integer centidegree lattice — same spread multipliers, but kept in
 # BIGINT space end-to-end so distance predicates are exact cross-engine
