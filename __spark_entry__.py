@@ -39,6 +39,10 @@ from geobuf_cpp_spark.operators.segments import sql_segments_intersect
 
 _SEG_INTERSECT_SQL = sql_segments_intersect()
 
+from geobuf_cpp_spark.operators.segments import sql_point_segment_within
+
+_SEG_WITHIN_SQL = sql_point_segment_within(100)
+
 CELL_RES = 12
 ROLLUP_RES = 6
 TILE_Z = 8
@@ -1493,6 +1497,24 @@ def q_segment_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_intersections(spark.sql(P.ISEGS_SELECT), SEG_CELL)
 
 
+SEG_NEAR_RADIUS = 100
+
+
+def q_points_near_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-matching prefilter: every (point, segment) pair within 100
+    lattice units by EXACT integer point-to-segment distance (projection
+    case analysis + cross-multiplied perpendicular test — no sqrt, no
+    division). Point cells are unique, so the plan has no dedup at all;
+    the oracle brute-forces the identical predicate text over banded
+    pairs."""
+    from geobuf_cpp_spark.operators.segments import point_segment_range_join
+
+    _prep(spark, sf_dir, "orders")
+    pts = spark.sql(P.IPOINTS_SELECT)
+    segs = spark.sql(P.ISEGS_SELECT)
+    return point_segment_range_join(pts, segs, SEG_NEAR_RADIUS, SEG_CELL)
+
+
 def q_trajectory_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user GPS-track stats over the events ping stream."""
     from geobuf_cpp_spark.operators.trajectory import path_stats
@@ -1954,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "range_join_wrap": q_range_join_wrap,
         "segment_crossings": q_segment_crossings,
+        "points_near_segments": q_points_near_segments,
         "nearest_admin": q_nearest_admin,
         "quality_deciles": q_quality_deciles,
         "merge_upsert": q_merge_upsert,
@@ -2650,6 +2673,19 @@ def oracle_sql() -> dict[str, str]:
         # MATERIALIZED is load-bearing: the inlined CTE feeding the
         # IEJoin trips a DuckDB internal error ("requires a flat
         # vector"); materializing the segment list sidesteps it
+        "points_near_segments": (
+            f"WITH p0 AS ({P.IPOINTS_SELECT}), "
+            f"s0 AS MATERIALIZED ({P.ISEGS_SELECT}), "
+            "c AS (SELECT p.point_id, s.seg_id, "
+            "p.ix AS p_x, p.iy AS p_y, s.ax AS s_ax, s.ay AS s_ay, "
+            "s.bx AS s_bx, s.by AS s_by FROM p0 p JOIN s0 s ON "
+            "p.ix >= LEAST(s.ax, s.bx) - 100 "
+            "AND p.ix <= GREATEST(s.ax, s.bx) + 100 "
+            "AND p.iy >= LEAST(s.ay, s.by) - 100 "
+            "AND p.iy <= GREATEST(s.ay, s.by) + 100) "
+            "SELECT point_id, seg_id FROM c WHERE "
+            + _SEG_WITHIN_SQL
+        ),
         "segment_crossings": (
             f"WITH s AS MATERIALIZED ({P.ISEGS_SELECT}), "
             "c AS (SELECT a.seg_id AS id_a, b.seg_id AS id_b, "

@@ -111,3 +111,67 @@ def segment_intersections(segs: DataFrame, cell_size: int,
         .where(F.expr(pred))
         .select("id_a", "id_b")
     )
+
+
+def sql_point_segment_within(r: int, p: str = "p_", s: str = "s_") -> str:
+    """Exact integer predicate: dist(point, closed segment) <= r.
+
+    Case analysis on the projection parameter t = dot/len2 WITHOUT ever
+    forming the fraction: endpoint distance when the projection falls
+    outside [0, 1], else the perpendicular distance compared by
+    cross-multiplication (cross^2 <= r^2 * len2) — all BIGINT, no
+    sqrt, no division, so both engines decide identically.
+    """
+    dx, dy = f"({s}bx - {s}ax)", f"({s}by - {s}ay)"
+    ex, ey = f"({p}x - {s}ax)", f"({p}y - {s}ay)"
+    fx, fy = f"({p}x - {s}bx)", f"({p}y - {s}by)"
+    len2 = f"({dx} * {dx} + {dy} * {dy})"
+    dot = f"({ex} * {dx} + {ey} * {dy})"
+    cross = f"({ex} * {dy} - {ey} * {dx})"
+    r2 = int(r) * int(r)
+    ap2 = f"({ex} * {ex} + {ey} * {ey})"
+    bp2 = f"({fx} * {fx} + {fy} * {fy})"
+    return (
+        f"(CASE WHEN {len2} = 0 OR {dot} <= 0 THEN {ap2} <= {r2} "
+        f"WHEN {dot} >= {len2} THEN {bp2} <= {r2} "
+        f"ELSE {cross} * {cross} <= {r2} * {len2} END)"
+    )
+
+
+def point_segment_range_join(points: DataFrame, segs: DataFrame,
+                             radius: int, cell_size: int,
+                             point_id: str = "point_id",
+                             seg_id: str = "seg_id") -> DataFrame:
+    """(point_id, seg_id) for every point within ``radius`` of a segment.
+
+    The map-matching / buffer-intersects prefilter: segments explode to
+    the cells of their radius-expanded bbox; points carry their single
+    cell; one cell equi-join + the exact predicate. Because a point has
+    exactly ONE cell, each qualifying pair matches exactly once — no
+    dedup step exists in the plan at all.
+    """
+    r, c = int(radius), int(cell_size)
+    assert r > 0 and c > 0
+    s = segs.selectExpr(
+        f"{seg_id} AS sid", "ax AS s_ax", "ay AS s_ay",
+        "bx AS s_bx", "by AS s_by",
+        f"CAST(floor((LEAST(ax, bx) - {r}) / {c}) AS BIGINT) AS cx0",
+        f"CAST(floor((GREATEST(ax, bx) + {r}) / {c}) AS BIGINT) AS cx1",
+        f"CAST(floor((LEAST(ay, by) - {r}) / {c}) AS BIGINT) AS cy0",
+        f"CAST(floor((GREATEST(ay, by) + {r}) / {c}) AS BIGINT) AS cy1",
+    )
+    s_cells = (
+        s.selectExpr("*", "explode(sequence(cx0, cx1)) AS cx")
+        .selectExpr("sid", "s_ax", "s_ay", "s_bx", "s_by", "cy0", "cy1",
+                    "cx", "explode(sequence(cy0, cy1)) AS cy")
+    )
+    p = points.selectExpr(
+        f"{point_id} AS pid", "ix AS p_x", "iy AS p_y",
+        f"CAST(floor(ix / {c}) AS BIGINT) AS cx",
+        f"CAST(floor(iy / {c}) AS BIGINT) AS cy",
+    )
+    return (
+        p.join(s_cells, on=["cx", "cy"])
+        .where(F.expr(sql_point_segment_within(r)))
+        .selectExpr("pid AS point_id", "sid AS seg_id")
+    )

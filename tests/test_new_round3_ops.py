@@ -1355,3 +1355,47 @@ def test_snapshot_incremental_changes_read(spark, tmp_path):
                    mode="overwrite")
     with _pytest.raises(ValueError, match="overwrite boundary"):
         read_changes(spark, table, 2, 4)
+
+
+def test_point_segment_range_join_matches_rational_oracle(spark):
+    from fractions import Fraction
+
+    from geobuf_cpp_spark.operators.segments import point_segment_range_join
+
+    def d2_exact(px, py, ax, ay, bx, by):
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        if len2 == 0:
+            return Fraction((px - ax) ** 2 + (py - ay) ** 2)
+        t = Fraction((px - ax) * dx + (py - ay) * dy, len2)
+        t = min(Fraction(1), max(Fraction(0), t))
+        qx, qy = ax + t * dx, ay + t * dy
+        return (px - qx) ** 2 + (py - qy) ** 2
+
+    rng = __import__("numpy").random.default_rng(23)
+    pts = [(i, int(rng.integers(0, 300)), int(rng.integers(0, 300)))
+           for i in range(120)]
+    segs = []
+    for i in range(60):
+        ax, ay = int(rng.integers(0, 300)), int(rng.integers(0, 300))
+        segs.append((i, ax, ay, ax + int(rng.integers(-40, 41)),
+                     ay + int(rng.integers(-40, 41))))
+    # exact-boundary cases: distance exactly r (perpendicular and endpoint)
+    segs += [(900, 100, 0, 120, 0), (901, 200, 200, 200, 200)]
+    pts += [(900, 110, 25), (901, 120, 25), (902, 225, 200),  # d = r exactly
+            (903, 110, 26), (904, 226, 200)]                   # d = r+1
+    r = 25
+    pdf = spark.createDataFrame(pts, "point_id long, ix long, iy long")
+    sdf = spark.createDataFrame(
+        segs, "seg_id long, ax long, ay long, bx long, by long")
+    got = {(x.point_id, x.seg_id)
+           for x in point_segment_range_join(pdf, sdf, r, 64).collect()}
+    expect = {
+        (pid, sid)
+        for pid, px, py in pts
+        for sid, ax, ay, bx, by in segs
+        if d2_exact(px, py, ax, ay, bx, by) <= r * r
+    }
+    assert got == expect
+    assert (900, 900) in got and (902, 901) in got   # inclusive boundary
+    assert (903, 900) not in got and (904, 901) not in got
