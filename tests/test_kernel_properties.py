@@ -113,3 +113,76 @@ def test_token_window_membership_arithmetic(n_tokens, stride, extra):
     # windows are contiguous position ranges (no holes inside a window)
     for w, ps in assigned.items():
         assert ps == list(range(ps[0], ps[-1] + 1))
+
+
+# ---------------------------------------------------------------------------
+# geometry predicate SQL text: the EXACT string both engines execute,
+# property-tested in DuckDB against rational-arithmetic oracles
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.tuples(*[st.integers(min_value=-50, max_value=50)] * 8)
+)
+def test_segments_intersect_sql_matches_rational_oracle(coords):
+    import duckdb
+
+    from geobuf_cpp_spark.operators.segments import sql_segments_intersect
+
+    ax, ay, bx, by, cx, cy, dx, dy = coords
+
+    def oracle():
+        from fractions import Fraction
+        d1x, d1y = bx - ax, by - ay
+        d2x, d2y = dx - cx, dy - cy
+        denom = d1x * d2y - d1y * d2x
+        if denom != 0:
+            t = Fraction((cx - ax) * d2y - (cy - ay) * d2x, denom)
+            u = Fraction((cx - ax) * d1y - (cy - ay) * d1x, denom)
+            return 0 <= t <= 1 and 0 <= u <= 1
+        if (cx - ax) * d1y - (cy - ay) * d1x != 0:
+            return False
+        # collinear (or a degenerate point pair): interval overlap on
+        # both axes — sufficient for collinear segments
+        return (min(ax, bx) <= max(cx, dx) and min(cx, dx) <= max(ax, bx)
+                and min(ay, by) <= max(cy, dy)
+                and min(cy, dy) <= max(ay, by))
+
+    row = (f"SELECT {ax} AS a_ax, {ay} AS a_ay, {bx} AS a_bx, "
+           f"{by} AS a_by, {cx} AS b_ax, {cy} AS b_ay, {dx} AS b_bx, "
+           f"{dy} AS b_by")
+    got = duckdb.sql(
+        f"SELECT {sql_segments_intersect()} FROM ({row})").fetchone()[0]
+    assert bool(got) == oracle(), coords
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.tuples(*[st.integers(min_value=-40, max_value=40)] * 6),
+    st.integers(min_value=1, max_value=30),
+)
+def test_point_segment_within_sql_matches_rational_oracle(coords, r):
+    import duckdb
+
+    from geobuf_cpp_spark.operators.segments import sql_point_segment_within
+
+    px, py, ax, ay, bx, by = coords
+
+    def oracle():
+        from fractions import Fraction
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        if len2 == 0:
+            d2 = Fraction((px - ax) ** 2 + (py - ay) ** 2)
+        else:
+            t = Fraction((px - ax) * dx + (py - ay) * dy, len2)
+            t = min(Fraction(1), max(Fraction(0), t))
+            d2 = ((px - (ax + t * dx)) ** 2 + (py - (ay + t * dy)) ** 2)
+        return d2 <= r * r
+
+    row = (f"SELECT {px} AS p_x, {py} AS p_y, {ax} AS s_ax, "
+           f"{ay} AS s_ay, {bx} AS s_bx, {by} AS s_by")
+    got = duckdb.sql(
+        f"SELECT {sql_point_segment_within(r)} FROM ({row})").fetchone()[0]
+    assert bool(got) == oracle(), (coords, r)
