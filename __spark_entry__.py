@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geobuf_cpp_spark.functions.cells import (
+    sql_ix,
+    sql_iy,
     RES_BASE,
     sql_cell,
     sql_cell_parent,
@@ -269,6 +271,26 @@ def q_pip_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = P.points_df(spark, sf_dir)
     admin = P.boxes_as_holed_polygons(spark, sf_dir)
     return pip_join(pts, admin, res=PIP_RES).select("point_id", "admin_id")
+
+
+def q_box_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyfill (polygon -> covering cell set): the REAL cover builder
+    the PIP broadcast side uses (operators/pip_join.polygon_coverings
+    over wire polygons), aggregated per admin; the oracle regenerates
+    the cover closed-form from the box corners with the shared grid
+    index formulas + generate_series."""
+    from geobuf_cpp_spark.operators.pip_join import polygon_coverings
+
+    cover = polygon_coverings(
+        P.boxes_as_wire_polygons(spark, sf_dir), PIP_RES)
+    return (
+        spark.createDataFrame(cover)
+        .groupBy("admin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("cell").cast("long").alias("cell_sum"),
+        )
+    )
 
 
 def q_pip_large(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1904,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_boxes_join": wrap(q_pip_boxes_join),
         "pip_large": wrap(q_pip_large),
         "pip_holes": wrap(q_pip_holes),
+        "box_polyfill": wrap(q_box_polyfill),
         "admin_areas": wrap(q_admin_areas),
         "quadkey_assign": wrap(q_quadkey_assign),
         "geohash_assign": wrap(q_geohash_assign),
@@ -2108,6 +2131,21 @@ def oracle_sql() -> dict[str, str]:
             f"{POINTS_CTE}, {BOXES_CTE} "
             "SELECT p.point_id, b.admin_id FROM points p JOIN boxes b ON "
             "p.lon >= b.lon0 AND p.lon < b.lon1 AND p.lat >= b.lat0 AND p.lat < b.lat1"
+        ),
+        "box_polyfill": (
+            f"WITH {BOXES_CTE}, "
+            "g AS (SELECT admin_id, "
+            + f"{sql_ix('lon0', PIP_RES)} AS x0, "
+            + f"{sql_ix('lon1', PIP_RES)} AS x1, "
+            + f"{sql_iy('lat0', PIP_RES)} AS y0, "
+            + f"{sql_iy('lat1', PIP_RES)} AS y1 FROM boxes), "
+            "g1 AS (SELECT admin_id, x0, x1, "
+            "unnest(generate_series(y0, y1)) AS gy FROM g), "
+            "g2 AS (SELECT admin_id, gy, "
+            "unnest(generate_series(x0, x1)) AS gx FROM g1) "
+            "SELECT admin_id, CAST(count(*) AS BIGINT) AS n_cells, "
+            + f"CAST(sum({PIP_RES} * {1 << 52} + gy * {1 << PIP_RES} + gx) "
+            "AS BIGINT) AS cell_sum FROM g2 GROUP BY admin_id"
         ),
         "pip_holes": (
             f"{POINTS_CTE}, {BOXES_CTE} "
