@@ -51,7 +51,9 @@ def snapshot_versions(table_dir: str) -> list[int]:
 
 def write_snapshot(df: DataFrame, table_dir: str,
                    mode: str = "append",
-                   batch_id: int | None = None) -> int:
+                   batch_id: int | None = None,
+                   partition_by: list[str] | None = None,
+                   writer_options: dict | None = None) -> int:
     """Commit ``df`` as a new snapshot; returns the new version number.
 
     ``mode='append'`` makes the new version see prior data plus ``df``;
@@ -74,7 +76,12 @@ def write_snapshot(df: DataFrame, table_dir: str,
     prev = versions[-1] if versions else 0
     commit_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(table_dir, "data", commit_id)
-    df.write.mode("error").parquet(data_dir)
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in (writer_options or {}).items():
+        writer = writer.option(k, v)
+    writer.parquet(data_dir)
 
     dirs = [os.path.join("data", commit_id)]
     if mode == "append" and prev:
@@ -146,3 +153,39 @@ def read_changes(spark: SparkSession, table_dir: str,
         return read_snapshot(spark, table_dir, to_version).limit(0)
     return spark.read.parquet(
         *[os.path.join(table_dir, d) for d in delta])
+
+
+def compact_snapshot(spark: SparkSession, table_dir: str, key_col: str,
+                     id_col: str, target_rows: int) -> int:
+    """Rewrite the latest snapshot into the compaction plan's file counts.
+
+    The maintenance pass plans/compaction.py plans for: read the current
+    snapshot, join back the per-key planned file count (broadcast — plan
+    cardinality is the key domain), route each row to a deterministic
+    intra-key bucket (xxhash64 of its id, modulo the key's plan), and
+    commit ONE overwrite snapshot laid out ``key=``-partitioned with at
+    most the planned number of files per key. Data is bit-identical
+    (pure rewrite); old versions remain time-travelable.
+    """
+    from pyspark.sql import functions as F
+
+    from ..plans.compaction import compaction_plan
+
+    cur = read_snapshot(spark, table_dir)
+    plan = compaction_plan(cur, key_col, target_rows).select(
+        key_col, "n_files")
+    routed = (
+        cur.join(F.broadcast(plan), key_col)
+        .withColumn("_bucket", F.pmod(F.xxhash64(id_col), F.col("n_files")))
+        .drop("n_files")
+    )
+    out = routed.repartition(F.col(key_col), F.col("_bucket")).drop("_bucket")
+    # bucket routing parallelizes hot keys across tasks; maxRecordsPerFile
+    # enforces the per-file bound WITHIN a task (several buckets of one
+    # key hashed into the same task still split at the target), so the
+    # per-key file count lands on the plan's ceil(n/target) regardless of
+    # shuffle collisions
+    return write_snapshot(out, table_dir, mode="overwrite",
+                          partition_by=[key_col],
+                          writer_options={"maxRecordsPerFile":
+                                          str(int(target_rows))})

@@ -1399,3 +1399,41 @@ def test_point_segment_range_join_matches_rational_oracle(spark):
     assert got == expect
     assert (900, 900) in got and (902, 901) in got   # inclusive boundary
     assert (903, 900) not in got and (904, 901) not in got
+
+
+def test_compact_snapshot_bounds_files_and_preserves_rows(spark, tmp_path):
+    import glob as _glob
+
+    from geobuf_cpp_spark.sources.snapshots import (
+        compact_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "compact_tbl")
+    # 40 fragmented commits of the same skewed table -> small-files mess
+    base = spark.range(0, 4000).selectExpr(
+        "id", "CASE WHEN id % 10 < 7 THEN 'hot' ELSE concat('k', id % 3) "
+        "END AS k")
+    for i in range(8):
+        write_snapshot(base.filter(f"id % 8 = {i}").repartition(6),
+                       table, mode="append")
+    before = read_snapshot(spark, table)
+    before_rows = sorted(r["id"] for r in before.collect())
+    n_files_before = len(_glob.glob(table + "/data/*/part-*.parquet"))
+
+    v = compact_snapshot(spark, table, key_col="k", id_col="id",
+                         target_rows=1000)
+    after = read_snapshot(spark, table, version=v)
+    assert sorted(r["id"] for r in after.collect()) == before_rows
+    # planned: hot=2800 rows -> 3 files; k0/k1/k2 ~400 each -> 1 file
+    import re as _re
+    per_key = {}
+    for f in _glob.glob(table + f"/data/*/k=*/part-*.parquet"):
+        key = _re.search(r"k=([^/]+)/", f).group(1)
+        per_key[key] = per_key.get(key, 0) + 1
+    assert per_key["hot"] == 3   # 2800 rows at target 1000
+    assert all(per_key[k] == 1 for k in ("k0", "k1", "k2"))
+    assert sum(per_key.values()) < n_files_before
+    # history intact: the pre-compaction version still reads
+    assert read_snapshot(spark, table, version=8).count() == 4000
