@@ -806,6 +806,47 @@ def q_hot_cells_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+ALT_SQL = "CAST((o_orderkey % 1000) AS DOUBLE) / 10.0 - 50.0"
+
+
+def q_geobuf_roundtrip_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3D (dim=3) codec path end to end: a nonzero altitude promotes the
+    document to dim 3 (the reference's dims header), the shared per-
+    feature precision covers all three axes, and decode divides z by the
+    same e. Oracle: the arithmetic quantization model over (lon, lat,
+    alt) with the shared-e max."""
+    import pandas as pd
+
+    from geobuf_cpp_spark.codec import geobuf as gb
+
+    def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        enc = gb.Encoder(max_precision=MAX_PRECISION)
+        dec = gb.Decoder()
+        for pdf in batches:
+            lons, lats, alts = [], [], []
+            for lon, lat, alt in zip(pdf["lon"], pdf["lat"], pdf["alt"]):
+                doc = dec.decode(enc.encode(
+                    {"type": "Point", "coordinates": [lon, lat, alt]}))
+                c = doc["coordinates"]
+                lons.append(c[0])
+                lats.append(c[1])
+                alts.append(c[2] if len(c) > 2 else 0.0)
+            yield pd.DataFrame(
+                {"point_id": pdf["point_id"], "rt_lon": lons,
+                 "rt_lat": lats, "rt_alt": alts}
+            )
+
+    _prep(spark, sf_dir, "orders")
+    pts = spark.sql(
+        "SELECT o_orderkey AS point_id, "
+        f"{P.POINT_LON_SQL} AS lon, {P.POINT_LAT_SQL} AS lat, "
+        f"{ALT_SQL} AS alt FROM orders"
+    )
+    return spread(pts).mapInPandas(
+        rt, "point_id long, rt_lon double, rt_lat double, rt_alt double"
+    )
+
+
 def q_geobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """encode(Point) -> decode through the real codec, per point."""
     import pandas as pd
@@ -1955,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_filter": wrap(q_bbox_filter),
         "hot_cells_topk": wrap(q_hot_cells_topk),
         "geobuf_roundtrip": wrap(q_geobuf_roundtrip),
+        "geobuf_roundtrip_3d": q_geobuf_roundtrip_3d,
         "geobuf_size_stats": wrap(q_geobuf_size_stats),
         "geobuf_files": wrap(q_geobuf_files),
         "events_hourly": q_events_hourly,
@@ -2377,6 +2419,16 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_points FROM points GROUP BY cell "
             "ORDER BY n_points DESC, cell ASC LIMIT 20"
         ),
+        "geobuf_roundtrip_3d": (
+            lambda rt3: (
+                "WITH points AS (SELECT o_orderkey AS point_id, "
+                f"{P.POINT_LON_SQL} AS lon, {P.POINT_LAT_SQL} AS lat, "
+                f"{ALT_SQL} AS alt FROM orders) "
+                f"SELECT point_id, {rt3['lon']} AS rt_lon, "
+                f"{rt3['lat']} AS rt_lat, {rt3['alt']} AS rt_alt "
+                "FROM points"
+            )
+        )(sql_roundtrip(["lon", "lat", "alt"], MAX_PRECISION)),
         "geobuf_roundtrip": (
             f"{POINTS_CTE} SELECT point_id, {rt['lon']} AS rt_lon, "
             f"{rt['lat']} AS rt_lat FROM points"
