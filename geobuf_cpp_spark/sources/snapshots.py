@@ -189,3 +189,41 @@ def compact_snapshot(spark: SparkSession, table_dir: str, key_col: str,
                           partition_by=[key_col],
                           writer_options={"maxRecordsPerFile":
                                           str(int(target_rows))})
+
+
+def vacuum_snapshots(table_dir: str, keep_versions: int = 1) -> dict:
+    """Garbage-collect history: retain the newest ``keep_versions``
+    manifests, delete older manifests and any data dir no retained
+    manifest references. Returns {"kept": [...], "deleted_dirs": n,
+    "deleted_manifests": n}.
+
+    Safe by construction: the retained manifests' dir lists are closed
+    under the append lineage (an append manifest lists all its
+    ancestors' dirs), so a reader of any KEPT version never loses a
+    file; only time travel past the horizon is given up.
+    """
+    import shutil
+
+    assert keep_versions >= 1
+    versions = snapshot_versions(table_dir)
+    keep = versions[-keep_versions:]
+    referenced: set[str] = set()
+    for v in keep:
+        with open(_manifest_path(table_dir, v)) as fh:
+            referenced.update(json.load(fh)["data_dirs"])
+    deleted_dirs = 0
+    data_root = os.path.join(table_dir, "data")
+    if os.path.isdir(data_root):
+        for name in os.listdir(data_root):
+            rel = os.path.join("data", name)
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(data_root, name),
+                              ignore_errors=True)
+                deleted_dirs += 1
+    deleted_manifests = 0
+    for v in versions:
+        if v not in keep:
+            os.remove(_manifest_path(table_dir, v))
+            deleted_manifests += 1
+    return {"kept": keep, "deleted_dirs": deleted_dirs,
+            "deleted_manifests": deleted_manifests}

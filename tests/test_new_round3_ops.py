@@ -1437,3 +1437,34 @@ def test_compact_snapshot_bounds_files_and_preserves_rows(spark, tmp_path):
     assert sum(per_key.values()) < n_files_before
     # history intact: the pre-compaction version still reads
     assert read_snapshot(spark, table, version=8).count() == 4000
+
+
+def test_vacuum_snapshots_drops_only_unreferenced(spark, tmp_path):
+    import glob as _glob
+
+    from geobuf_cpp_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "vac")
+    write_snapshot(spark.range(0, 10).selectExpr("id"), table,
+                   mode="overwrite")          # v1
+    write_snapshot(spark.range(10, 20).selectExpr("id"), table,
+                   mode="append")             # v2 (refs v1's dir too)
+    write_snapshot(spark.range(50, 55).selectExpr("id"), table,
+                   mode="overwrite")          # v3: lineage restart
+    write_snapshot(spark.range(55, 60).selectExpr("id"), table,
+                   mode="append")             # v4
+
+    out = vacuum_snapshots(table, keep_versions=1)
+    assert out["kept"] == [4]
+    # v3's dir is still referenced by v4's append lineage — must survive;
+    # v1/v2's dirs are unreferenced — must be gone
+    assert out["deleted_dirs"] == 2 and out["deleted_manifests"] == 3
+    assert snapshot_versions(table) == [4]
+    assert sorted(r["id"] for r in read_snapshot(spark, table).collect()) \
+        == list(range(50, 60))
+    assert len(_glob.glob(table + "/data/*")) == 2
