@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geobuf_cpp_spark.functions.cells import (
+    hex_candidates_sql,
     sql_ix,
     sql_iy,
     RES_BASE,
@@ -316,6 +317,17 @@ def q_pip_boxes_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("admin_id")
         .agg(F.count("*").alias("n_points"))
     )
+
+
+def q_hex_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal binning (H3-style topology): nearest center of the
+    triangular lattice, EXACT in BIGINT on doubled coordinates — one
+    JVM array_min projection, no join. Oracle: the same 4 candidates
+    via UNION ALL + window min (independent plan, identical integers)."""
+    from geobuf_cpp_spark.functions.cells import hex_bin
+
+    _prep(spark, sf_dir, "orders")
+    return hex_bin(spark.sql(P.IPOINTS_SELECT))
 
 
 def q_quadkey_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1970,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_polyfill": wrap(q_box_polyfill),
         "admin_areas": wrap(q_admin_areas),
         "quadkey_assign": wrap(q_quadkey_assign),
+        "hex_assign": q_hex_assign,
         "geohash_assign": wrap(q_geohash_assign),
         "inverted_index": q_inverted_index,
         "tfidf_topk": q_tfidf_topk,
@@ -2204,6 +2217,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.point_id, b.admin_id FROM points p JOIN boxes b ON "
             "p.lon >= b.lon0 AND p.lon < b.lon1 AND p.lat >= b.lat0 AND p.lat < b.lat1"
         ),
+        # hex candidates use Spark's `div` (truncate); DuckDB gets `//`
+        # (floor). They diverge only where 2*ix - sx < 0 (ix < 14 on odd
+        # rows), where the two engines enumerate shifted candidate COLS —
+        # but both sets provably contain the global argmin and no d2 tie
+        # spans the shifted member, so the selected (d2, hr, hc) is
+        # identical (see functions/cells.hex_candidates_sql).
+        "hex_assign": (
+            lambda cands: (
+                f"WITH p AS ({P.IPOINTS_SELECT}), "
+                "c AS ("
+                + " UNION ALL ".join(
+                    "SELECT point_id, "
+                    + s.replace("struct(", "").rstrip(")").replace(
+                        " div ", " // ")
+                    + " FROM p"
+                    for s in cands
+                )
+                + "), r AS (SELECT point_id, hr, hc, d2, row_number() "
+                "OVER (PARTITION BY point_id ORDER BY d2, hr, hc) AS rn "
+                "FROM c) "
+                "SELECT point_id, hr, hc, d2 FROM r WHERE rn = 1"
+            )
+        )(hex_candidates_sql("ix", "iy")),
         "quadkey_assign": (
             f"{POINTS_CTE} SELECT point_id, "
             f"{sql_quadkey('lat', 'lon', ROLLUP_RES)} AS quadkey FROM points"

@@ -346,3 +346,62 @@ def sql_geohash(lat_expr: str, lon_expr: str, length: int = 6) -> str:
         chars.append(
             f"SUBSTR('{GEOHASH_ALPHABET}', CAST({v} AS INT) + 1, 1)")
     return "CONCAT(" + ", ".join(chars) + ")"
+
+
+# ---------------------------------------------------------------------------
+# hexagonal binning — H3-style hex topology with EXACT integer assignment
+# ---------------------------------------------------------------------------
+
+HEX_W = 56   # within-row center spacing (even; parity shift = w/2 = 28)
+HEX_VY = 48  # row spacing; w/2 <= vy keeps the 4-candidate set sufficient
+
+
+def hex_candidates_sql(x_col: str, y_col: str,
+                       w: int = HEX_W, vy: int = HEX_VY) -> list[str]:
+    """SQL for the 4 candidate hex centers (r, c, d2) of a lattice point.
+
+    Hexagonal cells are the Voronoi regions of a triangular center
+    lattice: centers at (c*w + (r%2)*w/2, r*vy). On DOUBLED x
+    coordinates everything is integer, so the nearest-center choice is
+    exact in BIGINT. With w/2 <= vy <= sqrt((vy/2)^2+(w/2)^2) bounds,
+    the nearest center is always among rows {r0, r0+1} and each row's
+    cols {c0, c0+1} — 4 candidates. (Integer spacings make the cells
+    slightly stretched hexagons — vy/w = 6/7 vs the regular sqrt(3)/2 —
+    topology and neighbor structure identical to a regular hex grid.)
+    Requires x, y >= 0 (the engine's lattice domain).
+    """
+    assert w % 2 == 0 and 2 * vy >= w, "need even w and w/2 <= vy"
+    out = []
+    for r_off in (0, 1):
+        for c_off in (0, 1):
+            r = f"(({y_col}) div {vy} + {r_off})"
+            sx = f"(({r}) % 2) * {w // 2}"
+            c = f"((2 * ({x_col}) - {sx}) div {2 * w} + {c_off})"
+            cx2 = f"(2 * ({c}) * {w} + {sx})"
+            cy2 = f"(2 * ({r}) * {vy})"
+            d2 = (f"((2 * ({x_col}) - {cx2}) * (2 * ({x_col}) - {cx2}) + "
+                  f"(2 * ({y_col}) - {cy2}) * (2 * ({y_col}) - {cy2}))")
+            out.append(f"struct({d2} AS d2, {r} AS hr, {c} AS hc)")
+    return out
+
+
+def hex_bin(points, x_col: str = "ix", y_col: str = "iy",
+            id_col: str = "point_id", w: int = HEX_W, vy: int = HEX_VY):
+    """(id, hr, hc, d2): each point's hexagonal bin, exact integers.
+
+    One projection: array_min over the 4 candidate structs picks the
+    lexicographically smallest (d2, hr, hc) — nearest center with a
+    deterministic tie-break, all JVM-side, no join, no shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    cands = ", ".join(hex_candidates_sql(x_col, y_col, w, vy))
+    return points.select(
+        id_col,
+        F.expr(f"array_min(array({cands}))").alias("_b"),
+    ).select(
+        id_col,
+        F.col("_b.hr").alias("hr"),
+        F.col("_b.hc").alias("hc"),
+        F.col("_b.d2").alias("d2"),
+    )

@@ -281,3 +281,36 @@ def test_geohash_matches_textbook_bisection():
     got = geohash_of(lats, lons, 6)
     for la, lo, g in zip(lats, lons, got):
         assert g == reference(la, lo, 6), (la, lo)
+
+
+def test_hex_bin_matches_brute_force_voronoi(spark):
+    """hex_bin = exact nearest triangular-lattice center: compare to a
+    wide brute-force center search, incl. the x<14 odd-row zone where
+    Spark div and floor division enumerate different candidate sets."""
+    import pandas as pd
+
+    from geobuf_cpp_spark.functions.cells import HEX_VY, HEX_W, hex_bin
+
+    pts = [(i, (i * 131) % 500, (i * 257) % 400) for i in range(800)]
+    pts += [(9000 + x, x, 49) for x in range(0, 30)]   # divergence zone
+    df = spark.createDataFrame(pts, "point_id long, ix long, iy long")
+    got = {r["point_id"]: (r["hr"], r["hc"], r["d2"])
+           for r in hex_bin(df).collect()}
+
+    def brute(x, y):
+        best = None
+        r0 = y // HEX_VY
+        for r in range(max(r0 - 2, 0), r0 + 3):
+            sx = (r % 2) * (HEX_W // 2)
+            c0 = (2 * x - sx) // (2 * HEX_W)
+            for c in range(c0 - 2, c0 + 3):
+                cx2, cy2 = 2 * c * HEX_W + sx, 2 * r * HEX_VY
+                d2 = (2 * x - cx2) ** 2 + (2 * y - cy2) ** 2
+                cand = (d2, r, c)
+                if best is None or cand < best:
+                    best = cand
+        return best
+
+    for pid, x, y in pts:
+        d2, r, c = brute(x, y)
+        assert got[pid] == (r, c, d2), (pid, x, y)
