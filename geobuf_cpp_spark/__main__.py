@@ -20,6 +20,8 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("json2geobuf", help="GeoJSON file -> geobuf pbf file")
     p.add_argument("input"), p.add_argument("output")
     p.add_argument("--precision", type=int, default=8)
+    p.add_argument("--simplify", type=float, default=None, metavar="EPS",
+                   help="Douglas-Peucker tolerance applied before encode")
 
     p = sub.add_parser("geobuf2json", help="geobuf pbf file -> GeoJSON file")
     p.add_argument("input"), p.add_argument("output")
@@ -58,6 +60,10 @@ def main(argv: list[str] | None = None) -> int:
         from .codec.jsonio import load_json
 
         doc = load_json(args.input)
+        if args.simplify is not None:
+            from .operators.simplify import simplify_geojson
+
+            doc = simplify_geojson(doc, args.simplify)
         data = gb.encode(doc, max_precision=10**args.precision)
         with open(args.output, "wb") as f:
             f.write(data)

@@ -138,3 +138,40 @@ def simplify_lines(df: DataFrame, tolerance: float,
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+def simplify_geojson(doc: dict, tolerance: float) -> dict:
+    """Simplify every simplifiable geometry in a GeoJSON document.
+
+    The CLI-side scalar twin of ``simplify_lines`` (same kernel via the
+    wire round trip): Features / FeatureCollections / GeometryCollections
+    recurse; Point-like geometries pass through. Used by the
+    ``json2geobuf --simplify`` CLI flag — simplify-then-encode is the
+    standard pre-tiling reduction (fewer vertices -> fewer, larger wire
+    deltas).
+    """
+    from ..functions.geometry import geojson_to_wire, wire_to_geojson
+
+    t = doc.get("type")
+    if t == "FeatureCollection":
+        return {**doc, "features": [
+            simplify_geojson(f, tolerance) for f in doc["features"]]}
+    if t == "Feature":
+        geom = doc.get("geometry")
+        return {**doc, "geometry":
+                simplify_geojson(geom, tolerance) if geom else geom}
+    if t == "GeometryCollection":
+        return {**doc, "geometries": [
+            simplify_geojson(g, tolerance) for g in doc["geometries"]]}
+    if t in ("LineString", "MultiLineString", "Polygon", "MultiPolygon"):
+        if t == "MultiPolygon":   # per-polygon: ring semantics per part
+            return {**doc, "coordinates": [
+                simplify_geojson(
+                    {"type": "Polygon", "coordinates": p}, tolerance
+                )["coordinates"]
+                for p in doc["coordinates"]]}
+        wt, dim, lengths, coords = geojson_to_wire(doc)
+        lengths2, coords2 = simplify_wire(wt, dim, lengths, coords,
+                                          float(tolerance))
+        return wire_to_geojson(wt, dim, lengths2, coords2)
+    return doc

@@ -403,3 +403,51 @@ def test_str_convenience_roundtrips():
         out = json.loads(fn(s))
         assert out["features"][0]["geometry"]["coordinates"] == [1.5, 2.5]
         assert out["features"][0]["properties"] == {"k": 1}
+
+
+def test_simplify_geojson_recursion_and_cli_flag(tmp_path):
+    """simplify_geojson recurses FC/Feature/GeometryCollection, leaves
+    points alone, keeps polygon rings valid; the CLI --simplify flag
+    drives it before encode."""
+    import json
+    import subprocess
+    import sys
+
+    from geobuf_cpp_spark.operators.simplify import simplify_geojson
+
+    doc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {"k": 1},
+             "geometry": {"type": "LineString",
+                          "coordinates": [[0, 0], [2, 5], [5, 0.1],
+                                          [7, -4], [10, 0]]}},
+            {"type": "Feature", "properties": {},
+             "geometry": {"type": "GeometryCollection", "geometries": [
+                 {"type": "Point", "coordinates": [1, 2]},
+                 {"type": "Polygon", "coordinates": [
+                     [[0, 0], [10, 0.01], [20, 0], [20, 20], [0, 20],
+                      [0, 0]]]},
+             ]}},
+        ],
+    }
+    out = simplify_geojson(doc, 1.0)
+    line = out["features"][0]["geometry"]["coordinates"]
+    assert line == [[0, 0], [2, 5], [7, -4], [10, 0]]
+    gc = out["features"][1]["geometry"]["geometries"]
+    assert gc[0] == {"type": "Point", "coordinates": [1, 2]}
+    ring = gc[1]["coordinates"][0]
+    assert ring[0] == ring[-1] and len(ring) >= 4
+    assert [10, 0.01] not in ring          # sub-tolerance vertex dropped
+    assert out["features"][0]["properties"] == {"k": 1}
+
+    src = tmp_path / "in.json"
+    src.write_text(json.dumps(doc))
+    pbf = tmp_path / "out.pbf"
+    subprocess.run(
+        [sys.executable, "-m", "geobuf_cpp_spark", "json2geobuf",
+         str(src), str(pbf), "--simplify", "1.0"],
+        cwd="/root/repo", check=True, capture_output=True)
+    from geobuf_cpp_spark.codec import geobuf as gb
+    dec = gb.decode(pbf.read_bytes())
+    assert len(dec["features"][0]["geometry"]["coordinates"]) == 4
