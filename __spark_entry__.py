@@ -319,6 +319,47 @@ def q_pip_boxes_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZM_LO, ZM_HI = 9000, 17999
+
+
+def q_zonemap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping end to end (plans/zonemap.py): write the
+    point lattice range-clustered, collect per-file min/max, answer a
+    range query reading ONLY surviving files. The oracle runs the same
+    range predicate over all rows — a pruning bug that skips a needed
+    file loses rows and fails the hash."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+
+    from geobuf_cpp_spark.plans.zonemap import (
+        collect_zone_map,
+        zone_pruned_read,
+    )
+
+    _prep(spark, sf_dir, "orders")
+    for old in _glob.glob("/root/repo/.scratch/zm_*_*"):
+        try:
+            pid = int(old.rsplit("_", 1)[-1])
+        except ValueError:
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(old, ignore_errors=True)
+        except PermissionError:
+            pass
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    path = f"/root/repo/.scratch/zm_{tag}"
+    if not os.path.isdir(path):
+        spark.sql(P.IPOINTS_SELECT).repartitionByRange(16, "ix").write.mode(
+            "overwrite").parquet(path)
+    zm = collect_zone_map(spark, path, ["ix"])
+    return zone_pruned_read(spark, zm, "ix", ZM_LO, ZM_HI).select(
+        "point_id", "ix", "iy")
+
+
 def q_hex_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hexagonal binning (H3-style topology): nearest center of the
     triangular lattice, EXACT in BIGINT on doubled coordinates — one
@@ -1983,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "admin_areas": wrap(q_admin_areas),
         "quadkey_assign": wrap(q_quadkey_assign),
         "hex_assign": q_hex_assign,
+        "zonemap_query": q_zonemap_query,
         "geohash_assign": wrap(q_geohash_assign),
         "inverted_index": q_inverted_index,
         "tfidf_topk": q_tfidf_topk,
@@ -2216,6 +2258,11 @@ def oracle_sql() -> dict[str, str]:
             f"{POINTS_CTE}, {BOXES_CTE} "
             "SELECT p.point_id, b.admin_id FROM points p JOIN boxes b ON "
             "p.lon >= b.lon0 AND p.lon < b.lon1 AND p.lat >= b.lat0 AND p.lat < b.lat1"
+        ),
+        "zonemap_query": (
+            f"WITH p AS ({P.IPOINTS_SELECT}) "
+            "SELECT point_id, ix, iy FROM p "
+            f"WHERE ix BETWEEN {ZM_LO} AND {ZM_HI}"
         ),
         # hex candidates use Spark's `div` (truncate); DuckDB gets `//`
         # (floor). They diverge only where 2*ix - sx < 0 (ix < 14 on odd

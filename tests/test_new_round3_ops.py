@@ -1468,3 +1468,39 @@ def test_vacuum_snapshots_drops_only_unreferenced(spark, tmp_path):
     assert sorted(r["id"] for r in read_snapshot(spark, table).collect()) \
         == list(range(50, 60))
     assert len(_glob.glob(table + "/data/*")) == 2
+
+
+# ---------------------------------------------------------------------------
+# zone maps / file skipping
+# ---------------------------------------------------------------------------
+
+
+def test_zone_map_prunes_range_clustered_files(spark, tmp_path):
+    from geobuf_cpp_spark.plans.zonemap import (
+        collect_zone_map,
+        prune_files,
+        zone_pruned_read,
+    )
+
+    path = str(tmp_path / "zm")
+    df = spark.range(0, 10000).selectExpr("id", "id % 97 AS payload")
+    df.repartitionByRange(10, "id").write.parquet(path)
+
+    zm = collect_zone_map(spark, path, ["id"])
+    n_files = zm.count()
+    assert n_files == 10
+
+    survivors = prune_files(zm, "id", 2500, 3499)
+    # range-clustered layout: ~1000-wide query range -> 1-3 of 10 files
+    assert 1 <= len(survivors) <= 3
+
+    got = zone_pruned_read(spark, zm, "id", 2500, 3499)
+    full = df.where("id BETWEEN 2500 AND 3499")
+    assert got.count() == full.count() == 1000
+    assert sorted(r["id"] for r in got.collect()) == \
+        sorted(r["id"] for r in full.collect())
+
+    # degenerate range below all data
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        zone_pruned_read(spark, zm, "id", -100, -50)
