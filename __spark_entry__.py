@@ -322,6 +322,31 @@ def q_pip_boxes_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ZM_LO, ZM_HI = 9000, 17999
 
 
+CENTROID_SCALE = 1 << 20
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid NUMERATORS, drift-free: each float32
+    component scales by 2^20 (exact in double — power of two), rounds to
+    BIGINT, and sums per (label, dim) — the distributed float reduction
+    trick that makes k-means/IVF centroid updates summation-order-free
+    (plain double sums hash-differ across partitionings). The caller
+    divides qsum/n/scale once at the end."""
+    _prep(spark, sf_dir, "embeddings")
+    return (
+        spark.table("embeddings")
+        .select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.expr(f"CAST(ROUND(CAST(v AS DOUBLE) * {CENTROID_SCALE}) "
+                       "AS BIGINT)")
+            ).cast("long").alias("qsum"),
+        )
+    )
+
+
 def q_zonemap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map file skipping end to end (plans/zonemap.py): write the
     point lattice range-clustered, collect per-file min/max, answer a
@@ -2025,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_assign": wrap(q_quadkey_assign),
         "hex_assign": q_hex_assign,
         "zonemap_query": q_zonemap_query,
+        "label_centroids": q_label_centroids,
         "geohash_assign": wrap(q_geohash_assign),
         "inverted_index": q_inverted_index,
         "tfidf_topk": q_tfidf_topk,
@@ -2258,6 +2284,16 @@ def oracle_sql() -> dict[str, str]:
             f"{POINTS_CTE}, {BOXES_CTE} "
             "SELECT p.point_id, b.admin_id FROM points p JOIN boxes b ON "
             "p.lon >= b.lon0 AND p.lon < b.lon1 AND p.lat >= b.lat0 AND p.lat < b.lat1"
+        ),
+        "label_centroids": (
+            "WITH e AS (SELECT label, "
+            "generate_subscripts(embedding, 1) - 1 AS dim, "
+            "unnest(embedding) AS v FROM embeddings) "
+            "SELECT label, CAST(dim AS INTEGER) AS dim, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(sum(CAST(ROUND(CAST(v AS DOUBLE) * {CENTROID_SCALE}) "
+            "AS BIGINT)) AS BIGINT) AS qsum "
+            "FROM e GROUP BY label, dim"
         ),
         "zonemap_query": (
             f"WITH p AS ({P.IPOINTS_SELECT}) "
