@@ -134,8 +134,24 @@ def test_segments_intersect_sql_matches_rational_oracle(coords):
 
     def oracle():
         from fractions import Fraction
+
+        def on_seg(px, py, qx, qy, rx, ry):
+            if (qx - px) * (ry - py) - (qy - py) * (rx - px) != 0:
+                return False
+            return (min(px, qx) <= rx <= max(px, qx)
+                    and min(py, qy) <= ry <= max(py, qy))
+
         d1x, d1y = bx - ax, by - ay
         d2x, d2y = dx - cx, dy - cy
+        # degenerate (point) segments first: the parallel-collinearity
+        # test below degenerates to 0 against a zero direction vector
+        # and must not fall through to bbox overlap
+        if (d1x, d1y) == (0, 0) and (d2x, d2y) == (0, 0):
+            return (ax, ay) == (cx, cy)
+        if (d1x, d1y) == (0, 0):
+            return on_seg(cx, cy, dx, dy, ax, ay)
+        if (d2x, d2y) == (0, 0):
+            return on_seg(ax, ay, bx, by, cx, cy)
         denom = d1x * d2y - d1y * d2x
         if denom != 0:
             t = Fraction((cx - ax) * d2y - (cy - ay) * d2x, denom)
@@ -143,8 +159,7 @@ def test_segments_intersect_sql_matches_rational_oracle(coords):
             return 0 <= t <= 1 and 0 <= u <= 1
         if (cx - ax) * d1y - (cy - ay) * d1x != 0:
             return False
-        # collinear (or a degenerate point pair): interval overlap on
-        # both axes — sufficient for collinear segments
+        # collinear: interval overlap on both axes
         return (min(ax, bx) <= max(cx, dx) and min(cx, dx) <= max(ax, bx)
                 and min(ay, by) <= max(cy, dy)
                 and min(cy, dy) <= max(ay, by))

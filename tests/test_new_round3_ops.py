@@ -1212,6 +1212,22 @@ def _segs_intersect_fractions(s1, s2):
     (x1, y1, x2, y2), (x3, y3, x4, y4) = s1, s2
     dx1, dy1 = x2 - x1, y2 - y1
     dx2, dy2 = x4 - x3, y4 - y3
+
+    def _on(px, py, qx, qy, rx, ry):
+        if (qx - px) * (ry - py) - (qy - py) * (rx - px) != 0:
+            return False
+        return (min(px, qx) <= rx <= max(px, qx)
+                and min(py, qy) <= ry <= max(py, qy))
+
+    # degenerate (point) segments: test the point against the OTHER
+    # segment's direction — the generic parallel branch below tests
+    # against d1 only and mis-handles a degenerate s1
+    if (dx1, dy1) == (0, 0) and (dx2, dy2) == (0, 0):
+        return (x1, y1) == (x3, y3)
+    if (dx1, dy1) == (0, 0):
+        return _on(x3, y3, x4, y4, x1, y1)
+    if (dx2, dy2) == (0, 0):
+        return _on(x1, y1, x2, y2, x3, y3)
     denom = dx1 * dy2 - dy1 * dx2
     if denom != 0:
         t = Fraction((x3 - x1) * dy2 - (y3 - y1) * dx2, denom)
