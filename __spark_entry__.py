@@ -1641,6 +1641,23 @@ def q_segment_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEG_NEAR_RADIUS = 100
 
 
+def q_segment_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Road-network connected components: the crossing graph from
+    segment_crossings fed through the generic pointer-jumping min-label
+    engine (operators/dedup.dedup_clusters) — operator composition, the
+    same CC core serving text dedup and network topology. Oracle:
+    recursive-CTE transitive closure over the banded intersect pairs."""
+    from geobuf_cpp_spark.operators.dedup import dedup_clusters
+    from geobuf_cpp_spark.operators.segments import segment_intersections
+
+    _prep(spark, sf_dir, "orders")
+    segs = spark.sql(P.ISEGS_SELECT)
+    pairs = segment_intersections(segs, SEG_CELL)
+    return dedup_clusters(
+        segs.selectExpr("seg_id AS doc_id"), pairs
+    ).withColumnRenamed("doc_id", "seg_id")
+
+
 def q_points_near_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-matching prefilter: every (point, segment) pair within 100
     lattice units by EXACT integer point-to-segment distance (projection
@@ -2123,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_wrap": q_range_join_wrap,
         "segment_crossings": q_segment_crossings,
         "points_near_segments": q_points_near_segments,
+        "segment_components": q_segment_components,
         "nearest_admin": q_nearest_admin,
         "quality_deciles": q_quality_deciles,
         "merge_upsert": q_merge_upsert,
@@ -2875,6 +2893,26 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER (PARTITION BY custkey "
             "ORDER BY ts DESC, src DESC, segment) AS rn FROM u) "
             "SELECT custkey, segment, ts FROM r WHERE rn = 1"
+        ),
+        "segment_components": (
+            f"WITH RECURSIVE s AS MATERIALIZED ({P.ISEGS_SELECT}), "
+            "c AS (SELECT a.seg_id AS id_a, b.seg_id AS id_b, "
+            "a.ax AS a_ax, a.ay AS a_ay, a.bx AS a_bx, a.by AS a_by, "
+            "b.ax AS b_ax, b.ay AS b_ay, b.bx AS b_bx, b.by AS b_by "
+            "FROM s a JOIN s b ON a.seg_id < b.seg_id "
+            "AND LEAST(a.ax, a.bx) <= GREATEST(b.ax, b.bx) "
+            "AND LEAST(b.ax, b.bx) <= GREATEST(a.ax, a.bx) "
+            "AND LEAST(a.ay, a.by) <= GREATEST(b.ay, b.by) "
+            "AND LEAST(b.ay, b.by) <= GREATEST(a.ay, a.by)), "
+            "p AS (SELECT id_a, id_b FROM c WHERE " + _SEG_INTERSECT_SQL
+            + "), e AS (SELECT id_a AS src, id_b AS dst FROM p "
+            "UNION ALL SELECT id_b, id_a FROM p), "
+            "walk(id, reach) AS ("
+            "SELECT seg_id, seg_id FROM s "
+            "UNION "
+            "SELECT w.id, e.dst FROM walk w JOIN e ON e.src = w.reach) "
+            "SELECT id AS seg_id, min(reach) AS cluster_id "
+            "FROM walk GROUP BY id"
         ),
         # candidate pairs in a CTE with a_-/b_-prefixed columns, the
         # intersection predicate applied over them afterwards — the
