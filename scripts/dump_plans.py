@@ -358,6 +358,48 @@ def main() -> None:
         [r"Generate", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
          r"CartesianProduct"],
     )
+    section(
+        "segment_crossings — grid-blocked pair search, emitted once",
+        "Candidates arrive by cell equi-join (never a cartesian); the "
+        "smallest-shared-cell rule replaces any DISTINCT; the CLRS "
+        "predicate is a pure integer filter.",
+        E.q_segment_crossings(spark, SF_DIR),
+        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         r"CartesianProduct", r"Generate"],
+    )
+    section(
+        "points_near_segments — single-cell points, no dedup operator",
+        "Segments explode to radius-expanded bbox cells; points carry "
+        "ONE cell each, so qualifying pairs match exactly once — the "
+        "plan contains no distinct/aggregate over the pair set.",
+        E.q_points_near_segments(spark, SF_DIR),
+        [r"Join", r"HashAggregate|Distinct", r"Generate"],
+    )
+    section(
+        "hex_assign — hex binning as one JVM projection",
+        "Nearest triangular-lattice center via array_min over 4 exact "
+        "integer candidates: no join, no shuffle, no Python operator "
+        "anywhere.",
+        E.q_hex_assign(spark, SF_DIR),
+        [r"Project", r"Exchange |Join",
+         r"PythonUDF|ArrowEval|MapInPandas"],
+    )
+    section(
+        "lang_quantiles — exact per-group quantiles, one exchange",
+        "Per-(group, value) counts cumulate under two windows sharing "
+        "one group-keyed exchange; no per-group sort of raw rows, no "
+        "approx sketch.",
+        E.q_lang_quantiles(spark, SF_DIR),
+        [r"Window", r"Exchange hashpartitioning", r"HashAggregate \("],
+    )
+    section(
+        "label_centroids — drift-free float reduction",
+        "posexplode + integer-quantized sums: the centroid numerators "
+        "are BIGINT hash-aggregates with map-side partials — "
+        "summation-order-free at any partitioning.",
+        E.q_label_centroids(spark, SF_DIR),
+        [r"HashAggregate \(", r"Generate", r"partial_"],
+    )
     aqe_skew_section(spark)
     spark.stop()
 
