@@ -201,3 +201,43 @@ def test_point_segment_within_sql_matches_rational_oracle(coords, r):
     got = duckdb.sql(
         f"SELECT {sql_point_segment_within(r)} FROM ({row})").fetchone()[0]
     assert bool(got) == oracle(), (coords, r)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=40000),
+       st.integers(min_value=0, max_value=17000))
+def test_hex_candidates_sql_argmin_matches_brute_force(x, y):
+    """The hex-bin SQL text (as DuckDB executes it, `//` floor division)
+    picks the true nearest triangular-lattice center for arbitrary
+    lattice points — fuzzed against a wide brute-force search."""
+    import duckdb
+
+    from geobuf_cpp_spark.functions.cells import (
+        HEX_VY,
+        HEX_W,
+        hex_candidates_sql,
+    )
+
+    cands = [s.replace(" div ", " // ") for s in
+             hex_candidates_sql("ix", "iy")]
+    union = " UNION ALL ".join(
+        f"SELECT {s.replace('struct(', '').rstrip(')')} "
+        f"FROM (SELECT {x} AS ix, {y} AS iy)"
+        for s in cands
+    )
+    got = duckdb.sql(
+        f"SELECT d2, hr, hc FROM ({union}) ORDER BY d2, hr, hc LIMIT 1"
+    ).fetchone()
+
+    best = None
+    r0 = y // HEX_VY
+    for r in range(max(r0 - 2, 0), r0 + 3):
+        sx = (r % 2) * (HEX_W // 2)
+        c0 = (2 * x - sx) // (2 * HEX_W)
+        for c in range(c0 - 2, c0 + 3):
+            cx2, cy2 = 2 * c * HEX_W + sx, 2 * r * HEX_VY
+            d2 = (2 * x - cx2) ** 2 + (2 * y - cy2) ** 2
+            cand = (d2, r, c)
+            if best is None or cand < best:
+                best = cand
+    assert tuple(got) == best, (x, y)
