@@ -191,9 +191,22 @@ def sql_ring_cells(lat_expr: str, lon_expr: str, res: int, k: int) -> str:
     collapse rows near the poles — identical cell set to the numpy
     ``ring_cells`` kernel (asserted in tests).
     """
+    return sql_ring_cells_grid(
+        sql_iy(lat_expr, res), sql_ix(lon_expr, res), res, k)
+
+
+def sql_ring_cells_grid(iy_expr: str, ix_expr: str, res: int,
+                        k: int) -> str:
+    """``sql_ring_cells`` over PRE-COMPUTED grid indices.
+
+    Embedding the full lat/lon->grid formulas once per disk cell makes
+    the (2k+1)^2 array a multi-KB expression (6.5 KB at k=2) that every
+    plan build re-parses; callers that project ``sql_iy``/``sql_ix``
+    into named columns first pass the column names here and cut the
+    expression ~4x. Same values either way.
+    """
     n = 1 << res
-    iy = sql_iy(lat_expr, res)
-    ix = sql_ix(lon_expr, res)
+    iy, ix = iy_expr, ix_expr
     cells = []
     for dy in range(-k, k + 1):
         yy = f"GREATEST(LEAST({iy} + {dy}, {n - 1}), 0)"

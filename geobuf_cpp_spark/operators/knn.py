@@ -84,18 +84,28 @@ def knn_distributed(points_df, queries_df, k: int, res: int = 7,
     common case at a sane radius) the fallback branch is not built at all,
     so the certified plan stays a single-scan pipeline.
     """
-    from ..functions.cells import sql_ring_cells
+    from ..functions.cells import sql_ix, sql_iy, sql_ring_cells_grid
 
     min_extent, _ = cell_size_deg(res)
     certify2 = float((radius * min_extent) ** 2)
 
     # the query-side disk explode is a pure JVM array expression — no
-    # Python stage anywhere in the certified path
-    disk = queries_df.select(
+    # Python stage anywhere in the certified path. Grid indices project
+    # ONCE into named columns so the (2k+1)^2 disk array stays a small
+    # expression (plan build/analyze cost, not a data-path change).
+    disk = queries_df.selectExpr(
         "query_id",
-        F.col("lat").alias("q_lat"),
-        F.col("lon").alias("q_lon"),
-        F.explode(F.expr(sql_ring_cells("lat", "lon", res, radius))).alias("cell"),
+        "lat AS q_lat",
+        "lon AS q_lon",
+        f"{sql_iy('lat', res)} AS _giy",
+        f"{sql_ix('lon', res)} AS _gix",
+    ).select(
+        "query_id",
+        "q_lat",
+        "q_lon",
+        F.explode(
+            F.expr(sql_ring_cells_grid("_giy", "_gix", res, radius))
+        ).alias("cell"),
     )
     pts = points_df.withColumn("cell", F.expr(sql_cell(lat_col, lon_col, res)))
     cand = pts.join(disk, "cell").withColumn(
