@@ -451,3 +451,27 @@ def test_simplify_geojson_recursion_and_cli_flag(tmp_path):
     from geobuf_cpp_spark.codec import geobuf as gb
     dec = gb.decode(pbf.read_bytes())
     assert len(dec["features"][0]["geometry"]["coordinates"]) == 4
+
+
+def test_pbf_decode_printable_walks_real_geobuf():
+    """The schema-less debug printer walks a real encoded document:
+    keys land as quoted strings, nested messages recurse, varints print,
+    and malformed input degrades loudly instead of raising."""
+    from geobuf_cpp_spark.codec import geobuf as gb
+    from geobuf_cpp_spark.codec.pbf_debug import to_printable
+
+    doc = {
+        "type": "Feature",
+        "properties": {"name": "alpha", "rank": 7},
+        "geometry": {"type": "Point", "coordinates": [1.5, 2.5]},
+    }
+    out = to_printable(gb.encode(doc))
+    assert '"name"' in out and '"rank"' in out   # keys table strings
+    assert "{" in out and "}" in out             # nested messages recurse
+    assert '"alpha"' in out                      # string property value
+    assert "3: 7" in out                         # pos-int property varint
+    assert "0x" in out                           # unguessable bytes -> hex
+    assert "<malformed>" not in out
+
+    assert "<malformed>" in to_printable(b"\xff\xff\xff")
+    assert to_printable(b"") == ""
