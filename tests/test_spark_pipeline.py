@@ -724,3 +724,43 @@ def test_plan_guard_stored_filter_reaches_parquet_scan(spark):
         "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,"
         "l_discount:double>" in plan
     ), plan[:2000]
+
+
+def test_whole_surface_plan_hygiene(spark):
+    """Every one of the gate queries compiles without a CartesianProduct,
+    uses BroadcastNestedLoopJoin only where a broadcast pairing is the
+    declared design, and runs Python stages only in operators whose
+    kernels are declared Arrow-batched. A new query that regresses any
+    of these fails here before it ships."""
+    import __spark_entry__ as entry
+
+    # intentional broadcast nested-loop pairings (small dim side)
+    bnlj_ok = {
+        "knn", "knn_rings",          # broadcast query set / fallback
+        "nearest_admin",             # 25-box dimension
+        "quality_deciles",           # broadcast scalar total
+        "term_cooccur", "triangle_count",  # broadcast vocab threshold
+    }
+    # declared Arrow-batched Python kernels (codec, geometry, ANN, media)
+    python_ok = {
+        "admin_areas", "ann_ivf", "ann_topk", "embed_neardup",
+        "geobuf_files", "geobuf_roundtrip", "geobuf_roundtrip_3d",
+        "geobuf_size_stats", "geohash_assign", "hilbert_index",
+        "ivf_pruned", "ivfpq_topk", "lsh_neardup", "media_features",
+        "media_stats", "minhash_neardup", "pip_boxes_agg",
+        "pip_boxes_join", "pip_holes", "pip_large", "pq_ann_topk",
+        "quadkey_assign", "simhash_neardup", "simplify",
+    }
+    py_markers = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                  "FlatMapGroupsInPandas")
+    problems = []
+    for name, fn in entry.queries().items():
+        plan = fn(spark, SF_SMALL)._jdf.queryExecution(
+            ).executedPlan().toString()
+        if "CartesianProduct" in plan:
+            problems.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            problems.append(f"{name}: undeclared BroadcastNestedLoopJoin")
+        if any(m in plan for m in py_markers) and name not in python_ok:
+            problems.append(f"{name}: undeclared Python stage")
+    assert not problems, problems
