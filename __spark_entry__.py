@@ -1910,6 +1910,18 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(spark.table("documents"), sketch=sketch)
 
 
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table over the corpus tokens (the fourth
+    sketch family): exact-integer buckets and ranks via the md5-low-64
+    contract and a binary-search bitlength cascade — the full register
+    table hash-gates against DuckDB recomputing it from
+    md5_number_lower."""
+    from geobuf_cpp_spark.operators.sketches import hll_registers
+
+    _prep(spark, sf_dir, "documents")
+    return hll_registers(spark.table("documents"))
+
+
 def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style resample: dense hourly series per user with
     last-observation-carried-forward over the gaps. The carried value is
@@ -2162,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_estimate": q_cms_estimate,
         "kmv_sketch": q_kmv_sketch,
         "kmv_distinct": q_kmv_distinct,
+        "hll_registers": q_hll_registers,
         "term_cooccur": q_term_cooccur,
         "props_agg": q_props_agg,
         "bloom_bits": q_bloom_bits,
@@ -3227,6 +3240,16 @@ def oracle_sql() -> dict[str, str]:
         # dense range via generate_series vs Spark sequence(), LOCF via
         # IGNORE NULLS last_value in both engines; the double is only
         # ever selected, so repr-level float parity holds
+        "hll_registers": (
+            "WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok "
+            "FROM documents), "
+            "h AS (SELECT md5_number_lower(tok) AS md5h FROM t "
+            "WHERE tok <> ''), "
+            "r AS (SELECT CAST(md5h % 256 AS INTEGER) AS bucket, "
+            "md5h // 256 AS w FROM h) "
+            "SELECT bucket, CAST(max(57 - (((((((0 + (CASE WHEN w >= 4294967296 THEN 32 ELSE 0 END)) + (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN 16 ELSE 0 END)) + (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN 8 ELSE 0 END)) + (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN 4 ELSE 0 END)) + (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) >= 4 THEN 2 ELSE 0 END)) + (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) >= 4 THEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) // 4 ELSE (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) END) >= 2 THEN 1 ELSE 0 END)) + (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) >= 4 THEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) // 4 ELSE (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) END) >= 2 THEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) >= 4 THEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) // 4 ELSE (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) END) // 2 ELSE (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) >= 4 THEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) // 4 ELSE (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) END) END) >= 1 THEN 1 ELSE 0 END))) "
+            "AS INTEGER) AS register FROM r GROUP BY bucket"
+        ),
         "gapfill_locf": (
             "WITH x AS (SELECT user_id, epoch_ms(ts) // 3600000 AS bk, "
             "value AS v, ROW_NUMBER() OVER (PARTITION BY user_id, "

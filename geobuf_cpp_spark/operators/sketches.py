@@ -264,3 +264,51 @@ def kmv_sketch_grouped(docs_df: DataFrame, group_col: str = "lang",
         .filter(F.col("rank") <= k)
         .select(F.col("grp").alias(group_col), "rank", "hash_val")
     )
+
+
+HLL_B = 8                      # 2^8 = 256 registers
+_HLL_WBITS = 56                # md5_low64 minus the bucket byte
+
+
+def hll_registers(docs_df: DataFrame, text_col: str = "text",
+                  b: int = HLL_B) -> DataFrame:
+    """HyperLogLog register table over the corpus token stream.
+
+    The fourth sketch family: bucket = low ``b`` bits of the 64-bit md5
+    hash, register = max over tokens of rho(w) where w is the remaining
+    56 bits and rho = (position of the highest set bit from the top) + 1
+    = 57 - bitlength(w). All exact integers: bitlength comes from a
+    6-step binary-search CASE cascade, never a float log, so the full
+    register table hash-gates against DuckDB recomputing it from
+    ``md5_number_lower``. max() is idempotent, so no distinct is needed
+    and shard MERGE is the same groupBy().max() over a union. The float
+    harmonic-mean ESTIMATE stays with the caller — registers are the
+    portable artifact (exactly how HLLs ship between systems).
+    """
+    assert 1 <= b <= 16
+    n_buckets = 1 << b
+    toks = _tokens(docs_df, text_col)
+    t = toks.select(md5_low64(F.col("tok")).alias("md5h")).select(
+        F.expr(f"CAST(md5h % {n_buckets} AS INT)").alias("bucket"),
+        F.expr(
+            f"CAST((md5h - md5h % {n_buckets}) / {n_buckets} "
+            "AS DECIMAL(20,0))"
+        ).alias("w"),
+    )
+    # bitlength(w) for w in [0, 2^56): binary-search cascade, pure integers
+    expr = "0"
+    rem = "w"
+    for step in (32, 16, 8, 4, 2, 1):
+        thresh = 1 << step
+        expr = (f"({expr} + (CASE WHEN {rem} >= {thresh} "
+                f"THEN {step} ELSE 0 END))")
+        rem = (f"(CASE WHEN {rem} >= {thresh} THEN "
+               f"CAST(({rem} - {rem} % {thresh}) / {thresh} "
+               f"AS DECIMAL(20,0)) ELSE {rem} END)")
+    bitlen = f"({expr} + (CASE WHEN {rem} >= 1 THEN 1 ELSE 0 END))"
+    wbits = 64 - b
+    t = t.withColumn("rho", F.expr(f"CAST({wbits + 1} - {bitlen} AS INT)"))
+    return (
+        t.groupBy("bucket")
+        .agg(F.max("rho").cast("int").alias("register"))
+    )

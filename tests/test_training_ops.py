@@ -683,3 +683,31 @@ def test_mixture_interleave_prefix_ratios(spark):
          for r in out13.collect())
     )
     assert rows == rows13
+
+
+def test_hll_registers_merge_and_bounds(spark):
+    """Register table properties: shard merge by max equals the whole-
+    corpus build (the property that makes HLLs shippable), registers
+    are within [1, 57], and adding duplicate tokens changes nothing."""
+    from pyspark.sql import functions as F
+
+    from geobuf_cpp_spark.operators.sketches import hll_registers
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i % 11} common text") for i in range(120)],
+        "doc_id long, text string",
+    )
+    whole = {(r["bucket"], r["register"])
+             for r in hll_registers(docs).collect()}
+    a = hll_registers(docs.where("doc_id % 2 = 0"))
+    b = hll_registers(docs.where("doc_id % 2 = 1"))
+    merged = {
+        (r["bucket"], r["register"])
+        for r in a.unionByName(b).groupBy("bucket")
+        .agg(F.max("register").alias("register")).collect()
+    }
+    assert merged == whole
+    assert all(1 <= reg <= 57 for _, reg in whole)
+    doubled = {(r["bucket"], r["register"])
+               for r in hll_registers(docs.unionByName(docs)).collect()}
+    assert doubled == whole
