@@ -3241,15 +3241,18 @@ def oracle_sql() -> dict[str, str]:
         # IGNORE NULLS last_value in both engines; the double is only
         # ever selected, so repr-level float parity holds
         "hll_registers": (
-            "WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok "
-            "FROM documents), "
-            "h AS (SELECT md5_number_lower(tok) AS md5h FROM t "
-            "WHERE tok <> ''), "
-            "r AS (SELECT CAST(md5h % 256 AS INTEGER) AS bucket, "
-            "md5h // 256 AS w FROM h) "
-            "SELECT bucket, CAST(max(57 - (((((((0 + (CASE WHEN w >= 4294967296 THEN 32 ELSE 0 END)) + (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN 16 ELSE 0 END)) + (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN 8 ELSE 0 END)) + (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN 4 ELSE 0 END)) + (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) >= 4 THEN 2 ELSE 0 END)) + (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) >= 4 THEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) // 4 ELSE (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) END) >= 2 THEN 1 ELSE 0 END)) + (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) >= 4 THEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) // 4 ELSE (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) END) >= 2 THEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) >= 4 THEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) // 4 ELSE (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) END) // 2 ELSE (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) >= 4 THEN (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) // 4 ELSE (CASE WHEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) >= 16 THEN (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) // 16 ELSE (CASE WHEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) >= 256 THEN (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) // 256 ELSE (CASE WHEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) >= 65536 THEN (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) // 65536 ELSE (CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END) END) END) END) END) END) >= 1 THEN 1 ELSE 0 END))) "
-            "AS INTEGER) AS register FROM r GROUP BY bucket"
-        ),
+            lambda rho: (
+                "WITH t AS (SELECT unnest(string_split(text, ' ')) "
+                "AS tok FROM documents), "
+                "hx AS (SELECT md5(tok) AS h, "
+                "md5_number_lower(tok) AS hn FROM t WHERE tok <> ''), "
+                f"r AS (SELECT CAST(hn % 256 AS INTEGER) AS bucket, "
+                f"{rho} AS rho FROM hx) "
+                "SELECT bucket, CAST(max(rho) AS INTEGER) AS register "
+                "FROM r GROUP BY bucket"
+            )
+        )(__import__("geobuf_cpp_spark.operators.sketches",
+                     fromlist=["sql_hll_rho"]).sql_hll_rho("h")),
         "gapfill_locf": (
             "WITH x AS (SELECT user_id, epoch_ms(ts) // 3600000 AS bk, "
             "value AS v, ROW_NUMBER() OVER (PARTITION BY user_id, "

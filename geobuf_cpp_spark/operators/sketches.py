@@ -267,48 +267,60 @@ def kmv_sketch_grouped(docs_df: DataFrame, group_col: str = "lang",
 
 
 HLL_B = 8                      # 2^8 = 256 registers
-_HLL_WBITS = 56                # md5_low64 minus the bucket byte
+
+
+def sql_hll_rho(hex_expr: str) -> str:
+    """rho SQL over a lowercase md5 HEX column — one shared text
+    executed verbatim by Spark and DuckDB.
+
+    The md5-low-64 contract (`md5_low64`) reads digest bytes 8..15
+    little-endian; the HLL split is bucket = byte 8 (hex pair 17) and
+    w = bytes 9..15 (hex pairs 31,29,..,19 high-to-low). rho =
+    57 - bitlength(w) computed on the HEX STRING: strip leading zero
+    hex chars (regexp_replace — portable, unlike ltrim whose argument
+    order differs between engines), then 4 bits per remaining char plus
+    a 4-way CASE for the leading char — pure string/int ops, no decimal
+    arithmetic (a decimal binary-search cascade cost ~4s at sf0.1).
+    The BUCKET stays engine-idiomatic (Spark ``conv`` of hex pair 17;
+    DuckDB ``md5_number_lower % 256`` — equal by the byte-8 contract).
+    """
+    whex = ("concat(" + ", ".join(
+        f"substring({hex_expr}, {pos}, 2)"
+        for pos in (31, 29, 27, 25, 23, 21, 19)) + ")")
+    stripped = f"regexp_replace({whex}, '^0+', '')"
+    lead = f"substring({stripped}, 1, 1)"
+    lead_bits = (
+        f"(CASE WHEN {lead} = '1' THEN 1 "
+        f"WHEN {lead} IN ('2', '3') THEN 2 "
+        f"WHEN {lead} IN ('4', '5', '6', '7') THEN 3 ELSE 4 END)"
+    )
+    bitlen = (f"(CASE WHEN length({stripped}) = 0 THEN 0 "
+              f"ELSE (length({stripped}) - 1) * 4 + {lead_bits} END)")
+    return f"CAST(57 - {bitlen} AS INT)"
 
 
 def hll_registers(docs_df: DataFrame, text_col: str = "text",
                   b: int = HLL_B) -> DataFrame:
     """HyperLogLog register table over the corpus token stream.
 
-    The fourth sketch family: bucket = low ``b`` bits of the 64-bit md5
-    hash, register = max over tokens of rho(w) where w is the remaining
-    56 bits and rho = (position of the highest set bit from the top) + 1
-    = 57 - bitlength(w). All exact integers: bitlength comes from a
-    6-step binary-search CASE cascade, never a float log, so the full
-    register table hash-gates against DuckDB recomputing it from
-    ``md5_number_lower``. max() is idempotent, so no distinct is needed
-    and shard MERGE is the same groupBy().max() over a union. The float
-    harmonic-mean ESTIMATE stays with the caller — registers are the
-    portable artifact (exactly how HLLs ship between systems).
+    The fourth sketch family: bucket = digest byte 8 of the md5-low-64
+    contract, register = max over tokens of rho(w) where w is the
+    remaining 56 bits and rho = 57 - bitlength(w). All exact integers
+    via hex-string arithmetic (`sql_hll_parts` — no float log, no
+    decimal cascade), so the full register table hash-gates against
+    DuckDB recomputing it from the same md5 hex. max() is idempotent:
+    no distinct needed, and shard MERGE is the same groupBy().max()
+    over a union. The float harmonic-mean ESTIMATE stays with the
+    caller — registers are the portable artifact (exactly how HLLs
+    ship between systems).
     """
-    assert 1 <= b <= 16
-    n_buckets = 1 << b
+    assert b == 8, "bucket split is the fixed byte-8 contract"
     toks = _tokens(docs_df, text_col)
-    t = toks.select(md5_low64(F.col("tok")).alias("md5h")).select(
-        F.expr(f"CAST(md5h % {n_buckets} AS INT)").alias("bucket"),
-        F.expr(
-            f"CAST((md5h - md5h % {n_buckets}) / {n_buckets} "
-            "AS DECIMAL(20,0))"
-        ).alias("w"),
-    )
-    # bitlength(w) for w in [0, 2^56): binary-search cascade, pure integers
-    expr = "0"
-    rem = "w"
-    for step in (32, 16, 8, 4, 2, 1):
-        thresh = 1 << step
-        expr = (f"({expr} + (CASE WHEN {rem} >= {thresh} "
-                f"THEN {step} ELSE 0 END))")
-        rem = (f"(CASE WHEN {rem} >= {thresh} THEN "
-               f"CAST(({rem} - {rem} % {thresh}) / {thresh} "
-               f"AS DECIMAL(20,0)) ELSE {rem} END)")
-    bitlen = f"({expr} + (CASE WHEN {rem} >= 1 THEN 1 ELSE 0 END))"
-    wbits = 64 - b
-    t = t.withColumn("rho", F.expr(f"CAST({wbits + 1} - {bitlen} AS INT)"))
+    bucket = "CAST(conv(substring(h, 17, 2), 16, 10) AS INT)"
+    rho = sql_hll_rho("h")
     return (
-        t.groupBy("bucket")
+        toks.select(F.md5(F.col("tok").cast("binary")).alias("h"))
+        .selectExpr(f"{bucket} AS bucket", f"{rho} AS rho")
+        .groupBy("bucket")
         .agg(F.max("rho").cast("int").alias("register"))
     )
