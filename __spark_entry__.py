@@ -2068,7 +2068,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
+    # Ordering is deliberate: the driver signs only the FIRST 50 entries each
+    # round, and through round 4 it always sampled insertion-order positions
+    # 1-50, so the tail gates (ngram_jaccard..triangle_count) never received a
+    # driver-signed CORRECTNESS row (VERDICT r4 item #2). Round 5 rotates:
+    # the 43 never/least-sampled gates go first, new round-5 gates next
+    # (inside the 50-wide sample window), then the middle 20 unsampled-in-r04
+    # block, then the 50 that r04 already signed.
     return {
+        # -- block 1: never driver-signed through r4 (43) -------------------
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
+        "pq_ann_topk": q_pq_ann_topk,
+        "lsh_neardup": q_lsh_neardup,
+        "ivf_pruned": q_ivf_pruned,
+        "ivfpq_topk": q_ivfpq_topk,
+        "media_stats": q_media_stats,
+        "media_features": q_media_features,
+        "range_join": q_range_join,
+        "range_join_wrap": q_range_join_wrap,
+        "segment_crossings": q_segment_crossings,
+        "points_near_segments": q_points_near_segments,
+        "segment_components": q_segment_components,
+        "nearest_admin": q_nearest_admin,
+        "quality_deciles": q_quality_deciles,
+        "merge_upsert": q_merge_upsert,
+        "trajectory_len": q_trajectory_len,
+        "chunk_dedup": q_chunk_dedup,
+        "repetition_stats": q_repetition_stats,
+        "token_rarity": q_token_rarity,
+        "pii_scrub": q_pii_scrub,
+        "ngram_decontaminate": q_ngram_decontaminate,
+        "tile_clip": q_tile_clip,
+        "stratified_sample": q_stratified_sample,
+        "event_pivot": q_event_pivot,
+        "funnel": q_funnel,
+        "cell_smooth": q_cell_smooth,
+        "hilbert_index": q_hilbert_index,
+        "cohort_retention": q_cohort_retention,
+        "grid_cluster": wrap(q_grid_cluster),
+        "cms_sketch": q_cms_sketch,
+        "cms_estimate": q_cms_estimate,
+        "kmv_sketch": q_kmv_sketch,
+        "kmv_distinct": q_kmv_distinct,
+        "hll_registers": q_hll_registers,
+        "term_cooccur": q_term_cooccur,
+        "props_agg": q_props_agg,
+        "bloom_bits": q_bloom_bits,
+        "bloom_probe": q_bloom_probe,
+        "gapfill_locf": q_gapfill_locf,
+        "sliding_stats": q_sliding_stats,
+        "triangle_count": q_triangle_count,
+        # -- block 2: new round-5 gates (inside the sample window) ----------
+        # (inserted here as implemented)
+        # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
+        "rolling_events": q_rolling_events,
+        "value_quantiles": q_value_quantiles,
+        "nation_rollup_cube": q_nation_rollup_cube,
+        "customers_no_orders": q_customers_no_orders,
+        "region_rollup": q_region_rollup,
+        "exact_dedup": q_exact_dedup,
+        "dedup_clusters": q_dedup_clusters,
+        "doc_stats": q_doc_stats,
+        "quality_score": q_quality_score,
+        "lang_signal": q_lang_signal,
+        "fingerprints": q_fingerprints,
+        "token_count": q_token_count,
+        "top_terms": q_top_terms,
+        "corpus_filter": q_corpus_filter,
+        "doc_sample": q_doc_sample,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "decontaminate": q_decontaminate,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "embed_neardup": q_embed_neardup,
+        # -- block 4: driver-signed green in CORRECTNESS_r04 (50) -----------
         "cell_assign": wrap(q_cell_assign),
         "cell_rollup": wrap(q_cell_rollup),
         "pip_boxes_join": wrap(q_pip_boxes_join),
@@ -2119,69 +2194,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_reads": q_snapshot_reads,
         "asof_view": q_asof_view,
         "interval_view": q_interval_view,
-        "rolling_events": q_rolling_events,
-        "value_quantiles": q_value_quantiles,
-        "nation_rollup_cube": q_nation_rollup_cube,
-        "customers_no_orders": q_customers_no_orders,
-        "region_rollup": q_region_rollup,
-        "exact_dedup": q_exact_dedup,
-        "dedup_clusters": q_dedup_clusters,
-        "doc_stats": q_doc_stats,
-        "quality_score": q_quality_score,
-        "lang_signal": q_lang_signal,
-        "fingerprints": q_fingerprints,
-        "token_count": q_token_count,
-        "top_terms": q_top_terms,
-        "corpus_filter": q_corpus_filter,
-        "doc_sample": q_doc_sample,
-        "top_docs_per_lang": q_top_docs_per_lang,
-        "decontaminate": q_decontaminate,
-        "minhash_neardup": q_minhash_neardup,
-        "simhash_neardup": q_simhash_neardup,
-        "embed_neardup": q_embed_neardup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_topk": q_ann_topk,
-        "ann_ivf": q_ann_ivf,
-        "pq_ann_topk": q_pq_ann_topk,
-        "lsh_neardup": q_lsh_neardup,
-        "ivf_pruned": q_ivf_pruned,
-        "ivfpq_topk": q_ivfpq_topk,
-        "media_stats": q_media_stats,
-        "media_features": q_media_features,
-        "range_join": q_range_join,
-        "range_join_wrap": q_range_join_wrap,
-        "segment_crossings": q_segment_crossings,
-        "points_near_segments": q_points_near_segments,
-        "segment_components": q_segment_components,
-        "nearest_admin": q_nearest_admin,
-        "quality_deciles": q_quality_deciles,
-        "merge_upsert": q_merge_upsert,
-        "trajectory_len": q_trajectory_len,
-        "chunk_dedup": q_chunk_dedup,
-        "repetition_stats": q_repetition_stats,
-        "token_rarity": q_token_rarity,
-        "pii_scrub": q_pii_scrub,
-        "ngram_decontaminate": q_ngram_decontaminate,
-        "tile_clip": q_tile_clip,
-        "stratified_sample": q_stratified_sample,
-        "event_pivot": q_event_pivot,
-        "funnel": q_funnel,
-        "cell_smooth": q_cell_smooth,
-        "hilbert_index": q_hilbert_index,
-        "cohort_retention": q_cohort_retention,
-        "grid_cluster": wrap(q_grid_cluster),
-        "cms_sketch": q_cms_sketch,
-        "cms_estimate": q_cms_estimate,
-        "kmv_sketch": q_kmv_sketch,
-        "kmv_distinct": q_kmv_distinct,
-        "hll_registers": q_hll_registers,
-        "term_cooccur": q_term_cooccur,
-        "props_agg": q_props_agg,
-        "bloom_bits": q_bloom_bits,
-        "bloom_probe": q_bloom_probe,
-        "gapfill_locf": q_gapfill_locf,
-        "sliding_stats": q_sliding_stats,
-        "triangle_count": q_triangle_count,
     }
 
 

@@ -123,34 +123,43 @@ def main() -> None:
             timings[name] = round(best, 3)
 
     total = round(sum(timings.values()) + pipeline_sec, 3)
-    record = json.dumps(
+    headline = {
+        "metric": "encode+pip_pipeline_plus_queries",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "pipeline_sec": round(pipeline_sec, 3),
+        "pages_per_sec": round(pages_per_sec, 1),
+        "n_queries": len(timings),
+        "queries_sec": round(sum(timings.values()), 3),
+        "cpus": cpus,
+    }
+    full_record = json.dumps(
         {
-            "metric": "encode+pip_pipeline_plus_queries",
-            "value": total,
-            "unit": "sec",
+            **headline,
             "queries": timings,
-            "sf": sf,
-            "pipeline_sec": round(pipeline_sec, 3),
             "pipeline_cold_sec": round(pipeline_cold_sec, 3),
             "pages": n_pages,
-            "pages_per_sec": round(pages_per_sec, 1),
             "pip_matches": n_matches,
-            "cpus": cpus,
         }
     )
-    # round 3's record was lost to Spark console output interleaving with
-    # the driver's tail capture. Belt and braces: stop Spark FIRST (no more
-    # JVM writes to our streams), persist a copy the judge can always read,
-    # then emit the one-line JSON as the final stdout line.
+    # Rounds 3 AND 4 both lost the bench record: r3 to console interleaving,
+    # r4 because the one-line JSON carrying ~113 per-query timings (~4 KB)
+    # overflowed the driver's tail-capture window, truncating the line's
+    # FRONT. So: stop Spark first (no more JVM writes to our streams),
+    # persist the FULL record (with the per-query dict) to BENCH/latest.json
+    # for the judge, and print only a SHORT headline-only JSON (~200 bytes,
+    # no per-query dict — it cannot overflow any plausible tail window) as
+    # the final stdout line for the driver to parse.
     spark.stop()
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH", "latest.json"), "w") as fh:
-            fh.write(record + "\n")
+            fh.write(full_record + "\n")
     except OSError:
         pass
     sys.stdout.flush()
-    print(record, flush=True)
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":
