@@ -11,12 +11,22 @@ the table-format contract directly over parquet + JSON manifests:
   ``v{N}.json`` listing every data directory visible at that version.
   A reader resolves ONE manifest and reads exactly those directories —
   concurrent or failed writers can never make it see a torn state.
-* **Atomic commit**: the manifest is written to a temp name and
-  ``os.rename``-ed into place (same-filesystem rename is atomic), the
-  same crash-safety discipline as plans/manifest.py.
+* **Atomic commit with optimistic concurrency**: the manifest is
+  written to a temp name and published with ``os.link`` — an exclusive
+  create that FAILS if the version already exists, unlike rename's
+  silent replace. Two racing committers therefore serialize: the loser
+  sees ``FileExistsError``, re-reads the new head, rebuilds its
+  manifest on top, and retries (its data dir was already written and is
+  commit-id-unique, so only the tiny JSON step repeats). This is the
+  same compare-and-swap discipline Iceberg uses on its catalog pointer.
 * **Time travel**: ``read_snapshot(version=K)`` reproduces any
   historical version bit-for-bit, because the data dirs it lists are
   immutable.
+* **Uniform layout per lineage**: a manifest records the lineage's
+  ``partition_by`` layout; appends adopt it automatically (so an append
+  after a hive-partitioned compaction stays partitioned and the union
+  read never mixes directory structures) and raise if the caller
+  requests a conflicting layout.
 
 At cluster scale the manifest stays tiny (one JSON per commit listing
 directories, not files) and reads prune to the listed dirs — the scan
@@ -49,6 +59,69 @@ def snapshot_versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
+def _read_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version)) as fh:
+        return json.load(fh)
+
+
+def _layout(manifest: dict) -> list[str] | None:
+    return manifest.get("partition_by") or None
+
+
+def _publish_manifest(table_dir: str, data_rel: str, mode: str,
+                      batch_id: int | None,
+                      partition_by: list[str] | None) -> int:
+    """Compare-and-swap commit loop: build the manifest against the
+    current head and publish it under the next version number with an
+    exclusive create (``os.link`` fails with EEXIST instead of silently
+    replacing, unlike rename). On losing the race, re-read the new head
+    and retry — the data dir is already written and never needs to move.
+
+    Raises ``ValueError`` if a concurrent commit changed the lineage's
+    partition layout out from under an append (the loser's flat/typed
+    data no longer matches the head's directory structure and must be
+    rewritten by the caller).
+    """
+    while True:
+        versions = snapshot_versions(table_dir)
+        if batch_id is not None:
+            # re-checked every attempt: a replayed micro-batch racing
+            # with itself must resolve to ONE committed version (the
+            # loser's freshly written data dir is left unreferenced for
+            # vacuum to collect)
+            for v in versions:
+                if _read_manifest(table_dir, v).get("batch_id") == batch_id:
+                    return v
+        prev = versions[-1] if versions else 0
+        dirs = [data_rel]
+        if mode == "append" and prev:
+            head = _read_manifest(table_dir, prev)
+            want = list(partition_by) if partition_by else None
+            if _layout(head) != want:
+                raise ValueError(
+                    f"append layout {want} conflicts with lineage layout "
+                    f"{_layout(head)} at v{prev} — rewrite the append "
+                    "with the lineage's partition_by")
+            dirs = head["data_dirs"] + dirs
+        version = prev + 1
+        manifest = {"version": version, "data_dirs": dirs}
+        if partition_by:
+            manifest["partition_by"] = list(partition_by)
+        if batch_id is not None:
+            manifest["batch_id"] = batch_id
+        tmp = _manifest_path(table_dir, version) \
+            + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            os.link(tmp, _manifest_path(table_dir, version))
+        except FileExistsError:
+            os.remove(tmp)
+            continue  # lost the race: rebuild against the new head
+        os.remove(tmp)
+        return version
+
+
 def write_snapshot(df: DataFrame, table_dir: str,
                    mode: str = "append",
                    batch_id: int | None = None,
@@ -65,15 +138,24 @@ def write_snapshot(df: DataFrame, table_dir: str,
     already records it, that version is returned and nothing is written
     — the contract a Structured Streaming ``foreachBatch`` sink needs
     for exactly-once output under micro-batch replay.
+
+    Concurrent committers are safe: the manifest publish is a CAS loop
+    (see ``_publish_manifest``) — both commits land, serialized under
+    distinct versions, neither silently lost.
+
+    Appends inherit the lineage's recorded ``partition_by`` layout when
+    the caller passes none (so appends after a hive-partitioned
+    compaction keep the directory structure uniform); passing a
+    DIFFERENT layout than the lineage's raises.
     """
     assert mode in ("append", "overwrite")
     versions = snapshot_versions(table_dir)
     if batch_id is not None:
         for v in versions:
-            with open(_manifest_path(table_dir, v)) as fh:
-                if json.load(fh).get("batch_id") == batch_id:
-                    return v
-    prev = versions[-1] if versions else 0
+            if _read_manifest(table_dir, v).get("batch_id") == batch_id:
+                return v
+    if mode == "append" and versions and partition_by is None:
+        partition_by = _layout(_read_manifest(table_dir, versions[-1]))
     commit_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(table_dir, "data", commit_id)
     writer = df.write.mode("error")
@@ -82,20 +164,8 @@ def write_snapshot(df: DataFrame, table_dir: str,
     for k, v in (writer_options or {}).items():
         writer = writer.option(k, v)
     writer.parquet(data_dir)
-
-    dirs = [os.path.join("data", commit_id)]
-    if mode == "append" and prev:
-        with open(_manifest_path(table_dir, prev)) as fh:
-            dirs = json.load(fh)["data_dirs"] + dirs
-    version = prev + 1
-    tmp = _manifest_path(table_dir, version) + f".tmp.{os.getpid()}"
-    with open(tmp, "w") as fh:
-        manifest = {"version": version, "data_dirs": dirs}
-        if batch_id is not None:
-            manifest["batch_id"] = batch_id
-        json.dump(manifest, fh)
-    os.rename(tmp, _manifest_path(table_dir, version))
-    return version
+    return _publish_manifest(table_dir, os.path.join("data", commit_id),
+                             mode, batch_id, partition_by)
 
 
 def snapshot_stream_sink(table_dir: str):
@@ -113,6 +183,31 @@ def snapshot_stream_sink(table_dir: str):
     return write
 
 
+def _read_dirs(spark: SparkSession, table_dir: str, dirs: list[str],
+               layout: list[str] | None) -> DataFrame:
+    """Scan a manifest's data dirs. Flat lineages read in one multi-path
+    scan. Hive-partitioned lineages (post-compaction) must read each
+    commit dir as its own root — Spark refuses multiple partitioned
+    roots in one scan — then union; the per-dir scans keep partition
+    pruning, and types are aligned to the first dir's schema so
+    per-commit partition-value inference can never drift the union."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    paths = [os.path.join(table_dir, d) for d in dirs]
+    if not layout:
+        return spark.read.parquet(*paths)
+    parts = [spark.read.parquet(p) for p in paths]
+    fields = parts[0].schema.fields
+    aligned = [parts[0]] + [
+        df.select([F.col(f.name).cast(f.dataType).alias(f.name)
+                   for f in fields])
+        for df in parts[1:]
+    ]
+    return reduce(DataFrame.unionByName, aligned)
+
+
 def read_snapshot(spark: SparkSession, table_dir: str,
                   version: int | None = None) -> DataFrame:
     """Read the table as of ``version`` (default: latest)."""
@@ -122,9 +217,9 @@ def read_snapshot(spark: SparkSession, table_dir: str,
     v = version if version is not None else versions[-1]
     if v not in versions:
         raise FileNotFoundError(f"snapshot v{v} not found in {versions}")
-    with open(_manifest_path(table_dir, v)) as fh:
-        dirs = json.load(fh)["data_dirs"]
-    return spark.read.parquet(*[os.path.join(table_dir, d) for d in dirs])
+    manifest = _read_manifest(table_dir, v)
+    return _read_dirs(spark, table_dir, manifest["data_dirs"],
+                      _layout(manifest))
 
 
 def read_changes(spark: SparkSession, table_dir: str,
@@ -139,11 +234,9 @@ def read_changes(spark: SparkSession, table_dir: str,
     table. (Overwrite commits restart lineage; a delta across an
     overwrite boundary raises rather than guessing.)
     """
-    out_dirs = []
-    for v in (from_version, to_version):
-        with open(_manifest_path(table_dir, v)) as fh:
-            out_dirs.append(json.load(fh)["data_dirs"])
-    old, new = out_dirs
+    to_manifest = _read_manifest(table_dir, to_version)
+    old = _read_manifest(table_dir, from_version)["data_dirs"]
+    new = to_manifest["data_dirs"]
     if not set(old).issubset(new):
         raise ValueError(
             f"v{to_version} does not extend v{from_version} "
@@ -151,8 +244,7 @@ def read_changes(spark: SparkSession, table_dir: str,
     delta = [d for d in new if d not in set(old)]
     if not delta:
         return read_snapshot(spark, table_dir, to_version).limit(0)
-    return spark.read.parquet(
-        *[os.path.join(table_dir, d) for d in delta])
+    return _read_dirs(spark, table_dir, delta, _layout(to_manifest))
 
 
 def compact_snapshot(spark: SparkSession, table_dir: str, key_col: str,
@@ -201,6 +293,13 @@ def vacuum_snapshots(table_dir: str, keep_versions: int = 1) -> dict:
     under the append lineage (an append manifest lists all its
     ancestors' dirs), so a reader of any KEPT version never loses a
     file; only time travel past the horizon is given up.
+
+    Concurrent-writer safe: a committer writes its data dir BEFORE its
+    manifest, so an unreferenced dir may simply be a commit in flight.
+    Vacuum only deletes dirs older (mtime) than the newest retained
+    manifest — any dir written after that commit point is left for a
+    later vacuum, by which time its manifest exists (referenced) or its
+    writer is long dead (collected).
     """
     import shutil
 
@@ -209,16 +308,21 @@ def vacuum_snapshots(table_dir: str, keep_versions: int = 1) -> dict:
     keep = versions[-keep_versions:]
     referenced: set[str] = set()
     for v in keep:
-        with open(_manifest_path(table_dir, v)) as fh:
-            referenced.update(json.load(fh)["data_dirs"])
+        referenced.update(_read_manifest(table_dir, v)["data_dirs"])
+    horizon = (os.path.getmtime(_manifest_path(table_dir, keep[-1]))
+               if keep else float("inf"))
     deleted_dirs = 0
     data_root = os.path.join(table_dir, "data")
     if os.path.isdir(data_root):
         for name in os.listdir(data_root):
             rel = os.path.join("data", name)
-            if rel not in referenced:
-                shutil.rmtree(os.path.join(data_root, name),
-                              ignore_errors=True)
+            path = os.path.join(data_root, name)
+            try:
+                in_flight = os.path.getmtime(path) >= horizon
+            except OSError:
+                in_flight = True
+            if rel not in referenced and not in_flight:
+                shutil.rmtree(path, ignore_errors=True)
                 deleted_dirs += 1
     deleted_manifests = 0
     for v in versions:
