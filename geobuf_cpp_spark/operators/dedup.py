@@ -343,18 +343,32 @@ def dedup_clusters(docs_df, pairs_df, id_col: str = "doc_id"):
     (doc_id, cluster_id) for every document; singletons label themselves;
     cluster_id = min doc id of the component (the keeper).
     """
-    labels = docs_df.select(F.col(id_col).alias("id")).withColumn(
-        "lbl", F.col("id")
-    )
     e = pairs_df.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # one up-front shuffle onto the per-round join key: localCheckpoint
+    # preserves outputPartitioning, so every round's edges-side of the
+    # neighbor join (the largest table in the loop) reuses this layout
+    # instead of re-exchanging — saves one edge shuffle per round
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    labels = labels.localCheckpoint()
+    ).repartition("dst").localCheckpoint(eager=False)
+    # The loop runs ONLY over nodes that appear in an edge: singletons
+    # (the overwhelming majority of a deduped corpus — and of a road
+    # network's crossing graph) can never change label, so hauling them
+    # through every iteration's joins and checkpoints just multiplies
+    # per-round cost; they rejoin as self-labeled rows at the end.
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
     # Convergence check: labels only ever DECREASE under min-propagation,
     # so the label sum is strictly monotone until the fixpoint — one
     # aggregate per round instead of an old-vs-new join. Summed in
-    # decimal(38,0) so corpus-scale id sums cannot overflow/wrap.
+    # decimal(38,0) so corpus-scale id sums cannot overflow/wrap. The
+    # checkpoints are LAZY: this aggregate is the single Spark job per
+    # round, materializing the round's checkpoint as a side effect
+    # (eager checkpoints would double the job count, and driver-side
+    # job latency — not data — dominates small/medium graphs).
     prev_sum = None
     while True:
         nbr = (
@@ -383,7 +397,7 @@ def dedup_clusters(docs_df, pairs_df, id_col: str = "doc_id"):
         new_labels = (
             stepped.join(hop, "lbl", "left")
             .select("id", F.coalesce("lbl2", "lbl").alias("lbl"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = new_labels.agg(
             F.sum(F.col("lbl").cast("decimal(38,0)"))
@@ -393,8 +407,14 @@ def dedup_clusters(docs_df, pairs_df, id_col: str = "doc_id"):
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    singletons = (
+        docs_df.select(F.col(id_col).alias("id"))
+        .join(labels.select("id"), "id", "left_anti")
+        .withColumn("lbl", F.col("id"))
+    )
+    out = labels.unionByName(singletons)
     edges.unpersist()
-    return labels.select(
+    return out.select(
         F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
     )
 
