@@ -2353,11 +2353,10 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE ix BETWEEN {ZM_LO} AND {ZM_HI}"
         ),
         # hex candidates use Spark's `div` (truncate); DuckDB gets `//`
-        # (floor). They diverge only where 2*ix - sx < 0 (ix < 14 on odd
-        # rows), where the two engines enumerate shifted candidate COLS —
-        # but both sets provably contain the global argmin and no d2 tie
-        # spans the shifted member, so the selected (d2, hr, hc) is
-        # identical (see functions/cells.hex_candidates_sql).
+        # (floor). The candidate SQL keeps its division numerator
+        # non-negative by construction (period shift, see
+        # functions/cells.hex_candidates_sql), where truncation and
+        # floor coincide — the operators are exactly interchangeable.
         "hex_assign": (
             lambda cands: (
                 f"WITH p AS ({P.IPOINTS_SELECT}), "

@@ -365,8 +365,8 @@ def sql_geohash(lat_expr: str, lon_expr: str, length: int = 6) -> str:
 # hexagonal binning — H3-style hex topology with EXACT integer assignment
 # ---------------------------------------------------------------------------
 
-HEX_W = 56   # within-row center spacing (even; parity shift = w/2 = 28)
-HEX_VY = 48  # row spacing; w/2 <= vy keeps the 4-candidate set sufficient
+HEX_W = 56   # within-row center spacing (odd-row parity shift = w/2 = 28)
+HEX_VY = 48  # row spacing; w < sqrt(3)*vy keeps the 4-candidate set sufficient
 
 
 def hex_candidates_sql(x_col: str, y_col: str,
@@ -374,22 +374,33 @@ def hex_candidates_sql(x_col: str, y_col: str,
     """SQL for the 4 candidate hex centers (r, c, d2) of a lattice point.
 
     Hexagonal cells are the Voronoi regions of a triangular center
-    lattice: centers at (c*w + (r%2)*w/2, r*vy). On DOUBLED x
-    coordinates everything is integer, so the nearest-center choice is
-    exact in BIGINT. With w/2 <= vy <= sqrt((vy/2)^2+(w/2)^2) bounds,
-    the nearest center is always among rows {r0, r0+1} and each row's
-    cols {c0, c0+1} — 4 candidates. (Integer spacings make the cells
-    slightly stretched hexagons — vy/w = 6/7 vs the regular sqrt(3)/2 —
-    topology and neighbor structure identical to a regular hex grid.)
+    lattice: centers at (c*w + (r%2)*w/2, r*vy) — odd rows staggered by
+    half the column spacing. On DOUBLED x coordinates everything is
+    integer (the stagger contributes 2*(w/2) = w), so the nearest-center
+    choice is exact in BIGINT. Sufficiency of the 4-candidate set
+    {r0, r0+1} x {c0, c0+1}: the bracketing rows hold a center within
+    sqrt((vy/2)^2 + (w/2)^2) of the point while any other row is at
+    least vy away, so w*w < 3*vy*vy (strict — no cross-row d2 ties)
+    guarantees the true argmin is among the candidates; within a row the
+    floor/floor+1 columns bracket x, so each row's nearest center is
+    always included. (Integer spacings make the cells slightly
+    stretched hexagons — vy/w = 6/7 vs the regular sqrt(3)/2 — topology
+    and neighbor structure identical to a regular hex grid.)
     Requires x, y >= 0 (the engine's lattice domain).
     """
-    assert w % 2 == 0 and 2 * vy >= w, "need even w and w/2 <= vy"
+    assert w * w < 3 * vy * vy, "4-candidate sufficiency needs w < sqrt(3)*vy"
     out = []
     for r_off in (0, 1):
         for c_off in (0, 1):
             r = f"(({y_col}) div {vy} + {r_off})"
-            sx = f"(({r}) % 2) * {w // 2}"
-            c = f"((2 * ({x_col}) - {sx}) div {2 * w} + {c_off})"
+            sx = f"(({r}) % 2) * {w}"
+            # column bracketing needs FLOOR division, but the numerator
+            # 2x - sx can be negative (odd rows, x < w/2) where Spark's
+            # `div` truncates toward zero while DuckDB's `//` floors.
+            # Shifting the numerator by +2w (one whole period, subtracted
+            # back from c) keeps it positive for every x >= 0, so both
+            # engines' operators agree exactly — no divergence zone.
+            c = f"((2 * ({x_col}) - {sx} + {2 * w}) div {2 * w} - 1 + {c_off})"
             cx2 = f"(2 * ({c}) * {w} + {sx})"
             cy2 = f"(2 * ({r}) * {vy})"
             d2 = (f"((2 * ({x_col}) - {cx2}) * (2 * ({x_col}) - {cx2}) + "

@@ -75,9 +75,12 @@ def segment_intersections(segs: DataFrame, cell_size: int,
                           id_col: str = "seg_id") -> DataFrame:
     """(id_a, id_b) for every intersecting unordered segment pair.
 
-    ``cell_size`` must be >= the max per-axis segment extent (asserted
-    per row in the plan via the bbox cell span) so each bbox overlaps at
-    most a 2x2 cell block — candidate fan-out is O(4) per segment.
+    Size ``cell_size`` >= the max per-axis segment extent so each bbox
+    overlaps at most a 2x2 cell block — candidate fan-out O(4) per
+    segment. A smaller ``cell_size`` stays CORRECT (the ``sequence()``
+    explode simply covers the full cell span, and smallest-shared-cell
+    dedup still emits each pair once) but degrades the fan-out bound to
+    O(span^2) for segments longer than a cell.
     """
     c = int(cell_size)
     assert c > 0

@@ -284,13 +284,14 @@ def tfidf_topk(docs_df, k: int = 5, id_col: str = "doc_id",
     """Per-document top-k salient terms by exact-integer inverse document
     frequency: score = (tf * scale) div df.
 
-    The textbook tf-idf weight tf * ln(N/df) ranks a document's terms by
-    tf against inverse frequency; since N (corpus size) multiplies every
-    term of a document equally it never changes the per-document order,
-    so the corpus-constant is dropped and the log replaced with a linear
-    inverse — a deterministic BIGINT score both engines compute
-    identically (no transcendental floats), bounded by tf * scale < 2^63
-    for any real document at any corpus size.
+    This is its own salience ranking, in the tf-idf FAMILY but not
+    order-equivalent to the textbook tf * ln(N/df) (dropping N and
+    trading the log for a linear inverse can reorder terms whose tf
+    differs). What it buys: a deterministic BIGINT score both engines
+    compute identically — no transcendental floats to drift between
+    JVM and DuckDB — bounded by tf * scale < 2^63 for any real document
+    at any corpus size, and still monotone in tf and anti-monotone in
+    df like any tf-idf weighting.
 
     Plan shape: token explode -> (doc, term) hash agg -> term-keyed df
     agg -> one term equi-join -> WindowGroupLimit top-k per document

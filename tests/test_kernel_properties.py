@@ -232,7 +232,7 @@ def test_hex_candidates_sql_argmin_matches_brute_force(x, y):
     best = None
     r0 = y // HEX_VY
     for r in range(max(r0 - 2, 0), r0 + 3):
-        sx = (r % 2) * (HEX_W // 2)
+        sx = (r % 2) * HEX_W  # doubled-space stagger: real shift = w/2
         c0 = (2 * x - sx) // (2 * HEX_W)
         for c in range(c0 - 2, c0 + 3):
             cx2, cy2 = 2 * c * HEX_W + sx, 2 * r * HEX_VY
