@@ -1925,10 +1925,29 @@ def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract and a binary-search bitlength cascade — the full register
     table hash-gates against DuckDB recomputing it from
     md5_number_lower."""
+    _prep(spark, sf_dir, "documents")
+    return _shared_hll(spark, sf_dir)
+
+
+def _shared_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geobuf_cpp_spark.operators.sketches import hll_registers
 
+    return _shared_df(spark, sf_dir, "hll",
+                      lambda: hll_registers(spark.table("documents")))
+
+
+def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality estimate in exact integer parts (m,
+    zero_registers, den_scaled = sum 2^(57-register) over all 256
+    buckets): the one float division stays with the caller
+    (operators/sketches.hll_estimate_value), so the full estimate
+    pipeline short of alpha*m^2*2^57/den hash-gates against DuckDB
+    recomputing the registers AND the dyadic denominator from the same
+    md5 hex — completing HLL the way kmv_distinct completed KMV."""
+    from geobuf_cpp_spark.operators.sketches import hll_estimate_parts
+
     _prep(spark, sf_dir, "documents")
-    return hll_registers(spark.table("documents"))
+    return hll_estimate_parts(_shared_hll(spark, sf_dir))
 
 
 def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2130,7 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_stats": q_sliding_stats,
         "triangle_count": q_triangle_count,
         # -- block 2: new round-5 gates (inside the sample window) ----------
-        # (inserted here as implemented)
+        "hll_estimate": q_hll_estimate,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
         "value_quantiles": q_value_quantiles,
@@ -3270,6 +3289,30 @@ def oracle_sql() -> dict[str, str]:
                 f"{rho} AS rho FROM hx) "
                 "SELECT bucket, CAST(max(rho) AS INTEGER) AS register "
                 "FROM r GROUP BY bucket"
+            )
+        )(__import__("geobuf_cpp_spark.operators.sketches",
+                     fromlist=["sql_hll_rho"]).sql_hll_rho("h")),
+        # estimate parts: recompute the registers, then the dyadic
+        # denominator sum(2^(57-register)) with absent buckets counted
+        # as register 0 (2^57 each); DuckDB's << on BIGINT matches
+        # Spark's shiftleft, summed in DECIMAL(38,0) since 2^65 > int64
+        "hll_estimate": (
+            lambda rho: (
+                "WITH t AS (SELECT unnest(string_split(text, ' ')) "
+                "AS tok FROM documents), "
+                "hx AS (SELECT md5(tok) AS h, "
+                "md5_number_lower(tok) AS hn FROM t WHERE tok <> ''), "
+                f"r AS (SELECT CAST(hn % 256 AS INTEGER) AS bucket, "
+                f"{rho} AS rho FROM hx), "
+                "reg AS (SELECT bucket, max(rho) AS register "
+                "FROM r GROUP BY bucket) "
+                "SELECT CAST(256 AS INTEGER) AS m, "
+                "CAST(256 - count(*) AS INTEGER) AS zero_registers, "
+                "CAST(CAST(coalesce(sum(CAST((CAST(1 AS BIGINT) << "
+                "(57 - register)) AS DECIMAL(38,0))), 0) + "
+                "CAST(256 - count(*) AS DECIMAL(38,0)) * "
+                f"CAST({1 << 57} AS DECIMAL(38,0)) AS DECIMAL(38,0)) "
+                "AS VARCHAR) AS den_scaled FROM reg"
             )
         )(__import__("geobuf_cpp_spark.operators.sketches",
                      fromlist=["sql_hll_rho"]).sql_hll_rho("h")),

@@ -324,3 +324,58 @@ def hll_registers(docs_df: DataFrame, text_col: str = "text",
         .groupBy("bucket")
         .agg(F.max("rho").cast("int").alias("register"))
     )
+
+
+def hll_estimate_parts(registers_df: DataFrame, b: int = HLL_B) -> DataFrame:
+    """The HLL harmonic-mean estimate in EXACT integer parts.
+
+    The raw estimate is E = alpha_m * m^2 / sum_j 2^(-M[j]); the sum of
+    dyadic rationals scaled by 2^57 (register values are 0..57, so
+    every term 2^(57 - M[j]) is a non-negative BIGINT) is an exact
+    integer, summed in decimal(38,0) since 256 * 2^57 = 2^65 overflows
+    BIGINT, and emitted as its digit string. Output is ONE row
+    (m, zero_registers, den_scaled):
+
+        E_raw = alpha_m * m^2 * 2^57 / den_scaled
+
+    with alpha_256 = 0.7213/(1 + 1.079/m), plus Flajolet's small-range
+    correction E = m * ln(m / zero_registers) when E_raw <= 2.5m — the
+    one float division/log stays with the caller
+    (``hll_estimate_value``), same discipline as tfidf_topk: everything
+    the engines must AGREE on is integer-exact and oracle-checkable.
+    Buckets absent from ``registers_df`` are register-0 (2^57 terms),
+    so merged-shard parts equal whole-corpus parts by max-idempotence.
+    """
+    m = 1 << b
+    two57 = 1 << 57
+    agg = registers_df.agg(
+        F.count("*").cast("int").alias("_present"),
+        F.sum(F.expr(
+            "cast(shiftleft(cast(1 as bigint), 57 - register) "
+            "as decimal(38,0))")).alias("_den_present"),
+    )
+    return agg.select(
+        F.lit(m).cast("int").alias("m"),
+        (F.lit(m) - F.col("_present")).cast("int").alias("zero_registers"),
+        # emitted as the digit STRING of the exact integer: DECIMAL(38,0)
+        # survives Spark's toPandas but DuckDB's fetchdf narrows it to
+        # float64 (2^65 > 2^53 loses digits) — the string is the
+        # lossless cross-engine wire form
+        F.expr(
+            f"cast(cast(coalesce(_den_present, cast(0 as decimal(38,0))) + "
+            f"cast({m} - _present as decimal(38,0)) * "
+            f"cast({two57} as decimal(38,0)) as decimal(38,0)) as string)"
+        ).alias("den_scaled"),
+    )
+
+
+def hll_estimate_value(m: int, zero_registers: int, den_scaled) -> float:
+    """Resolve the exact integer parts into the float cardinality
+    estimate (driver-side, one division — see hll_estimate_parts)."""
+    import math
+
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e_raw = alpha * m * m * float(1 << 57) / float(den_scaled)
+    if e_raw <= 2.5 * m and zero_registers > 0:
+        return m * math.log(m / zero_registers)
+    return e_raw

@@ -147,6 +147,44 @@ def test_append_after_compaction_adopts_partitioned_layout(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_hll_estimate_parts_merge_and_accuracy(spark):
+    """Estimate parts computed from shard-merged registers equal the
+    whole-corpus parts (max-idempotence), and resolving them lands
+    within HLL's expected error of the true distinct count."""
+    from pyspark.sql import functions as F
+
+    from geobuf_cpp_spark.operators.sketches import (
+        hll_estimate_parts,
+        hll_estimate_value,
+        hll_registers,
+    )
+
+    docs = spark.range(0, 3000).selectExpr(
+        "id AS doc_id",
+        "concat('tok', cast(id % 2200 as string), ' x', "
+        "cast(id % 7 as string)) AS text")
+    whole = hll_estimate_parts(hll_registers(docs)).collect()[0]
+
+    shards = [hll_registers(docs.filter(f"id % 2 = {i}")) for i in (0, 1)]
+    merged_reg = (
+        shards[0].unionByName(shards[1])
+        .groupBy("bucket").agg(F.max("register").cast("int")
+                               .alias("register"))
+    )
+    merged = hll_estimate_parts(merged_reg).collect()[0]
+    assert tuple(whole) == tuple(merged)
+
+    true_distinct = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter("t <> ''").distinct().count()
+    )
+    est = hll_estimate_value(whole["m"], whole["zero_registers"],
+                             whole["den_scaled"])
+    # sigma ~ 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(est - true_distinct) / true_distinct < 0.2, (
+        est, true_distinct)
+
+
 def test_vacuum_skips_in_flight_data_dir(spark, tmp_path):
     """A data dir written AFTER the newest retained manifest may belong
     to a commit in flight (data lands before its manifest) — vacuum must
