@@ -1950,6 +1950,43 @@ def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate_parts(_shared_hll(spark, sf_dir))
 
 
+QSKETCH_VALUE = "CAST(round(value * 100) AS BIGINT)"   # exact cents
+QSKETCH_PROBS = (5000, 9000, 9900)
+
+
+def _shared_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geobuf_cpp_spark.operators.qsketch import quantile_sketch
+
+    return _shared_df(
+        spark, sf_dir, "qsketch",
+        lambda: quantile_sketch(spark.table("events"), QSKETCH_VALUE,
+                                "event_type"))
+
+
+def q_qhist_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (operators/qsketch.py): deterministic
+    HDR-style log-linear histogram per event type over exact cents —
+    the sketch family's quantile member (KLL's contract without KLL's
+    randomized compactors, which an oracle-paired gate cannot accept).
+    Fixed <=1,920-bucket size; shard merge is an additive groupBy."""
+    _prep(spark, sf_dir, "events")
+    return _shared_qsketch(spark, sf_dir).withColumnRenamed(
+        "grp", "event_type")
+
+
+def q_qhist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 per event type resolved from the quantile sketch by
+    exact integer rank walk — rank = ceil(total * p), first bucket
+    whose running count reaches it brackets the true quantile in
+    [q_lo, q_hi] with < 2^-5 relative spread."""
+    from geobuf_cpp_spark.operators.qsketch import sketch_quantiles
+
+    _prep(spark, sf_dir, "events")
+    return sketch_quantiles(
+        _shared_qsketch(spark, sf_dir), QSKETCH_PROBS
+    ).withColumnRenamed("grp", "event_type")
+
+
 def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style resample: dense hourly series per user with
     last-observation-carried-forward over the gaps. The carried value is
@@ -2150,6 +2187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         # -- block 2: new round-5 gates (inside the sample window) ----------
         "hll_estimate": q_hll_estimate,
+        "qhist_sketch": q_qhist_sketch,
+        "qhist_quantiles": q_qhist_quantiles,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
         "value_quantiles": q_value_quantiles,
@@ -3292,6 +3331,48 @@ def oracle_sql() -> dict[str, str]:
             )
         )(__import__("geobuf_cpp_spark.operators.sketches",
                      fromlist=["sql_hll_rho"]).sql_hll_rho("h")),
+        # the quantile sketch's bucket CASE is one shared text; Spark
+        # runs ` div ` verbatim, DuckDB gets ` // ` (numerators are
+        # non-negative, so the operators coincide exactly)
+        "qhist_sketch": (
+            lambda B: (
+                f"WITH s AS (SELECT event_type AS grp, "
+                f"CAST({B} AS BIGINT) AS bucket, "
+                f"CAST({QSKETCH_VALUE} AS BIGINT) AS v FROM events) "
+                "SELECT grp AS event_type, bucket, "
+                "CAST(count(*) AS BIGINT) AS n, "
+                "min(v) AS vmin, max(v) AS vmax "
+                "FROM s WHERE bucket IS NOT NULL GROUP BY grp, bucket"
+            ).replace(" div ", " // ")
+        )(__import__("geobuf_cpp_spark.operators.qsketch",
+                     fromlist=["sql_qbucket"]).sql_qbucket(QSKETCH_VALUE)),
+        "qhist_quantiles": (
+            lambda B: (
+                f"WITH s0 AS (SELECT event_type AS grp, "
+                f"CAST({B} AS BIGINT) AS bucket, "
+                f"CAST({QSKETCH_VALUE} AS BIGINT) AS v FROM events), "
+                "s AS (SELECT grp, bucket, CAST(count(*) AS BIGINT) AS n, "
+                "min(v) AS vmin, max(v) AS vmax FROM s0 "
+                "WHERE bucket IS NOT NULL GROUP BY grp, bucket), "
+                "t AS (SELECT *, CAST(sum(n) OVER (PARTITION BY grp "
+                "ORDER BY bucket) AS BIGINT) AS cum, "
+                "CAST(sum(n) OVER (PARTITION BY grp) AS BIGINT) AS total "
+                "FROM s), "
+                "p AS (SELECT unnest(["
+                + ", ".join(str(p) for p in QSKETCH_PROBS)
+                + "]) AS p_bp), "
+                "j AS (SELECT grp, p_bp, "
+                "(total * p_bp + 9999) // 10000 AS rank, total, bucket, "
+                "vmin, vmax, cum FROM t, p "
+                "WHERE cum >= (total * p_bp + 9999) // 10000), "
+                "r AS (SELECT *, row_number() OVER (PARTITION BY grp, "
+                "p_bp ORDER BY bucket) AS rn FROM j) "
+                "SELECT grp AS event_type, CAST(p_bp AS INTEGER) AS p_bp, "
+                "CAST(rank AS BIGINT) AS rank, total AS n_total, bucket, "
+                "vmin AS q_lo, vmax AS q_hi FROM r WHERE rn = 1"
+            ).replace(" div ", " // ")
+        )(__import__("geobuf_cpp_spark.operators.qsketch",
+                     fromlist=["sql_qbucket"]).sql_qbucket(QSKETCH_VALUE)),
         # estimate parts: recompute the registers, then the dyadic
         # denominator sum(2^(57-register)) with absent buckets counted
         # as register 0 (2^57 each); DuckDB's << on BIGINT matches

@@ -185,6 +185,56 @@ def test_hll_estimate_parts_merge_and_accuracy(spark):
         est, true_distinct)
 
 
+def test_quantile_sketch_merge_is_exact(spark):
+    """Shard sketches merged with the additive groupBy equal the
+    whole-data sketch ROW FOR ROW — the determinism randomized KLL
+    cannot promise, and the property that makes the sketch safe to
+    build per-partition at any scale."""
+    from geobuf_cpp_spark.operators.qsketch import (
+        merge_sketches,
+        quantile_sketch,
+    )
+
+    rows = spark.range(0, 5000).selectExpr(
+        "concat('g', cast(id % 3 as string)) AS g",
+        "cast((id * id) % 1000000 + id % 97 as bigint) AS v")
+    whole = quantile_sketch(rows, "v", "g")
+    shards = [quantile_sketch(rows.filter(f"id % 4 = {i}"), "v", "g")
+              for i in range(4)]
+    merged = merge_sketches(*shards)
+    key = ["grp", "bucket", "n", "vmin", "vmax"]
+    assert sorted(map(tuple, whole.select(key).collect())) \
+        == sorted(map(tuple, merged.select(key).collect()))
+
+
+def test_sketch_quantiles_bracket_true_quantiles(spark):
+    """Every resolved quantile brackets the exact rank-statistic and
+    the bracket is tighter than the 2^-m geometric bound; values below
+    2^(m+1) come back exact."""
+    from geobuf_cpp_spark.operators.qsketch import (
+        QSKETCH_M,
+        quantile_sketch,
+        sketch_quantiles,
+    )
+
+    rows = spark.range(0, 20000).selectExpr(
+        "'a' AS g", "cast((id * 2654435761) % 3000000 as bigint) AS v")
+    got = {r["p_bp"]: r for r in
+           sketch_quantiles(quantile_sketch(rows, "v", "g"),
+                            (100, 5000, 9900)).collect()}
+    vals = sorted(r["v"] for r in rows.collect())
+    n = len(vals)
+    for p_bp, r in got.items():
+        rank = -(-n * p_bp // 10000)  # ceil
+        true_v = vals[rank - 1]
+        assert r["rank"] == rank and r["n_total"] == n
+        assert r["q_lo"] <= true_v <= r["q_hi"], (p_bp, true_v, dict(r))
+        assert r["q_hi"] - r["q_lo"] <= max(
+            1, r["q_lo"] >> QSKETCH_M), (p_bp, dict(r))
+        if true_v < (1 << (QSKETCH_M + 1)):
+            assert r["q_lo"] == r["q_hi"] == true_v
+
+
 def test_vacuum_skips_in_flight_data_dir(spark, tmp_path):
     """A data dir written AFTER the newest retained manifest may belong
     to a commit in flight (data lands before its manifest) — vacuum must
