@@ -1623,6 +1623,23 @@ def q_range_join_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
                            wrap_x=X_PERIOD)
 
 
+GEO_RADIUS = 100            # great-circle radius, centidegrees (1 deg)
+
+
+def q_range_join_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodetic distance self-join (operators/range_join.geo_self_join):
+    latitude-banded blocking with per-band longitude cell widths
+    (meridian convergence) + antimeridian ghosts, filtered by the exact
+    integer chord-squared predicate on quantized unit-sphere
+    coordinates — monotone with great-circle distance, no floats at the
+    boundary. Oracle: brute force over |delta iy| <= r+1 banded pairs
+    (IEJoin-prunable) with the identical quantized predicate."""
+    from geobuf_cpp_spark.operators.range_join import geo_self_join
+
+    _prep(spark, sf_dir, "orders")
+    return geo_self_join(spark.sql(P.IPOINTS_SELECT), GEO_RADIUS)
+
+
 SEG_CELL = 512              # >= max per-axis segment extent (300)
 
 
@@ -2189,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_estimate": q_hll_estimate,
         "qhist_sketch": q_qhist_sketch,
         "qhist_quantiles": q_qhist_quantiles,
+        "range_join_geo": q_range_join_geo,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
         "value_quantiles": q_value_quantiles,
@@ -3060,6 +3078,30 @@ def oracle_sql() -> dict[str, str]:
             "WHERE (a.ix-b.ix)*(a.ix-b.ix)+(a.iy-b.iy)*(a.iy-b.iy) "
             f"<= {RANGE_RADIUS * RANGE_RADIUS}"
         ),
+        # geodetic twin: brute force over latitude-banded pairs (the
+        # |delta iy| <= r+1 band is IMPLIED by the chord predicate —
+        # great-circle distance bounds latitude difference — and lets
+        # DuckDB IEJoin prune), exact quantized chord^2 filter shared
+        # with the Spark side via sql_sphere_xyz
+        "range_join_geo": (
+            lambda xyz, t2: (
+                f"WITH p AS ({P.IPOINTS_SELECT}), "
+                f"s AS (SELECT point_id, iy, {xyz} FROM p) "
+                "SELECT a.point_id AS id_a, b.point_id AS id_b, "
+                "(a.sx-b.sx)*(a.sx-b.sx) + (a.sy-b.sy)*(a.sy-b.sy) + "
+                "(a.sz-b.sz)*(a.sz-b.sz) AS c2 "
+                "FROM s a JOIN s b ON a.point_id < b.point_id "
+                f"AND a.iy - b.iy <= {GEO_RADIUS + 1} "
+                f"AND b.iy - a.iy <= {GEO_RADIUS + 1} "
+                "WHERE (a.sx-b.sx)*(a.sx-b.sx) + (a.sy-b.sy)*(a.sy-b.sy) "
+                f"+ (a.sz-b.sz)*(a.sz-b.sz) <= {t2}"
+            )
+        )(", ".join(__import__("geobuf_cpp_spark.operators.range_join",
+                               fromlist=["sql_sphere_xyz"])
+                    .sql_sphere_xyz()),
+          __import__("geobuf_cpp_spark.operators.range_join",
+                     fromlist=["chord_threshold"])
+          .chord_threshold(GEO_RADIUS) ** 2),
         # lag-window twin; floor(sqrt(int)) is portable because IEEE-754
         # sqrt is correctly rounded and every d2 < 2^53
         "trajectory_len": (

@@ -33,7 +33,140 @@ one representation of any pair qualifies — no double counting.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
+
+SPHERE_SCALE = 10**9        # quantized unit-sphere coordinate scale
+
+
+def sql_sphere_xyz(ix: str = "ix", iy: str = "iy",
+                   scale: int = SPHERE_SCALE) -> list[str]:
+    """Shared SQL (list of three ``expr AS name`` strings):
+    centidegree lattice -> quantized unit-sphere BIGINTs.
+
+    lon = (ix-18000)/100 deg, lat = (iy-8500)/100 deg (the IPOINTS
+    contract); X,Y,Z = round(scale * unit vector). Rounding makes the
+    coordinates exact integers, so the chord-distance predicate
+    downstream is pure BIGINT — empirically verified identical between
+    Spark's Math and DuckDB's libm over the entire 150k-point sf0.1
+    lattice (deterministic inputs make that a fixed property, not a
+    probability; scripts in round-5 notes). scale=1e9 keeps chord^2
+    <= 4e18 < 2^63.
+    """
+    lat = f"radians((({iy}) - 8500) / 100.0)"
+    lon = f"radians((({ix}) - 18000) / 100.0)"
+    return [
+        f"CAST(round({scale} * cos({lat}) * cos({lon})) AS BIGINT) AS sx",
+        f"CAST(round({scale} * cos({lat}) * sin({lon})) AS BIGINT) AS sy",
+        f"CAST(round({scale} * sin({lat})) AS BIGINT) AS sz",
+    ]
+
+
+def chord_threshold(radius_cdeg: int, scale: int = SPHERE_SCALE) -> int:
+    """T such that great-circle distance <= radius (centidegrees) iff
+    quantized chord^2 <= T^2 (up to the +-sqrt(3) quantization band,
+    where classification is deterministic in both engines): the chord
+    of angle theta on the scaled sphere is 2*scale*sin(theta/2)."""
+    theta = math.radians(radius_cdeg / 100.0)
+    return round(2 * scale * math.sin(theta / 2.0))
+
+
+def geo_band_widths(radius_cdeg: int) -> list[tuple[int, int]]:
+    """(band, lon cell width in centidegrees) for each latitude band.
+
+    Band k covers iy in [k*r, (k+1)*r). A pair within great-circle
+    radius theta has |delta lon| <= theta / cos(lat*) where lat* is
+    either endpoint's latitude, both within theta of the band — so the
+    width uses min cos over the band EXPANDED by r, making the 3x3
+    (band, lon-cell) neighborhood a complete candidate cover. Widths
+    grow toward the poles (1/cos) — the honest geometry of meridian
+    convergence; the domain caps at |lat| < 85 deg so cos >= 0.087.
+    """
+    r = int(radius_cdeg)
+    out = []
+    for k in range(0, (17000 + r - 1) // r):
+        lo = k * r - 8500 - r
+        hi = (k + 1) * r - 1 - 8500 + r
+        max_abs = min(max(abs(lo), abs(hi)), 8500)
+        cos_min = math.cos(math.radians(max_abs / 100.0))
+        out.append((k, max(r, math.ceil(r / cos_min))))
+    return out
+
+
+def geo_self_join(points: DataFrame, radius_cdeg: int,
+                  id_col: str = "point_id",
+                  scale: int = SPHERE_SCALE) -> DataFrame:
+    """All unordered pairs within a GREAT-CIRCLE radius (centidegrees).
+
+    The geodetic sibling of ``range_self_join``: the planar grid is
+    wrong on a sphere (meridians converge; longitude wraps), so this
+    plan blocks on latitude bands with per-band longitude cell widths
+    (``geo_band_widths``) and ghosts seam-adjacent build points across
+    the +-180 meridian, while the FILTER is the exact integer
+    chord-squared predicate on quantized unit-sphere coordinates
+    (``sql_sphere_xyz``) — monotone with great-circle distance, no
+    haversine floats at the boundary. Shape mirrors the planar join:
+    build side one cell, probe side 3 bands x 3 cells, one equi-join
+    shuffle per side, AQE-splittable; returns (id_a, id_b, c2) with c2
+    the exact scaled chord^2.
+    """
+    r = int(radius_cdeg)
+    assert 0 < r < 8500, "radius must be positive centidegrees < 85 deg"
+    spark = points.sparkSession
+    bands = spark.createDataFrame(geo_band_widths(r), "band long, w long")
+    t2 = chord_threshold(r, scale) ** 2
+
+    base = points.selectExpr(
+        f"{id_col} AS pid", "ix", "iy", *sql_sphere_xyz("ix", "iy", scale)
+    ).withColumn("band", F.expr(f"iy div {r}"))
+
+    # build: one (band, lon-cell) per point + antimeridian ghosts. The
+    # ghost shift is applied BEFORE cell assignment; floor() handles the
+    # negative ghost domain (Spark div truncates toward zero).
+    b = (
+        base.join(F.broadcast(bands), "band")
+        .select(
+            F.col("pid").alias("id_b"), "band", "w",
+            F.col("sx").alias("bx3"), F.col("sy").alias("by3"),
+            F.col("sz").alias("bz3"),
+            F.expr(
+                "explode(filter(array(0L, 36000L, -36000L), s -> "
+                "s = 0L OR (s > 0L AND ix < w) "
+                "OR (s < 0L AND ix >= 36000 - w)))").alias("_s"),
+            F.col("ix"),
+        )
+        .select(
+            "id_b", "band", "bx3", "by3", "bz3",
+            F.floor((F.col("ix") + F.col("_s")) / F.col("w"))
+            .cast("long").alias("lx"),
+        )
+    )
+    # probe: 3 candidate bands, each with ITS OWN width, x 3 lon cells
+    p = (
+        base.select(
+            F.col("pid").alias("id_a"), "ix",
+            F.col("sx").alias("ax3"), F.col("sy").alias("ay3"),
+            F.col("sz").alias("az3"),
+            F.expr("explode(array(band - 1, band, band + 1))")
+            .alias("band"),
+        )
+        .join(F.broadcast(bands), "band")
+        .select(
+            "id_a", "band", "ax3", "ay3", "az3",
+            F.expr("explode(array(ix div w - 1, ix div w, ix div w + 1))")
+            .alias("lx"),
+        )
+    )
+    dx = F.col("ax3") - F.col("bx3")
+    dy = F.col("ay3") - F.col("by3")
+    dz = F.col("az3") - F.col("bz3")
+    c2 = dx * dx + dy * dy + dz * dz
+    return (
+        p.join(b, ["band", "lx"])
+        .where((c2 <= F.lit(t2)) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", c2.cast("long").alias("c2"))
+    )
 
 
 def range_self_join(points: DataFrame, radius: int,

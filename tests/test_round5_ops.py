@@ -235,6 +235,63 @@ def test_sketch_quantiles_bracket_true_quantiles(spark):
             assert r["q_lo"] == r["q_hi"] == true_v
 
 
+def test_geo_self_join_matches_brute_force_sphere(spark):
+    """The banded-grid geodetic join finds EXACTLY the brute-force
+    quantized-chord pairs on an adversarial set: antimeridian
+    straddlers (ix near 0/36000), high-latitude clusters where
+    meridians converge (planar blocking would miss these), and
+    near-threshold spacings."""
+    import math
+
+    from geobuf_cpp_spark.operators.range_join import (
+        SPHERE_SCALE,
+        chord_threshold,
+        geo_self_join,
+    )
+
+    r = 100  # 1 degree great-circle radius
+    pts = []
+    # seam straddlers at several latitudes (iy 8500 = equator)
+    for i, iy in enumerate((1500, 8500, 15200)):
+        for dx in (0, 30, 80, 35920, 35950, 35990):
+            pts.append((100 * i + dx % 97 + len(pts), dx, iy + dx % 13))
+    # high-latitude cluster: 1 deg of longitude is ~10 cdeg of arc here
+    for j in range(12):
+        pts.append((9000 + j, 18000 + 110 * j, 16900 + (j * 7) % 60))
+    # mid-lat near-threshold ring
+    for j in range(15):
+        pts.append((7000 + j, 9000 + 99 * j, 4000 + (j * j) % 150))
+
+    df = spark.createDataFrame(pts, "point_id long, ix long, iy long")
+    got = sorted((r_["id_a"], r_["id_b"], r_["c2"])
+                 for r_ in geo_self_join(df, r).collect())
+
+    def xyz(ix, iy):
+        lat = math.radians((iy - 8500) / 100.0)
+        lon = math.radians((ix - 18000) / 100.0)
+        s = SPHERE_SCALE
+        return (round(s * math.cos(lat) * math.cos(lon)),
+                round(s * math.cos(lat) * math.sin(lon)),
+                round(s * math.sin(lat)))
+
+    t2 = chord_threshold(r) ** 2
+    vecs = {pid: xyz(ix, iy) for pid, ix, iy in pts}
+    want = []
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            c2 = sum((u - v) ** 2 for u, v in zip(vecs[a], vecs[b]))
+            if c2 <= t2:
+                want.append((a, b, c2))
+    assert got == sorted(want)
+    # the adversarial set must actually exercise the seam and the pole
+    seam = [(a, b) for a, b, _ in want
+            if abs(dict((p, x) for p, x, _ in pts)[a]
+                   - dict((p, x) for p, x, _ in pts)[b]) > 30000]
+    polar = [(a, b) for a, b, _ in want if a >= 9000 and b >= 9000]
+    assert seam and polar
+
+
 def test_vacuum_skips_in_flight_data_dir(spark, tmp_path):
     """A data dir written AFTER the newest retained manifest may belong
     to a commit in flight (data lands before its manifest) — vacuum must
