@@ -274,6 +274,59 @@ def q_pip_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_join(pts, admin, res=PIP_RES).select("point_id", "admin_id")
 
 
+def q_pip_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP against CONCAVE polygons: an 8-vertex star per nation (4
+    spikes, 4 reflex vertices, slanted gcd-1 edges — see
+    sources/points.STAR_OFFSETS) through cover_polygon's exact concave
+    cell cover and the ray-crossing refine. The oracle replays the
+    even-odd rule as an exact-integer crossing count per edge in DuckDB
+    — the kernel's generality beyond axis-aligned boxes, oracle-gated
+    rather than pytest-only."""
+    from geobuf_cpp_spark.operators.pip_join import pip_join
+
+    pts = P.points_df(spark, sf_dir)
+    stars = P.stars_as_wire_polygons(spark, sf_dir)
+    return pip_join(pts, stars, res=PIP_RES, exact_cover=True).select(
+        "point_id", "admin_id")
+
+
+def _star_crossing_sql() -> str:
+    """DuckDB even-odd oracle for the star PIP: per point-nation pair,
+    count ray crossings with one exact-integer term per edge (the
+    division-free form of the kernel's px < xint test: multiply through
+    by dy with the inequality flipped when dy < 0 — every quantity
+    BIGINT, no floats anywhere)."""
+    from geobuf_cpp_spark.sources.points import (
+        STAR_CX_SQL,
+        STAR_CY_SQL,
+        STAR_OFFSETS,
+    )
+
+    terms = []
+    ring = STAR_OFFSETS + STAR_OFFSETS[:1]
+    for (ox1, oy1), (ox2, oy2) in zip(ring[:-1], ring[1:]):
+        dx, dy = ox2 - ox1, oy2 - oy1
+        assert dy != 0
+        op = "<" if dy > 0 else ">"
+        terms.append(
+            f"(CASE WHEN ((cy + {oy1} > iy) <> (cy + {oy2} > iy)) AND "
+            f"((ix - cx - {ox1}) * {dy} {op} {dx} * (iy - cy - {oy1})) "
+            "THEN 1 ELSE 0 END)"
+        )
+    return (
+        f"WITH p AS ({P.IPOINTS_SELECT}), "
+        f"n AS (SELECT CAST(n_nationkey AS BIGINT) AS admin_id, "
+        f"CAST({STAR_CX_SQL} AS BIGINT) AS cx, "
+        f"CAST({STAR_CY_SQL} AS BIGINT) AS cy FROM nation), "
+        "j AS (SELECT p.point_id, n.admin_id, "
+        + " + ".join(terms)
+        + " AS crossings FROM p JOIN n ON "
+        "p.ix BETWEEN n.cx - 500 AND n.cx + 500 "
+        "AND p.iy BETWEEN n.cy - 500 AND n.cy + 500) "
+        "SELECT point_id, admin_id FROM j WHERE crossings % 2 = 1"
+    )
+
+
 def q_box_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polyfill (polygon -> covering cell set): the REAL cover builder
     the PIP broadcast side uses (operators/pip_join.polygon_coverings
@@ -2207,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qhist_sketch": q_qhist_sketch,
         "qhist_quantiles": q_qhist_quantiles,
         "range_join_geo": q_range_join_geo,
+        "pip_concave": q_pip_concave,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
         "value_quantiles": q_value_quantiles,
@@ -2406,6 +2460,7 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT (p.lon >= b.lon0 + 3.0 AND p.lon < b.lon0 + 9.0 "
             "AND p.lat >= b.lat0 + 2.0 AND p.lat < b.lat0 + 7.0)"
         ),
+        "pip_concave": _star_crossing_sql(),
         # identical oracle as pip_boxes_join: the both-sides-distributed
         # strategy must reproduce the broadcast strategy's rows exactly
         "pip_large": (

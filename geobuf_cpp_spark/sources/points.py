@@ -136,6 +136,58 @@ def boxes_as_holed_polygons(spark, sf_dir: str):
     )
 
 
+# concave test polygons: an 8-vertex star per nation (4 spikes, 4 reflex
+# vertices), planted at the nation box center on the integer centidegree
+# lattice. Every edge vector has gcd(|dx|, |dy|) = 1, so no open edge
+# passes through a lattice point — any lattice point is >= 1/sqrt(359^2
+# + 141^2) ~ 1/386 centidegree from every edge, which dwarfs the
+# ~1e-11-centidegree float error of the kernel's crossing test: the
+# float kernel and the exact-integer oracle provably classify every
+# point identically. (141 = round(200/sqrt 2): inner radius 200, outer
+# 500; 359 prime, gcd(141, 359) = 1.)
+STAR_OFFSETS = [
+    (500, 0), (141, 141), (0, 500), (-141, 141),
+    (-500, 0), (-141, -141), (0, -500), (141, -141),
+]
+STAR_CX_SQL = "((n_nationkey * 89) % 300) * 100 + 600"    # lattice ix
+STAR_CY_SQL = "((n_nationkey * 53) % 150) * 100 + 450"    # lattice iy
+
+
+def stars_as_wire_polygons(spark, sf_dir: str):
+    """Per-nation CONCAVE star polygons as wire structs (degrees) —
+    drives cover_polygon + the ray-crossing refine on reflex vertices
+    and slanted edges, which the axis-aligned box corpus never did."""
+    import pandas as pd
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation.createOrReplaceTempView("nation")
+    c = spark.sql(
+        f"SELECT CAST(n_nationkey AS BIGINT) AS admin_id, "
+        f"CAST({STAR_CX_SQL} AS BIGINT) AS cx, "
+        f"CAST({STAR_CY_SQL} AS BIGINT) AS cy FROM nation"
+    ).toPandas()
+    ring = STAR_OFFSETS + STAR_OFFSETS[:1]
+    return pd.DataFrame(
+        {
+            "admin_id": c["admin_id"].astype(int),
+            "geom": [
+                {
+                    "type": 4,
+                    "dim": 2,
+                    "lengths": [len(ring)],
+                    "coords": [
+                        v
+                        for ox, oy in ring
+                        for v in ((cx + ox) / 100.0 - 180.0,
+                                  (cy + oy) / 100.0 - 85.0)
+                    ],
+                }
+                for cx, cy in zip(c["cx"].astype(int), c["cy"].astype(int))
+            ],
+        }
+    )
+
+
 # integer centidegree lattice — same spread multipliers, but kept in
 # BIGINT space end-to-end so distance predicates are exact cross-engine
 # (range join, trajectory steps: no float compare at the boundary)

@@ -292,6 +292,43 @@ def test_geo_self_join_matches_brute_force_sphere(spark):
     assert seam and polar
 
 
+def test_star_polygon_cover_and_reflex_membership():
+    """cover_polygon on the concave star prunes cells the bbox cover
+    keeps (the corner quadrants between spikes), and pip_mask resolves
+    points around a reflex vertex per the even-odd rule."""
+    import numpy as np
+
+    from geobuf_cpp_spark.functions.cells import cover_bbox, cover_polygon
+    from geobuf_cpp_spark.functions.geometry import pip_mask
+    from geobuf_cpp_spark.sources.points import STAR_OFFSETS
+
+    cx, cy = 18000, 8500  # lattice center -> (0 deg, 0 deg)
+    ring = np.array(
+        [((cx + ox) / 100.0 - 180.0, (cy + oy) / 100.0 - 85.0)
+         for ox, oy in STAR_OFFSETS + STAR_OFFSETS[:1]])
+    res = 10  # ~0.35 deg cells vs the 10-deg star: cover can see shape
+    bbox = cover_bbox(ring[:, 1].min(), ring[:, 1].max(),
+                      ring[:, 0].min(), ring[:, 0].max(), res)
+    cover = cover_polygon([ring], res)
+    assert set(cover) < set(bbox)  # strictly prunes concave corners
+    assert len(cover) < 0.8 * len(bbox)
+
+    # reflex vertex (141, 141): just outside along the diagonal is OUT
+    # even though it is deep inside the bbox; toward the center is IN
+    pts = {
+        "beyond_reflex": (cx + 160, cy + 160, False),
+        "inside_reflex": (cx + 120, cy + 120, True),
+        "spike_tip_in": (cx + 490, cy + 0, True),
+        "spike_gap_out": (cx + 350, cy + 350, False),
+        "center": (cx, cy, True),
+    }
+    px = np.array([(x / 100.0 - 180.0) for x, _, _ in pts.values()])
+    py = np.array([(y / 100.0 - 85.0) for _, y, _ in pts.values()])
+    got = pip_mask(px, py, [ring])
+    for (name, (_, _, want)), g in zip(pts.items(), got):
+        assert bool(g) == want, name
+
+
 def test_vacuum_skips_in_flight_data_dir(spark, tmp_path):
     """A data dir written AFTER the newest retained manifest may belong
     to a commit in flight (data lands before its manifest) — vacuum must
