@@ -740,6 +740,7 @@ def test_whole_surface_plan_hygiene(spark):
         "nearest_admin",             # 25-box dimension
         "quality_deciles",           # broadcast scalar total
         "term_cooccur", "triangle_count",  # broadcast vocab threshold
+        "qhist_quantiles",           # broadcast 3-row probability list
     }
     # declared Arrow-batched Python kernels (codec, geometry, ANN, media)
     python_ok = {
@@ -748,8 +749,8 @@ def test_whole_surface_plan_hygiene(spark):
         "geobuf_size_stats", "geohash_assign", "hilbert_index",
         "ivf_pruned", "ivfpq_topk", "lsh_neardup", "media_features",
         "media_stats", "minhash_neardup", "pip_boxes_agg",
-        "pip_boxes_join", "pip_holes", "pip_large", "pq_ann_topk",
-        "quadkey_assign", "simhash_neardup", "simplify",
+        "pip_boxes_join", "pip_concave", "pip_holes", "pip_large",
+        "pq_ann_topk", "quadkey_assign", "simhash_neardup", "simplify",
     }
     py_markers = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                   "FlatMapGroupsInPandas")
