@@ -1693,6 +1693,23 @@ def q_range_join_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo_self_join(spark.sql(P.IPOINTS_SELECT), GEO_RADIUS)
 
 
+def q_knn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodetic kNN (operators/knn.knn_geo): nearest points per nation
+    box center by exact integer chord-squared on quantized unit-sphere
+    vectors — monotone with great-circle distance, so the result IS the
+    geodesic top-k (planar ranking goes wrong near poles/antimeridian).
+    Broadcast 25-query set + windowed top-k; DuckDB replays the same
+    cross join + row_number on the identical quantized coordinates."""
+    from geobuf_cpp_spark.operators.knn import knn_geo
+
+    _prep(spark, sf_dir, "orders", "nation")
+    qs = spark.sql(
+        "SELECT CAST(n_nationkey AS BIGINT) AS query_id, "
+        f"CAST({P.STAR_CX_SQL} AS BIGINT) AS ix, "
+        f"CAST({P.STAR_CY_SQL} AS BIGINT) AS iy FROM nation")
+    return knn_geo(spark.sql(P.IPOINTS_SELECT), qs, KNN_K)
+
+
 SEG_CELL = 512              # >= max per-axis segment extent (300)
 
 
@@ -2261,6 +2278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qhist_quantiles": q_qhist_quantiles,
         "range_join_geo": q_range_join_geo,
         "pip_concave": q_pip_concave,
+        "knn_geo": q_knn_geo,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
         "value_quantiles": q_value_quantiles,
@@ -2461,6 +2479,28 @@ def oracle_sql() -> dict[str, str]:
             "AND p.lat >= b.lat0 + 2.0 AND p.lat < b.lat0 + 7.0)"
         ),
         "pip_concave": _star_crossing_sql(),
+        "knn_geo": (
+            lambda xyz_s, xyz_q: (
+                f"WITH p AS ({P.IPOINTS_SELECT}), "
+                f"sp AS (SELECT point_id, {xyz_s} FROM p), "
+                "q AS (SELECT CAST(n_nationkey AS BIGINT) AS query_id, "
+                f"CAST({P.STAR_CX_SQL} AS BIGINT) AS ix, "
+                f"CAST({P.STAR_CY_SQL} AS BIGINT) AS iy FROM nation), "
+                f"sq AS (SELECT query_id, {xyz_q} FROM q), "
+                "j AS (SELECT query_id, point_id, "
+                "(sx-qx)*(sx-qx) + (sy-qy)*(sy-qy) + (sz-qz)*(sz-qz) "
+                "AS c2 FROM sp, sq), "
+                "r AS (SELECT *, row_number() OVER (PARTITION BY "
+                "query_id ORDER BY c2, point_id) AS rn FROM j) "
+                "SELECT query_id, CAST(rn AS INTEGER) AS rank, "
+                f"point_id, c2 FROM r WHERE rn <= {KNN_K}"
+            )
+        )(", ".join(__import__("geobuf_cpp_spark.operators.range_join",
+                               fromlist=["sql_sphere_xyz"])
+                    .sql_sphere_xyz()),
+          ", ".join(__import__("geobuf_cpp_spark.operators.range_join",
+                               fromlist=["sql_sphere_xyz"])
+                    .sql_sphere_xyz(prefix="q"))),
         # identical oracle as pip_boxes_join: the both-sides-distributed
         # strategy must reproduce the broadcast strategy's rows exactly
         "pip_large": (

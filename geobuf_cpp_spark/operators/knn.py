@@ -170,3 +170,36 @@ def knn_distributed(points_df, queries_df, k: int, res: int = 7,
         .select("query_id", "rank", *id_cols, "dist2")
     )
     return certified.unionByName(fallback)
+
+
+def knn_geo(points_df, queries_df, k: int,
+            point_id: str = "point_id", query_id: str = "query_id"):
+    """Exact GEODETIC kNN: nearest neighbors by great-circle distance.
+
+    Both sides carry centidegree lattice coords (ix, iy); distance is
+    the exact integer chord-squared on quantized unit-sphere vectors
+    (``range_join.sql_sphere_xyz`` — monotone with great-circle, so the
+    top-k set and order equal true geodesic kNN), with (c2, point id)
+    tie-break for determinism. Broadcast query set + windowed top-k,
+    the online-serving shape of ``knn_broadcast`` made sphere-correct:
+    near the poles or across the antimeridian the planar variant ranks
+    wrongly, the chord never does.
+    """
+    from .range_join import sql_sphere_xyz
+
+    p = points_df.selectExpr(f"{point_id} AS point_id",
+                             *sql_sphere_xyz("ix", "iy"))
+    q = queries_df.selectExpr(f"{query_id} AS query_id",
+                              *sql_sphere_xyz("ix", "iy", prefix="q"))
+    dx = F.col("sx") - F.col("qx")
+    dy = F.col("sy") - F.col("qy")
+    dz = F.col("sz") - F.col("qz")
+    pairs = p.crossJoin(F.broadcast(q)).withColumn(
+        "c2", dx * dx + dy * dy + dz * dz)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("c2").asc(), F.col("point_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "point_id", "c2")
+    )

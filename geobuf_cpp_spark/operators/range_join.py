@@ -41,7 +41,8 @@ SPHERE_SCALE = 10**9        # quantized unit-sphere coordinate scale
 
 
 def sql_sphere_xyz(ix: str = "ix", iy: str = "iy",
-                   scale: int = SPHERE_SCALE) -> list[str]:
+                   scale: int = SPHERE_SCALE,
+                   prefix: str = "s") -> list[str]:
     """Shared SQL (list of three ``expr AS name`` strings):
     centidegree lattice -> quantized unit-sphere BIGINTs.
 
@@ -57,9 +58,11 @@ def sql_sphere_xyz(ix: str = "ix", iy: str = "iy",
     lat = f"radians((({iy}) - 8500) / 100.0)"
     lon = f"radians((({ix}) - 18000) / 100.0)"
     return [
-        f"CAST(round({scale} * cos({lat}) * cos({lon})) AS BIGINT) AS sx",
-        f"CAST(round({scale} * cos({lat}) * sin({lon})) AS BIGINT) AS sy",
-        f"CAST(round({scale} * sin({lat})) AS BIGINT) AS sz",
+        f"CAST(round({scale} * cos({lat}) * cos({lon})) AS BIGINT) "
+        f"AS {prefix}x",
+        f"CAST(round({scale} * cos({lat}) * sin({lon})) AS BIGINT) "
+        f"AS {prefix}y",
+        f"CAST(round({scale} * sin({lat})) AS BIGINT) AS {prefix}z",
     ]
 
 

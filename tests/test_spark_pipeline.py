@@ -736,7 +736,7 @@ def test_whole_surface_plan_hygiene(spark):
 
     # intentional broadcast nested-loop pairings (small dim side)
     bnlj_ok = {
-        "knn", "knn_rings",          # broadcast query set / fallback
+        "knn", "knn_rings", "knn_geo",  # broadcast query set / fallback
         "nearest_admin",             # 25-box dimension
         "quality_deciles",           # broadcast scalar total
         "term_cooccur", "triangle_count",  # broadcast vocab threshold
