@@ -185,10 +185,14 @@ def knn_geo(points_df, queries_df, k: int,
     near the poles or across the antimeridian the planar variant ranks
     wrongly, the chord never does.
     """
+    from ..plans.partitioning import spread
     from .range_join import sql_sphere_xyz
 
-    p = points_df.selectExpr(f"{point_id} AS point_id",
-                             *sql_sphere_xyz("ix", "iy"))
+    # spread the points before the broadcast cross join: the partial
+    # top-k (WindowGroupLimit) parallelizes per input partition, and a
+    # single-file scan would otherwise sort points x queries on one core
+    p = spread(points_df).selectExpr(f"{point_id} AS point_id",
+                                     *sql_sphere_xyz("ix", "iy"))
     q = queries_df.selectExpr(f"{query_id} AS query_id",
                               *sql_sphere_xyz("ix", "iy", prefix="q"))
     dx = F.col("sx") - F.col("qx")
@@ -198,8 +202,12 @@ def knn_geo(points_df, queries_df, k: int,
         "c2", dx * dx + dy * dy + dz * dz)
     w = Window.partitionBy("query_id").orderBy(
         F.col("c2").asc(), F.col("point_id").asc())
+    # filter on the raw row_number so the WindowGroupLimit rewrite fires
+    # (a cast between row_number and the rank predicate defeats the
+    # pattern match and the window sorts every pair instead of top-k)
     return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "point_id", "c2")
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                "point_id", "c2")
     )
