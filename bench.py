@@ -132,6 +132,7 @@ def main() -> None:
         "pages_per_sec": round(pages_per_sec, 1),
         "n_queries": len(timings),
         "queries_sec": round(sum(timings.values()), 3),
+        "pip_matches": n_matches,
         "cpus": cpus,
     }
     full_record = json.dumps(
@@ -140,7 +141,6 @@ def main() -> None:
             "queries": timings,
             "pipeline_cold_sec": round(pipeline_cold_sec, 3),
             "pages": n_pages,
-            "pip_matches": n_matches,
         }
     )
     # Rounds 3 AND 4 both lost the bench record: r3 to console interleaving,
