@@ -1394,6 +1394,52 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(spark.table("documents"), threshold=MINHASH_THRESHOLD)
 
 
+INCR_SPLIT = 4   # doc_id % 4 == 0 plays the incoming crawl batch
+
+
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup against a PERSISTED signature index
+    (operators/incremental.py): the corpus's MinHash band table lives
+    in a snapshot-versioned table; the new batch joins only its band
+    keys against the index (zero corpus scan bytes) and verifies
+    candidates by exact shingle Jaccard — the maintained-index dedup
+    workflow a rolling 100 TB crawl actually runs. Oracle: exact
+    Jaccard over the batch x corpus split in DuckDB."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+
+    from geobuf_cpp_spark.operators.incremental import (
+        build_signature_index,
+        incremental_neardup,
+    )
+    from geobuf_cpp_spark.sources.snapshots import snapshot_versions
+
+    _prep(spark, sf_dir, "documents")
+    corpus = spark.table("documents").filter(
+        f"doc_id % {INCR_SPLIT} != 0")
+    batch = spark.table("documents").filter(
+        f"doc_id % {INCR_SPLIT} = 0")
+    for old in _glob.glob("/root/repo/.scratch/sigidx_*_*"):
+        try:
+            pid = int(old.rsplit("_", 1)[-1])
+        except ValueError:
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(old, ignore_errors=True)
+        except PermissionError:
+            pass
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    table = f"/root/repo/.scratch/sigidx_{tag}"
+    if not snapshot_versions(table):
+        build_signature_index(corpus, table)
+    return incremental_neardup(spark, batch, corpus, table,
+                               threshold=MINHASH_THRESHOLD)
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geobuf_cpp_spark.operators.dedup import simhash_pairs
 
@@ -2279,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_geo": q_range_join_geo,
         "pip_concave": q_pip_concave,
         "knn_geo": q_knn_geo,
+        "incremental_neardup": q_incremental_neardup,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
         "value_quantiles": q_value_quantiles,
@@ -3013,6 +3060,29 @@ def oracle_sql() -> dict[str, str]:
         # banding recall (here all true pairs have J >= 0.8 where the
         # 16x4 banding miss probability is ~2e-4 per pair, deterministic)
         "minhash_neardup": EXACT_JACCARD_SQL.format(threshold=MINHASH_THRESHOLD),
+        # batch x corpus orientation of the same exact-Jaccard oracle
+        # (id_a = batch doc, id_b = corpus doc); same signatures/bands
+        # as minhash_neardup, so the LSH recall argument is identical
+        "incremental_neardup": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents), "
+            "idx AS (SELECT doc_id, toks, "
+            "unnest(generate_series(1, len(toks) - 2)) AS i FROM t), "
+            "sh AS (SELECT doc_id, toks[CAST(i AS INT)] || ' ' || "
+            "toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2] "
+            "AS shingle FROM idx), "
+            "ds AS (SELECT DISTINCT doc_id, shingle FROM sh), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS i FROM ds a JOIN ds b ON a.shingle = b.shingle "
+            f"AND a.doc_id % {INCR_SPLIT} = 0 "
+            f"AND b.doc_id % {INCR_SPLIT} <> 0 "
+            "GROUP BY 1, 2) "
+            "SELECT id_a, id_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+            "JOIN sizes sb ON sb.doc_id = id_b "
+            f"WHERE i * 1.0 / (sa.n + sb.n - i) >= {MINHASH_THRESHOLD}"
+        ),
         # the SAME exact-Jaccard oracle gates the independent all-JVM
         # DataFrame implementation (no LSH, no Python) — structural
         # equality, not corpus-dependent recall

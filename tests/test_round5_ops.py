@@ -329,6 +329,52 @@ def test_star_polygon_cover_and_reflex_membership():
         assert bool(g) == want, name
 
 
+def test_incremental_neardup_index_maintenance(spark, tmp_path):
+    """The persisted signature index supports the rolling-crawl loop:
+    batch N dedups against everything indexed so far, then its bands
+    append as a new snapshot version; time travel reproduces the dedup
+    as of any earlier version."""
+    from geobuf_cpp_spark.operators.incremental import (
+        build_signature_index,
+        incremental_neardup,
+    )
+    from geobuf_cpp_spark.sources.snapshots import snapshot_versions
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu")
+    other = ("one two three four five six seven eight nine ten "
+             "eleven twelve")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    corpus = docs([(1, base), (2, other)])
+    b1 = docs([(10, base + " nu"),        # near-dup of corpus doc 1
+               (11, "totally different words here entirely unique")])
+    b2 = docs([(20, base + " nu xi")])    # near-dup of doc 1 AND doc 10
+
+    table = str(tmp_path / "sigidx")
+    assert build_signature_index(corpus, table) == 1
+
+    p1 = incremental_neardup(spark, b1, corpus, table, threshold=0.5)
+    assert sorted((r["id_a"], r["id_b"]) for r in p1.collect()) == [(10, 1)]
+
+    # maintenance: append batch 1's bands; the searchable corpus is now
+    # corpus + b1 (texts via union for the verify fetch)
+    build_signature_index(b1, table, mode="append")
+    assert snapshot_versions(table) == [1, 2]
+    p2 = incremental_neardup(spark, b2, corpus.unionByName(b1), table,
+                             threshold=0.5)
+    assert sorted((r["id_a"], r["id_b"]) for r in p2.collect()) \
+        == [(20, 1), (20, 10)]
+
+    # time travel: as of v1 the index has never seen batch 1
+    p2_v1 = incremental_neardup(spark, b2, corpus.unionByName(b1), table,
+                                threshold=0.5, version=1)
+    assert sorted((r["id_a"], r["id_b"]) for r in p2_v1.collect()) \
+        == [(20, 1)]
+
+
 def test_vacuum_skips_in_flight_data_dir(spark, tmp_path):
     """A data dir written AFTER the newest retained manifest may belong
     to a commit in flight (data lands before its manifest) — vacuum must

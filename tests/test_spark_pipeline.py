@@ -747,7 +747,8 @@ def test_whole_surface_plan_hygiene(spark):
         "admin_areas", "ann_ivf", "ann_topk", "embed_neardup",
         "geobuf_files", "geobuf_roundtrip", "geobuf_roundtrip_3d",
         "geobuf_size_stats", "geohash_assign", "hilbert_index",
-        "ivf_pruned", "ivfpq_topk", "lsh_neardup", "media_features",
+        "incremental_neardup", "ivf_pruned", "ivfpq_topk",
+        "lsh_neardup", "media_features",
         "media_stats", "minhash_neardup", "pip_boxes_agg",
         "pip_boxes_join", "pip_concave", "pip_holes", "pip_large",
         "pq_ann_topk", "quadkey_assign", "simhash_neardup", "simplify",
