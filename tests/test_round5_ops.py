@@ -375,6 +375,48 @@ def test_incremental_neardup_index_maintenance(spark, tmp_path):
         == [(20, 1)]
 
 
+def test_streaming_sketch_equals_batch_sketch(spark, tmp_path):
+    """The micro-batch-merged quantile sketch equals the batch-built
+    sketch of the same data ROW FOR ROW (exact associativity makes
+    stream == batch provable, not approximate), with one snapshot
+    version per micro-batch and batch_id-idempotent commits."""
+    from geobuf_cpp_spark.operators.qsketch import quantile_sketch
+    from geobuf_cpp_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+    )
+    from geobuf_cpp_spark.streaming.qsketch_stream import sketch_stream_sink
+
+    src = str(tmp_path / "src")
+    rows = spark.range(0, 6000).selectExpr(
+        "concat('t', cast(id % 3 as string)) AS event_type",
+        "cast((id * 37) % 90000 as bigint) AS cents")
+    # 4 files -> maxFilesPerTrigger=1 gives 4 micro-batches
+    rows.repartition(4).write.parquet(src)
+
+    table = str(tmp_path / "sketch_table")
+    stream = (
+        spark.readStream.schema("event_type string, cents bigint")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream
+        .foreachBatch(sketch_stream_sink(table, "cents", "event_type"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    versions = snapshot_versions(table)
+    assert len(versions) == 4  # one commit per micro-batch
+    got = sorted(map(tuple, read_snapshot(spark, table).collect()))
+    want = sorted(map(tuple,
+                      quantile_sketch(rows, "cents", "event_type")
+                      .collect()))
+    assert got == want
+
+
 def test_vacuum_skips_in_flight_data_dir(spark, tmp_path):
     """A data dir written AFTER the newest retained manifest may belong
     to a commit in flight (data lands before its manifest) — vacuum must
