@@ -2120,6 +2120,18 @@ def q_qhist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("grp", "event_type")
 
 
+def q_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language HLL register tables (the grouped sibling of
+    hll_registers, as kmv_grouped is to kmv_sketch): one 256-register
+    sketch per language from a single corpus scan; shuffle is
+    n_groups x 256 rows regardless of corpus size."""
+    from geobuf_cpp_spark.operators.sketches import hll_registers_grouped
+
+    _prep(spark, sf_dir, "documents")
+    return hll_registers_grouped(spark.table("documents")).withColumnRenamed(
+        "grp", "lang")
+
+
 def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style resample: dense hourly series per user with
     last-observation-carried-forward over the gaps. The carried value is
@@ -2326,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_concave": q_pip_concave,
         "knn_geo": q_knn_geo,
         "incremental_neardup": q_incremental_neardup,
+        "hll_grouped": q_hll_grouped,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
         "value_quantiles": q_value_quantiles,
@@ -3580,6 +3593,19 @@ def oracle_sql() -> dict[str, str]:
             ).replace(" div ", " // ")
         )(__import__("geobuf_cpp_spark.operators.qsketch",
                      fromlist=["sql_qbucket"]).sql_qbucket(QSKETCH_VALUE)),
+        "hll_grouped": (
+            lambda rho: (
+                "WITH t AS (SELECT lang, "
+                "unnest(string_split(text, ' ')) AS tok FROM documents), "
+                "hx AS (SELECT lang, md5(tok) AS h, "
+                "md5_number_lower(tok) AS hn FROM t WHERE tok <> ''), "
+                f"r AS (SELECT lang, CAST(hn % 256 AS INTEGER) AS bucket, "
+                f"{rho} AS rho FROM hx) "
+                "SELECT lang, bucket, CAST(max(rho) AS INTEGER) AS register "
+                "FROM r GROUP BY lang, bucket"
+            )
+        )(__import__("geobuf_cpp_spark.operators.sketches",
+                     fromlist=["sql_hll_rho"]).sql_hll_rho("h")),
         # estimate parts: recompute the registers, then the dyadic
         # denominator sum(2^(57-register)) with absent buckets counted
         # as register 0 (2^57 each); DuckDB's << on BIGINT matches

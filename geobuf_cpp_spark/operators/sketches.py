@@ -326,6 +326,33 @@ def hll_registers(docs_df: DataFrame, text_col: str = "text",
     )
 
 
+def hll_registers_grouped(docs_df: DataFrame, group_col: str = "lang",
+                          text_col: str = "text",
+                          b: int = HLL_B) -> DataFrame:
+    """Per-group HLL register tables — (group, bucket, register).
+
+    The grouped sibling of ``hll_registers`` (as ``kmv_sketch_grouped``
+    is to ``kmv_sketch``): one 256-register sketch per group from a
+    single corpus scan, merging across shards/groups by the same
+    idempotent max. The per-language distinct-token dashboard primitive:
+    at 100 TB the shuffle is (n_groups x 256) rows regardless of corpus
+    size.
+    """
+    assert b == 8, "bucket split is the fixed byte-8 contract"
+    toks = docs_df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucket = "CAST(conv(substring(h, 17, 2), 16, 10) AS INT)"
+    rho = sql_hll_rho("h")
+    return (
+        toks.select("grp", F.md5(F.col("tok").cast("binary")).alias("h"))
+        .selectExpr("grp", f"{bucket} AS bucket", f"{rho} AS rho")
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").cast("int").alias("register"))
+    )
+
+
 def hll_estimate_parts(registers_df: DataFrame, b: int = HLL_B) -> DataFrame:
     """The HLL harmonic-mean estimate in EXACT integer parts.
 

@@ -417,6 +417,30 @@ def test_streaming_sketch_equals_batch_sketch(spark, tmp_path):
     assert got == want
 
 
+def test_hll_grouped_shard_merge(spark):
+    """Grouped register tables merge across shards by idempotent max —
+    the union-then-max of shard sketches equals the whole-corpus
+    grouped sketch."""
+    from pyspark.sql import functions as F
+
+    from geobuf_cpp_spark.operators.sketches import hll_registers_grouped
+
+    docs = spark.range(0, 2000).selectExpr(
+        "concat('L', cast(id % 3 as string)) AS lang",
+        "concat('w', cast(id % 700 as string), ' z', "
+        "cast(id % 11 as string)) AS text")
+    whole = hll_registers_grouped(docs)
+    shards = [hll_registers_grouped(docs.filter(f"id % 2 = {i}"))
+              for i in (0, 1)]
+    merged = (
+        shards[0].unionByName(shards[1])
+        .groupBy("grp", "bucket")
+        .agg(F.max("register").cast("int").alias("register"))
+    )
+    assert sorted(map(tuple, whole.collect())) \
+        == sorted(map(tuple, merged.collect()))
+
+
 def test_vacuum_skips_in_flight_data_dir(spark, tmp_path):
     """A data dir written AFTER the newest retained manifest may belong
     to a commit in flight (data lands before its manifest) — vacuum must
