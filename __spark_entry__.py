@@ -859,6 +859,22 @@ def q_nearest_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nearest_box(pts, boxes)
 
 
+def q_nearest_admin_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodetic nearest-region assignment: every point to its closest
+    admin box CENTER by exact integer chord-squared (monotone with the
+    geodesic — no ghosting needed, lon periodicity is built into the
+    sphere coordinates). Completes the geodetic trio: range join, kNN,
+    nearest. Broadcast dimension + min(struct) map-side aggregate."""
+    from geobuf_cpp_spark.operators.nearest import nearest_center_geo
+
+    _prep(spark, sf_dir, "orders", "nation")
+    centers = spark.sql(
+        "SELECT CAST(n_nationkey AS BIGINT) AS admin_id, "
+        f"CAST({P.STAR_CX_SQL} AS BIGINT) AS ix, "
+        f"CAST({P.STAR_CY_SQL} AS BIGINT) AS iy FROM nation")
+    return nearest_center_geo(spark.sql(P.IPOINTS_SELECT), centers)
+
+
 def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus-wide deciles of document length WITHOUT a global
     sort (operators/curation.exact_rank_buckets: value-histogram rank
@@ -2339,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_geo": q_knn_geo,
         "incremental_neardup": q_incremental_neardup,
         "hll_grouped": q_hll_grouped,
+        "nearest_admin_geo": q_nearest_admin_geo,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
         "value_quantiles": q_value_quantiles,
@@ -2539,6 +2556,27 @@ def oracle_sql() -> dict[str, str]:
             "AND p.lat >= b.lat0 + 2.0 AND p.lat < b.lat0 + 7.0)"
         ),
         "pip_concave": _star_crossing_sql(),
+        "nearest_admin_geo": (
+            lambda xyz_s, xyz_q: (
+                f"WITH p AS ({P.IPOINTS_SELECT}), "
+                f"sp AS (SELECT point_id, {xyz_s} FROM p), "
+                "n AS (SELECT CAST(n_nationkey AS BIGINT) AS admin_id, "
+                f"CAST({P.STAR_CX_SQL} AS BIGINT) AS ix, "
+                f"CAST({P.STAR_CY_SQL} AS BIGINT) AS iy FROM nation), "
+                f"sn AS (SELECT admin_id, {xyz_q} FROM n), "
+                "j AS (SELECT point_id, admin_id, "
+                "(sx-qx)*(sx-qx) + (sy-qy)*(sy-qy) + (sz-qz)*(sz-qz) "
+                "AS c2 FROM sp, sn), "
+                "r AS (SELECT *, row_number() OVER (PARTITION BY "
+                "point_id ORDER BY c2, admin_id) AS rn FROM j) "
+                "SELECT point_id, admin_id, c2 FROM r WHERE rn = 1"
+            )
+        )(", ".join(__import__("geobuf_cpp_spark.operators.range_join",
+                               fromlist=["sql_sphere_xyz"])
+                    .sql_sphere_xyz()),
+          ", ".join(__import__("geobuf_cpp_spark.operators.range_join",
+                               fromlist=["sql_sphere_xyz"])
+                    .sql_sphere_xyz(prefix="q"))),
         "knn_geo": (
             lambda xyz_s, xyz_q: (
                 f"WITH p AS ({P.IPOINTS_SELECT}), "

@@ -54,3 +54,40 @@ def nearest_box(points: DataFrame, boxes: DataFrame,
             F.col("_b.d2").alias("d2"),
         )
     )
+
+
+def nearest_center_geo(points: DataFrame, centers: DataFrame,
+                       id_col: str = "point_id") -> DataFrame:
+    """(point_id, admin_id, c2): closest admin CENTER by great-circle
+    distance — exact integer chord-squared on quantized unit-sphere
+    vectors (range_join.sql_sphere_xyz), monotone with the geodesic, so
+    the argmin equals true geodesic nearest. The geodetic sibling of
+    ``nearest_box``: same broadcast-dimension + min(struct) map-side
+    aggregate (corpus never shuffles), but correct where planar axis
+    distance is not — near the poles and across the antimeridian (the
+    chord metric needs no ghosting: lon periodicity is built into the
+    sphere coordinates). Centers (not boxes): geodesic point-to-box
+    distance has no exact integer form; center assignment is the
+    standard reverse-geocode coarse step. Ties break to the smaller
+    admin_id. Both inputs carry centidegree lattice (ix, iy).
+    """
+    from .range_join import sql_sphere_xyz
+
+    p = points.selectExpr(f"{id_col} AS point_id",
+                          *sql_sphere_xyz("ix", "iy"))
+    c = centers.selectExpr("admin_id", *sql_sphere_xyz("ix", "iy",
+                                                       prefix="q"))
+    dx = F.col("sx") - F.col("qx")
+    dy = F.col("sy") - F.col("qy")
+    dz = F.col("sz") - F.col("qz")
+    pairs = p.crossJoin(F.broadcast(c)).withColumn(
+        "c2", dx * dx + dy * dy + dz * dz)
+    return (
+        pairs.groupBy("point_id")
+        .agg(F.min(F.struct("c2", "admin_id")).alias("_b"))
+        .select(
+            "point_id",
+            F.col("_b.admin_id").alias("admin_id"),
+            F.col("_b.c2").alias("c2"),
+        )
+    )

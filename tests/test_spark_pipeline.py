@@ -737,7 +737,7 @@ def test_whole_surface_plan_hygiene(spark):
     # intentional broadcast nested-loop pairings (small dim side)
     bnlj_ok = {
         "knn", "knn_rings", "knn_geo",  # broadcast query set / fallback
-        "nearest_admin",             # 25-box dimension
+        "nearest_admin", "nearest_admin_geo",  # 25-box dimension
         "quality_deciles",           # broadcast scalar total
         "term_cooccur", "triangle_count",  # broadcast vocab threshold
         "qhist_quantiles",           # broadcast 3-row probability list
