@@ -441,6 +441,42 @@ def test_hll_grouped_shard_merge(spark):
         == sorted(map(tuple, merged.collect()))
 
 
+def test_qbucket_sql_matches_bit_math_reference():
+    """The generated log-linear bucket CASE (as DuckDB executes it)
+    equals an independent bit-length reference over the full BIGINT
+    domain — fuzzed across octaves including the 2^k boundaries."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geobuf_cpp_spark.operators.qsketch import QSKETCH_M, sql_qbucket
+
+    sql = sql_qbucket("v").replace(" div ", " // ")
+    con = duckdb.connect()
+
+    def reference(v: int, m: int = QSKETCH_M) -> int:
+        e = v.bit_length() - 1 if v > 0 else 0
+        if e <= m:
+            return v
+        return (e - m) * (1 << m) + (v >> (e - m))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.one_of(
+        st.integers(min_value=0, max_value=2**63 - 1),
+        # boundary-adjacent values at every octave
+        st.integers(min_value=0, max_value=61).flatmap(
+            lambda e: st.integers(min_value=max((1 << e) - 2, 0),
+                                  max_value=(1 << e) + 2)),
+    ))
+    def check(v):
+        got = con.execute(
+            f"SELECT {sql} FROM (SELECT CAST({v} AS BIGINT) AS v)"
+        ).fetchone()[0]
+        assert got == reference(v), v
+
+    check()
+
+
 def test_vacuum_skips_in_flight_data_dir(spark, tmp_path):
     """A data dir written AFTER the newest retained manifest may belong
     to a commit in flight (data lands before its manifest) — vacuum must
