@@ -29,6 +29,9 @@ def nearest_box(points: DataFrame, boxes: DataFrame,
     """(point_id, admin_id, d2): closest box by squared clamped axis
     distance, ties broken by the smaller admin_id. Points inside a box
     get d2 = 0 (distance to the CLOSED box — both edges inclusive)."""
+    from ..plans.partitioning import spread
+
+    points = spread(points)  # parallelize the map-side min(struct) partial
     dx = F.greatest(
         F.col("lon0") - F.col(x_col),
         F.col(x_col) - F.col("lon1"),
@@ -71,10 +74,13 @@ def nearest_center_geo(points: DataFrame, centers: DataFrame,
     standard reverse-geocode coarse step. Ties break to the smaller
     admin_id. Both inputs carry centidegree lattice (ix, iy).
     """
+    from ..plans.partitioning import spread
     from .range_join import sql_sphere_xyz
 
-    p = points.selectExpr(f"{id_col} AS point_id",
-                          *sql_sphere_xyz("ix", "iy"))
+    # spread before the broadcast cross join: the map-side partial of
+    # the min(struct) aggregate parallelizes per input partition
+    p = spread(points).selectExpr(f"{id_col} AS point_id",
+                                  *sql_sphere_xyz("ix", "iy"))
     c = centers.selectExpr("admin_id", *sql_sphere_xyz("ix", "iy",
                                                        prefix="q"))
     dx = F.col("sx") - F.col("qx")
