@@ -2275,6 +2275,95 @@ def q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5 late additions: web-domain rollup, boilerplate, skyline, trends,
+# multi-ring centroids
+# ---------------------------------------------------------------------------
+
+
+# deterministic per-source boilerplate header: exactly CHUNK_WORDS tokens
+# (the 8th is the source name, keeping headers distinct across sources),
+# prepended identically by the Spark gate and the DuckDB oracle — the
+# planted signal the within-source df filter must recover.
+BOILER_TEXT_SQL = (
+    "'home about contact privacy terms login search ' || source || ' ' || text"
+)
+
+# off-center hole for the centroid gate: [lon0+1, lon0+4) x [lat0+2,
+# lat0+5) — hole centroid (2.5, 3.5) differs from the box center (6,
+# 4.5), so the multi-ring centroid is NOT the outer center and the
+# oracle's closed form (594*lon0 + 3753, 594*lat0 + 2727 at area 99)
+# actually exercises the hole-subtraction arithmetic.
+CENTROID_HOLE = (1.0, 4.0, 2.0, 5.0)
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain rollup over deterministically synthesized
+    URLs: the Spark side parses host/path/query with the JVM parse_url
+    expression (the operator under test), the oracle re-derives them
+    with independent DuckDB string ops."""
+    from geobuf_cpp_spark.operators.webstats import domain_rollup, url_sql
+
+    _prep(spark, sf_dir, "documents")
+    docs = spark.table("documents").withColumn(
+        "url", F.expr(url_sql("STRING")))
+    return domain_rollup(docs)
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source boilerplate chunk detection (planted per-source
+    header + any organic repeats) — per-doc boilerplate counts."""
+    from geobuf_cpp_spark.operators.dedup import boilerplate_chunks
+
+    _prep(spark, sf_dir, "documents")
+    docs = spark.table("documents").withColumn(
+        "text", F.expr(BOILER_TEXT_SQL))
+    return boilerplate_chunks(docs, chunk_words=CHUNK_WORDS)
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts (minimize price, maximize size) via the
+    local-prune + global-refine window plan; quadratic NOT EXISTS
+    oracle. Price exact in cents: floor(x*100 + 0.5) is the same double
+    op on both engines."""
+    from geobuf_cpp_spark.operators.skyline import skyline2d
+
+    _prep(spark, sf_dir, "part")
+    pts = spark.table("part").select(
+        "p_partkey",
+        F.expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    return skyline2d(pts, "price_cents", "size", "p_partkey")
+
+
+def q_event_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type OLS trend parts (slope/intercept numerators
+    and denominator as DECIMAL(38,0) digit strings; epoch-hour x,
+    milli-unit y)."""
+    from geobuf_cpp_spark.operators.trends import group_trend
+
+    _prep(spark, sf_dir, "events")
+    return group_trend(spark.table("events"))
+
+
+def q_geom_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-ring (holed) polygon centroids in exact scaled parts over
+    the REAL wire geometry; closed-form oracle from the box/hole
+    corners — exact equality because every coordinate is an
+    integer-valued double."""
+    from geobuf_cpp_spark.operators.geom_stats import centroids
+    from geobuf_cpp_spark.sources.pages import ADMIN_SCHEMA
+
+    polys = spark.createDataFrame(
+        P.boxes_as_holed_polygons(
+            spark, sf_dir, hole=CENTROID_HOLE).to_dict("records"),
+        schema=ADMIN_SCHEMA,
+    )
+    return centroids(polys)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -2356,6 +2445,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_neardup": q_incremental_neardup,
         "hll_grouped": q_hll_grouped,
         "nearest_admin_geo": q_nearest_admin_geo,
+        # -- block 2b: late round-5 gates (past the sample window this
+        # round; rotate to the front in round 6) ----------------------------
+        "domain_stats": q_domain_stats,
+        "boilerplate": q_boilerplate,
+        "skyline": q_skyline,
+        "event_regression": q_event_regression,
+        "geom_centroid": q_geom_centroid,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
         "value_quantiles": q_value_quantiles,
@@ -2429,6 +2525,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_view": q_asof_view,
         "interval_view": q_interval_view,
     }
+
+
+def _domain_stats_sql() -> str:
+    """DuckDB twin of q_domain_stats: same synthetic URL, but host /
+    path / query re-derived with split_part + LIKE instead of
+    parse_url — an independent recomputation, not a replay."""
+    from geobuf_cpp_spark.operators.webstats import url_sql
+
+    return (
+        f"WITH u AS (SELECT doc_id, lang, n_chars, {url_sql('VARCHAR')} "
+        "AS url FROM documents), "
+        "h AS (SELECT lang, n_chars, split_part(url, '/', 3) AS host, "
+        "split_part(split_part(url, '/', 4), '?', 1) AS path, "
+        "CASE WHEN url LIKE '%?%' THEN 1 ELSE 0 END AS has_q FROM u), "
+        "r AS (SELECT regexp_extract(host, '([^.]+\\.[^.]+)$', 1) "
+        "AS reg_domain, host, path, lang, n_chars, has_q FROM h) "
+        "SELECT reg_domain, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(count(DISTINCT host) AS BIGINT) AS n_hosts, "
+        "CAST(count(DISTINCT path) AS BIGINT) AS n_paths, "
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+        "CAST(sum(has_q) AS BIGINT) AS n_with_query "
+        "FROM r GROUP BY reg_domain"
+    )
+
+
+def _boilerplate_sql() -> str:
+    """DuckDB twin of q_boilerplate: identical header prepend +
+    chunking, then the within-source df filter via list ops."""
+    w = CHUNK_WORDS
+    return (
+        f"WITH d AS (SELECT doc_id, source, {BOILER_TEXT_SQL} AS text "
+        "FROM documents), "
+        "t AS (SELECT doc_id, source, string_split(trim(text), ' ') "
+        "AS toks FROM d), "
+        "c AS (SELECT doc_id, source, toks, unnest(generate_series(0, "
+        f"CAST(ceil(len(toks) / {w}.0) AS INT) - 1)) AS chunk_idx FROM t), "
+        "ch AS (SELECT doc_id, source, array_to_string(list_slice(toks, "
+        f"chunk_idx * {w} + 1, chunk_idx * {w} + {w}), ' ') AS chunk "
+        "FROM c), "
+        "h AS (SELECT doc_id, source, md5(chunk) AS h, "
+        "len(string_split(chunk, ' ')) AS n_words FROM ch "
+        "WHERE chunk <> ''), "
+        "fr AS (SELECT source, h, count(DISTINCT doc_id) AS ndocs "
+        "FROM h GROUP BY 1, 2), "
+        "sd AS (SELECT source, count(DISTINCT doc_id) AS source_docs "
+        "FROM documents GROUP BY 1), "
+        "b AS (SELECT fr.source, fr.h FROM fr JOIN sd USING (source) "
+        "WHERE fr.ndocs >= 2 AND fr.ndocs * 20 >= sd.source_docs) "
+        "SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_chunks, "
+        "CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_boiler, "
+        "CAST(sum(CASE WHEN b.h IS NOT NULL THEN h.n_words ELSE 0 END) "
+        "AS BIGINT) AS boiler_words "
+        "FROM h LEFT JOIN b ON h.source = b.source AND h.h = b.h "
+        "GROUP BY h.doc_id"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3750,5 +3903,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT cohort_week, week - cohort_week AS k, "
             "CAST(count(*) AS BIGINT) AS n_users "
             "FROM w JOIN f USING (user_id) GROUP BY 1, 2"
+        ),
+        # ---- round-5 late additions ---------------------------------------
+        "domain_stats": _domain_stats_sql(),
+        "boilerplate": _boilerplate_sql(),
+        "skyline": (
+            "WITH pts AS (SELECT p_partkey, "
+            "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents, "
+            "CAST(p_size AS BIGINT) AS size FROM part) "
+            "SELECT p.p_partkey, p.price_cents, p.size FROM pts p "
+            "WHERE NOT EXISTS (SELECT 1 FROM pts q WHERE "
+            "(q.price_cents < p.price_cents AND q.size >= p.size) OR "
+            "(q.price_cents <= p.price_cents AND q.size > p.size))"
+        ),
+        "event_regression": (
+            # HUGEINT arithmetic mirrors Spark's DECIMAL(38,0); both ship
+            # digit strings (fetchdf would narrow DECIMAL to float64)
+            "WITH e AS (SELECT event_type, epoch_ms(ts) // 3600000 AS x, "
+            "CAST(floor(value * 1000) AS BIGINT) AS y FROM events), "
+            "s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n, "
+            "CAST(min(x) AS HUGEINT) AS x0, CAST(sum(x) AS HUGEINT) AS sx, "
+            "CAST(sum(y) AS HUGEINT) AS sy, "
+            "CAST(sum(x * y) AS HUGEINT) AS sxy, "
+            "CAST(sum(x * x) AS HUGEINT) AS sxx FROM e GROUP BY 1), "
+            "c AS (SELECT event_type, n, x0, sx - n * x0 AS csx, sy, "
+            "sxy - x0 * sy AS csxy, "
+            "sxx - 2 * x0 * sx + n * x0 * x0 AS csxx FROM s) "
+            "SELECT event_type, CAST(n AS BIGINT) AS n, "
+            "CAST(x0 AS BIGINT) AS x0, "
+            "CAST(n * csxy - csx * sy AS VARCHAR) AS slope_num, "
+            "CAST(n * csxx - csx * csx AS VARCHAR) AS slope_den, "
+            "CAST(sy * csxx - csx * csxy AS VARCHAR) AS icept_num FROM c"
+        ),
+        "geom_centroid": (
+            # closed form for outer 12x9 minus the off-center 3x3 hole at
+            # (+1..+4, +2..+5): area 99, 6*area*C = 594*corner + const
+            f"WITH {BOXES_CTE} "
+            "SELECT admin_id, CAST(99 AS DOUBLE) AS area, "
+            "594 * lon0 + 3753 AS cx6, 594 * lat0 + 2727 AS cy6 FROM boxes"
         ),
     }

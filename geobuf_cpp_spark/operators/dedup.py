@@ -610,3 +610,71 @@ def chunk_dedup(docs_df, chunk_words: int = 8,
         F.sum(F.when(F.col("rn") == 1, F.col("n_words")).otherwise(0))
         .cast("long").alias("kept_words"),
     )
+
+
+def boilerplate_chunks(docs_df, chunk_words: int = 8, min_df: int = 2,
+                       pct_den: int = 20, id_col: str = "doc_id",
+                       text_col: str = "text", src_col: str = "source"):
+    """Within-source boilerplate detection (CCNet/RefinedWeb line filter).
+
+    Web boilerplate (nav bars, footers, cookie banners) repeats across
+    MOST pages of a site but not across sites, so it is invisible to
+    global dedup: the filter is per-SOURCE document frequency. A chunk
+    (fixed ``chunk_words``-token window, same segmentation as
+    ``chunk_dedup``) is boilerplate within its source iff it appears in
+    >= max(min_df, source_docs/pct_den) distinct documents of that
+    source (df * pct_den >= source_docs, exact integers — default 5%).
+
+    Output per doc: (doc_id, n_chunks, n_boiler, boiler_words).
+
+    Plan: chunk explode (JVM transform) -> hash agg per (source, chunk
+    hash) for df -> join a broadcast 1-row-per-source doc-count dim ->
+    semi-shape join back to the chunk stream on (source, hash). The df
+    table is bounded by distinct chunks with df >= 2 (tiny vs the
+    corpus); AQE broadcasts it at real sizes, and the join key includes
+    the source so a cross-site mega-chunk cannot concentrate one
+    reducer.
+    """
+    w = int(chunk_words)
+    chunks = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(src_col).alias("source"),
+        F.expr(
+            "posexplode(transform("
+            f"  sequence(0, CAST(ceil(size(split(trim({text_col}), ' ')) / {w}.0) AS INT) - 1),"
+            f"  i -> array_join(slice(split(trim({text_col}), ' '), i * {w} + 1, {w}), ' ')"
+            "))"
+        ).alias("chunk_idx", "chunk"),
+    ).filter(F.col("chunk") != "")
+    hashed = chunks.select(
+        "doc_id", "source",
+        F.md5(F.col("chunk")).alias("h"),
+        F.size(F.split(F.col("chunk"), " ")).cast("long").alias("n_words"),
+    )
+    df_stats = hashed.groupBy("source", "h").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    src_docs = docs_df.groupBy(F.col(src_col).alias("source")).agg(
+        F.countDistinct(id_col).alias("source_docs")
+    )
+    boiler = (
+        df_stats.join(F.broadcast(src_docs), "source")
+        .filter(
+            (F.col("df") >= int(min_df))
+            & (F.col("df") * int(pct_den) >= F.col("source_docs"))
+        )
+        .select("source", "h", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        hashed.join(boiler, ["source", "h"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0)))
+            .cast("long").alias("n_boiler"),
+            F.sum(
+                F.when(F.col("is_boiler").isNotNull(), F.col("n_words"))
+                .otherwise(0)
+            ).cast("long").alias("boiler_words"),
+        )
+    )

@@ -64,3 +64,55 @@ def sql_bbox_exprs(geom_col: str = "geom") -> list[str]:
 def bboxes(geoms_df, id_col: str = "line_id", geom_col: str = "geom"):
     """(id, xmin, ymin, xmax, ymax) per geometry row, all JVM-side."""
     return geoms_df.selectExpr(id_col, *sql_bbox_exprs(geom_col))
+
+
+def centroids(polygons_df, id_col: str = "admin_id",
+              geom_col: str = "geom"):
+    """Multi-ring polygon centroid in exact scaled parts.
+
+    Per row: (id, area, cx6, cy6) where area follows ``polygon_area``'s
+    outer-minus-holes convention and cx6 = 6 * area * Cx (cy6 likewise)
+    — the shoelace centroid numerator BEFORE the final division, exact
+    in doubles for integer-valued coordinates (every term is a sum of
+    triple products of exactly-representable values). The caller divides
+    cx6 / (6 * area) for the float centroid; the gate compares the exact
+    parts, the same discipline as ``group_trend``.
+
+    Ring orientation is normalized per ring (sign of its own signed
+    area), so CW and CCW inputs agree: each ring's 6*|A_r|*Cx_r equals
+    sign(sa_r) * raw_r; the first ring adds, later rings (holes,
+    GeoJSON contract) subtract.
+    """
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, areas_, cx6s, cy6s = [], [], [], []
+            for pid, geom in zip(pdf[id_col], pdf[geom_col]):
+                rings = wire_rings(
+                    geom["type"], geom["dim"], geom["lengths"], geom["coords"]
+                )
+                area = cx6 = cy6 = 0.0
+                for k, ring in enumerate(rings):
+                    x, y = ring[:, 0], ring[:, 1]
+                    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+                    cross = x * y2 - x2 * y
+                    sa = float(np.sum(cross))          # 2 * signed area
+                    raw_x = float(np.sum(cross * (x + x2)))
+                    raw_y = float(np.sum(cross * (y + y2)))
+                    sgn = 1.0 if sa >= 0 else -1.0
+                    outer = 1.0 if k == 0 else -1.0
+                    area += outer * abs(sa) / 2.0
+                    cx6 += outer * sgn * raw_x
+                    cy6 += outer * sgn * raw_y
+                ids.append(int(pid))
+                areas_.append(area)
+                cx6s.append(cx6)
+                cy6s.append(cy6)
+            yield pd.DataFrame(
+                {id_col: ids, "area": areas_, "cx6": cx6s, "cy6": cy6s}
+            )
+
+    return polygons_df.select(id_col, geom_col).mapInPandas(
+        gen, f"{id_col} long, area double, cx6 double, cy6 double"
+    )

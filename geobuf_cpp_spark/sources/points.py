@@ -105,13 +105,18 @@ def boxes_as_wire_polygons(spark, sf_dir: str):
 HOLE = (3.0, 9.0, 2.0, 7.0)
 
 
-def boxes_as_holed_polygons(spark, sf_dir: str):
+def boxes_as_holed_polygons(spark, sf_dir: str, hole=HOLE):
     """The nation boxes as wire Polygons WITH an interior hole ring —
-    drives the even-odd multi-ring path of the exact PIP kernel."""
+    drives the even-odd multi-ring path of the exact PIP kernel.
+
+    ``hole`` is the (lon_off0, lon_off1, lat_off0, lat_off1) inset; the
+    default is the PIP gate's concentric hole, the centroid gate passes
+    an OFF-CENTER one so the multi-ring centroid is not just the box
+    center."""
     import pandas as pd
 
     b = boxes_df(spark, sf_dir).toPandas()
-    hx0, hx1, hy0, hy1 = HOLE
+    hx0, hx1, hy0, hy1 = hole
     return pd.DataFrame(
         {
             "admin_id": b["admin_id"].astype(int),

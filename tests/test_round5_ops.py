@@ -502,3 +502,148 @@ def test_vacuum_skips_in_flight_data_dir(spark, tmp_path):
     assert out["deleted_dirs"] == 1          # v1's dir only
     assert os.path.isdir(inflight)           # in-flight dir survives
     assert snapshot_versions(table) == [2]
+
+
+# ---------------------------------------------------------------------------
+# late round-5 operators: skyline, trends, boilerplate, domains, centroids
+# ---------------------------------------------------------------------------
+
+
+def test_skyline_matches_bruteforce_with_duplicates(spark):
+    """The two-window dominance encoding must agree with the O(n^2)
+    definition, including ties on either axis; exact duplicates on the
+    frontier both survive (neither dominates the other)."""
+    import random
+
+    from geobuf_cpp_spark.operators.skyline import skyline2d
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.randrange(20), rnd.randrange(20)) for i in range(300)]
+    rows += [(1000, 0, 100), (1001, 0, 100)]  # duplicate frontier points
+
+    def dominated(p):
+        return any(
+            (q[1] < p[1] and q[2] >= p[2]) or (q[1] <= p[1] and q[2] > p[2])
+            for q in rows
+        )
+
+    want = {p for p in rows if not dominated(p)}
+    df = spark.createDataFrame(rows, "id long, cost long, gain long")
+    got = {tuple(r) for r in skyline2d(df, "cost", "gain", "id").collect()}
+    assert got == want
+    assert {(1000, 0, 100), (1001, 0, 100)} <= got
+
+
+def test_skyline_block_count_invariant(spark):
+    """Local pruning must be lossless: any block partitioning yields the
+    same frontier (a locally dominated row is globally dominated)."""
+    import random
+
+    from geobuf_cpp_spark.operators.skyline import skyline2d
+
+    rnd = random.Random(11)
+    rows = [(i, rnd.randrange(50), rnd.randrange(50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, cost long, gain long")
+    one = {tuple(r) for r in
+           skyline2d(df, "cost", "gain", "id", n_blocks=1).collect()}
+    many = {tuple(r) for r in
+            skyline2d(df, "cost", "gain", "id", n_blocks=64).collect()}
+    assert one == many
+
+
+def test_group_trend_recovers_planted_slope(spark):
+    """A noiseless planted line value = 7 + 1.25*hour must yield
+    slope_num/slope_den == exactly 1250 milli-units/hour and intercept
+    (at x0) == 7000 milli-units."""
+    from datetime import datetime, timedelta
+
+    from geobuf_cpp_spark.operators.trends import group_trend
+
+    t0 = datetime(2024, 3, 1)
+    rows = [
+        ("a", t0 + timedelta(hours=i), 7.0 + 1.25 * i) for i in range(48)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double")
+    [r] = group_trend(df).collect()
+    num, den, icept = int(r.slope_num), int(r.slope_den), int(r.icept_num)
+    assert den > 0 and num == 1250 * den
+    assert icept == 7000 * den
+    assert r.n == 48
+
+
+def test_group_trend_degenerate_single_bucket(spark):
+    """All events in one hour bucket: slope_den == 0 and both numerators
+    == 0 — the caller sees an explicit 0/0, never a crash."""
+    from datetime import datetime, timedelta
+
+    from geobuf_cpp_spark.operators.trends import group_trend
+
+    t0 = datetime(2024, 3, 1)
+    rows = [("a", t0 + timedelta(seconds=i), float(i)) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double")
+    [r] = group_trend(df).collect()
+    assert int(r.slope_den) == 0 and int(r.slope_num) == 0
+
+
+def test_boilerplate_flags_planted_header_only_when_frequent(spark):
+    """A chunk shared by every doc of a source is boilerplate there; a
+    single-doc source produces none (df >= 2 floor); unique tails are
+    never flagged."""
+    from geobuf_cpp_spark.operators.dedup import boilerplate_chunks
+
+    header = "home about contact privacy terms login search srcA"
+    rows = [
+        (i, "srcA", f"{header} unique{i} tail{i} words{i} here{i}")
+        for i in range(5)
+    ] + [(99, "srcB", f"{header.replace('srcA', 'srcB')} lone doc")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in
+           boilerplate_chunks(df, chunk_words=8).collect()}
+    for i in range(5):
+        assert out[i].n_boiler == 1           # exactly the header chunk
+        assert out[i].boiler_words == 8
+        assert out[i].n_chunks == 2
+    assert out[99].n_boiler == 0              # df=1 in srcB
+
+
+def test_domain_rollup_counts(spark):
+    """Host/path/query decomposition and the eTLD+1 grouping."""
+    from geobuf_cpp_spark.operators.webstats import domain_rollup
+
+    rows = [
+        ("https://www.ex.com/a?x=1", "en", 10),
+        ("https://blog.ex.com/a", "en", 20),
+        ("https://www.ex.com/b", "de", 30),
+        ("https://www.other.org/z", "en", 5),
+    ]
+    df = spark.createDataFrame(rows, "url string, lang string, n_chars long")
+    out = {r.reg_domain: r for r in domain_rollup(df).collect()}
+    ex = out["ex.com"]
+    assert (ex.n_docs, ex.n_hosts, ex.n_paths, ex.n_langs) == (3, 2, 2, 2)
+    assert ex.total_chars == 60 and ex.n_with_query == 1
+    assert out["other.org"].n_docs == 1
+
+
+def test_centroids_hole_subtraction_and_orientation(spark):
+    """10x10 outer minus 2x2 hole at (2..4, 2..4): area 96, cx6 = cy6 =
+    6*(100*5 - 4*3) = 2928 — and the result must be identical whether
+    the hole ring is wound CW or CCW (per-ring sign normalization)."""
+    from geobuf_cpp_spark.operators.geom_stats import centroids
+    from geobuf_cpp_spark.sources.pages import ADMIN_SCHEMA
+
+    outer = [0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0, 0.0, 0.0]
+    hole_ccw = [2.0, 2.0, 4.0, 2.0, 4.0, 4.0, 2.0, 4.0, 2.0, 2.0]
+    hole_cw = [2.0, 2.0, 2.0, 4.0, 4.0, 4.0, 4.0, 2.0, 2.0, 2.0]
+    rows = [
+        {"admin_id": k,
+         "geom": {"type": 4, "dim": 2, "lengths": [5, 5],
+                  "coords": outer + hole}}
+        for k, hole in ((0, hole_ccw), (1, hole_cw))
+    ]
+    df = spark.createDataFrame(rows, schema=ADMIN_SCHEMA)
+    out = {r.admin_id: r for r in centroids(df).collect()}
+    for k in (0, 1):
+        assert out[k].area == 96.0
+        assert out[k].cx6 == 2928.0 and out[k].cy6 == 2928.0

@@ -745,6 +745,7 @@ def test_whole_surface_plan_hygiene(spark):
     # declared Arrow-batched Python kernels (codec, geometry, ANN, media)
     python_ok = {
         "admin_areas", "ann_ivf", "ann_topk", "embed_neardup",
+        "geom_centroid",
         "geobuf_files", "geobuf_roundtrip", "geobuf_roundtrip_3d",
         "geobuf_size_stats", "geohash_assign", "hilbert_index",
         "incremental_neardup", "ivf_pruned", "ivfpq_topk",
