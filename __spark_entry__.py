@@ -2296,6 +2296,62 @@ BOILER_TEXT_SQL = (
 CENTROID_HOLE = (1.0, 4.0, 2.0, 5.0)
 
 
+# compaction gate: res-10 polyfill of the nation boxes (cells ~0.35 x
+# 0.18 deg -> ~1.8k cells per box) compacted down to res 7 — interior
+# collapses by ~4x per level, box edges stay fine.
+COMPACT_RES = 10
+COMPACT_MIN_RES = 7
+
+
+def _box_cover_df(spark: SparkSession, res: int) -> DataFrame:
+    """Single-resolution box polyfill built distributively (sequence()
+    explode from the corner grid indices — no driver materialization)."""
+    boxes = spark.sql(P.BOXES_SELECT)
+    g = boxes.selectExpr(
+        "admin_id",
+        f"{sql_ix('lon0', res)} AS x0",
+        f"{sql_ix('lon1', res)} AS x1",
+        f"{sql_iy('lat0', res)} AS y0",
+        f"{sql_iy('lat1', res)} AS y1",
+    )
+    return (
+        g.selectExpr(
+            "admin_id", "x0", "x1", "explode(sequence(y0, y1)) AS gy")
+        .selectExpr("admin_id", "gy", "explode(sequence(x0, x1)) AS gx")
+        .selectExpr(
+            "admin_id",
+            f"CAST({res} AS BIGINT) * {1 << 52} + gy * {1 << res} + gx "
+            "AS cell",
+        )
+    )
+
+
+def q_cover_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3/S2-style compact: minimal mixed-resolution cover of each
+    admin box (full 4-sibling groups promote, recursively); per
+    (admin, res) counts + cell-id checksum. The oracle replays the same
+    fixed number of rounds as chained CTEs over the closed-form
+    cover."""
+    from geobuf_cpp_spark.operators.compact import compact_cover
+
+    _prep(spark, sf_dir, "nation")
+    comp = compact_cover(
+        _box_cover_df(spark, COMPACT_RES), COMPACT_RES, COMPACT_MIN_RES)
+    return comp.groupBy("admin_id", "res").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("cell").cast("long").alias("cell_sum"),
+    )
+
+
+def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal quality score in exact whole bits (the
+    integer-gateable form of CCNet's KenLM perplexity filter)."""
+    from geobuf_cpp_spark.operators.textstats import lm_surprisal
+
+    _prep(spark, sf_dir, "documents")
+    return lm_surprisal(spark.table("documents"))
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registered-domain rollup over deterministically synthesized
     URLs: the Spark side parses host/path/query with the JVM parse_url
@@ -2452,6 +2508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline": q_skyline,
         "event_regression": q_event_regression,
         "geom_centroid": q_geom_centroid,
+        "cover_compact": q_cover_compact,
+        "lm_surprisal": q_lm_surprisal,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
         "value_quantiles": q_value_quantiles,
@@ -2581,6 +2639,81 @@ def _boilerplate_sql() -> str:
         "AS BIGINT) AS boiler_words "
         "FROM h LEFT JOIN b ON h.source = b.source AND h.h = b.h "
         "GROUP BY h.doc_id"
+    )
+
+
+def _cover_compact_sql() -> str:
+    """DuckDB twin of q_cover_compact: closed-form res-10 cover, then
+    the SAME fixed compaction rounds as chained CTEs (window sibling
+    count, promote-on-4) — sql_cell_parent's FLOOR-over-double text is
+    engine-portable verbatim."""
+    from geobuf_cpp_spark.functions.cells import sql_cell_parent
+
+    R, MINR = COMPACT_RES, COMPACT_MIN_RES
+    ctes = [
+        f"g AS (SELECT admin_id, {sql_ix('lon0', R)} AS x0, "
+        f"{sql_ix('lon1', R)} AS x1, {sql_iy('lat0', R)} AS y0, "
+        f"{sql_iy('lat1', R)} AS y1 FROM boxes)",
+        "g1 AS (SELECT admin_id, x0, x1, "
+        "unnest(generate_series(y0, y1)) AS gy FROM g)",
+        "g2 AS (SELECT admin_id, gy, "
+        "unnest(generate_series(x0, x1)) AS gx FROM g1)",
+        f"l{R} AS (SELECT admin_id, CAST({R} AS BIGINT) * {1 << 52} "
+        f"+ gy * {1 << R} + gx AS cell FROM g2)",
+    ]
+    keeps = []
+    for r in range(R, MINR, -1):
+        ctes.append(
+            f"p{r} AS (SELECT admin_id, cell, "
+            f"{sql_cell_parent('cell', r, r - 1)} AS parent FROM l{r})"
+        )
+        ctes.append(
+            f"s{r} AS (SELECT admin_id, cell, parent, count(*) OVER "
+            f"(PARTITION BY admin_id, parent) AS sib FROM p{r})"
+        )
+        ctes.append(
+            f"k{r} AS (SELECT admin_id, CAST({r} AS BIGINT) AS res, "
+            f"cell FROM s{r} WHERE sib < 4)"
+        )
+        ctes.append(
+            f"l{r - 1} AS (SELECT DISTINCT admin_id, parent AS cell "
+            f"FROM s{r} WHERE sib = 4)"
+        )
+        keeps.append(f"SELECT admin_id, res, cell FROM k{r}")
+    keeps.append(
+        f"SELECT admin_id, CAST({MINR} AS BIGINT) AS res, cell FROM l{MINR}"
+    )
+    return (
+        f"WITH {BOXES_CTE}, " + ", ".join(ctes) + ", "
+        "u AS (" + " UNION ALL ".join(keeps) + ") "
+        "SELECT admin_id, res, CAST(count(*) AS BIGINT) AS n_cells, "
+        "CAST(sum(cell) AS BIGINT) AS cell_sum FROM u "
+        "GROUP BY admin_id, res"
+    )
+
+
+def _lm_surprisal_sql() -> str:
+    """DuckDB twin of q_lm_surprisal: list-op bigram stream, same count
+    tables, same portable flog2 CASE chain."""
+    from geobuf_cpp_spark.operators.textstats import sql_flog2
+
+    return (
+        "WITH t AS (SELECT doc_id, list_filter("
+        "string_split(trim(text), ' '), x -> x <> '') AS toks "
+        "FROM documents), "
+        "i AS (SELECT doc_id, toks, unnest(generate_series(1, "
+        "len(toks) - 1)) AS i FROM t WHERE len(toks) >= 2), "
+        "bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM i), "
+        "d AS (SELECT doc_id, w1, w2, count(*) AS k FROM bg "
+        "GROUP BY 1, 2, 3), "
+        "g AS (SELECT w1, w2, sum(k) AS c2 FROM d GROUP BY 1, 2), "
+        "gw AS (SELECT w1, w2, c2, sum(c2) OVER (PARTITION BY w1) AS c1 "
+        "FROM g) "
+        "SELECT d.doc_id, CAST(sum(d.k) AS BIGINT) AS n_bigrams, "
+        f"CAST(sum(d.k * ({sql_flog2('c1')} - {sql_flog2('c2')})) "
+        "AS BIGINT) AS surprisal_bits "
+        "FROM d JOIN gw ON d.w1 = gw.w1 AND d.w2 = gw.w2 "
+        "GROUP BY d.doc_id"
     )
 
 
@@ -3905,6 +4038,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM w JOIN f USING (user_id) GROUP BY 1, 2"
         ),
         # ---- round-5 late additions ---------------------------------------
+        "cover_compact": _cover_compact_sql(),
+        "lm_surprisal": _lm_surprisal_sql(),
         "domain_stats": _domain_stats_sql(),
         "boilerplate": _boilerplate_sql(),
         "skyline": (

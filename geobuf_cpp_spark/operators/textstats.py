@@ -314,3 +314,64 @@ def tfidf_topk(docs_df, k: int = 5, id_col: str = "doc_id",
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "df", "score")
     )
+
+
+def sql_flog2(v: str) -> str:
+    """floor(log2(v)) for BIGINT ``v >= 1`` as SQL text.
+
+    Constant-threshold CASE chain (one branch per octave), the same
+    portability discipline as ``qsketch.sql_qbucket``: no float log
+    (libm results differ across engines), no variable shifts — the text
+    runs verbatim on Spark and DuckDB.
+    """
+    whens = [f"WHEN ({v}) < {1 << (e + 1)} THEN {e}" for e in range(63)]
+    return ("(CASE WHEN (" + v + ") < 1 THEN NULL "
+            + " ".join(whens) + " ELSE NULL END)")
+
+
+def lm_surprisal(docs_df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document bigram-LM surprisal in whole bits — the exact-integer
+    form of CCNet's KenLM perplexity filter.
+
+    A document's quality signal is how SURPRISING its token stream is
+    under a language model trained on the corpus itself. With a bigram
+    model, the surprisal of position i is -log2 P(w_i | w_{i-1}) =
+    log2 c1(w_{i-1}) - log2 c2(w_{i-1}, w_i), where c2 counts the bigram
+    corpus-wide and c1 counts the prefix (c1 = sum of c2 over the
+    continuations, so every probability is well-formed). Floats make
+    that un-gateable, so the engine scores in WHOLE bits: flog2(c1) -
+    flog2(c2) per position, a deterministic integer in [0, 63] —
+    repetitive boilerplate scores near 0 bits/token, rare junk scores
+    high. Output: (doc_id, n_bigrams, surprisal_bits); docs with < 2
+    tokens have no bigrams and no row, same as the oracle.
+
+    Plan: bigram explode -> per-(doc, bigram) pre-agg (bounds the join
+    input by DISTINCT bigrams per doc) -> global bigram counts (one hash
+    agg) with the prefix count as a window sum over w1 -> one equi-join
+    back on (w1, w2) -> per-doc sum. Hot bigrams ("of the") are exactly
+    the AQE skew-join shape; everything is JVM expressions.
+    """
+    from pyspark.sql import Window
+
+    toks = f"filter(split(trim({text_col}), ' '), t -> t <> '')"
+    pairs = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(
+            f"explode(zip_with("
+            f"slice({toks}, 1, greatest(size({toks}) - 1, 0)), "
+            f"slice({toks}, 2, greatest(size({toks}) - 1, 0)), "
+            "(a, b) -> struct(a AS w1, b AS w2)))"
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    d = pairs.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("k"))
+    g = d.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
+    gw = g.withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
+    bits = F.expr(sql_flog2("c1")) - F.expr(sql_flog2("c2"))
+    return (
+        d.join(gw, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.sum(F.col("k") * bits).cast("long").alias("surprisal_bits"),
+        )
+    )

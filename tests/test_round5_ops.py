@@ -647,3 +647,75 @@ def test_centroids_hole_subtraction_and_orientation(spark):
     for k in (0, 1):
         assert out[k].area == 96.0
         assert out[k].cx6 == 2928.0 and out[k].cy6 == 2928.0
+
+
+def test_compact_cover_reconstructs_and_is_minimal(spark):
+    """Expanding every compacted cell back to its finest-resolution
+    descendants must reproduce the original cover EXACTLY (coverage
+    preserved, no overlap), and no full 4-sibling group may survive at
+    any level (minimality)."""
+    from geobuf_cpp_spark.functions.cells import RES_BASE, cell_parent
+    from geobuf_cpp_spark.operators.compact import compact_cover
+
+    res, min_res = 6, 3
+    # an L-shaped region: grid rows 0..15 x cols 0..15 minus a quadrant
+    cells = [
+        (1, res * RES_BASE + y * (1 << res) + x)
+        for y in range(16)
+        for x in range(16)
+        if not (y >= 8 and x >= 8)
+    ]
+    df = spark.createDataFrame(cells, "admin_id long, cell long")
+    comp = compact_cover(df, res, min_res).collect()
+
+    # minimality: per (admin, level) no 4 siblings all present
+    by_level: dict[int, set[int]] = {}
+    for r in comp:
+        by_level.setdefault(r.res, set()).add(r.cell)
+    for lvl, cs in by_level.items():
+        if lvl == min_res:
+            continue
+        from collections import Counter
+
+        sibs = Counter(int(cell_parent([c], lvl, lvl - 1)[0]) for c in cs)
+        assert all(v < 4 for v in sibs.values()), (lvl, sibs)
+
+    # reconstruction: expand everything to `res` and compare exactly
+    def descendants(cell, lvl):
+        if lvl == res:
+            return [cell]
+        n = 1 << lvl
+        local = cell - lvl * RES_BASE
+        iy, ix = divmod(local, n)
+        out = []
+        for dy in (0, 1):
+            for dx in (0, 1):
+                child = ((lvl + 1) * RES_BASE
+                         + (2 * iy + dy) * (2 << lvl) + (2 * ix + dx))
+                out.extend(descendants(child, lvl + 1))
+        return out
+
+    flat = []
+    for r in comp:
+        flat.extend(descendants(r.cell, r.res))
+    assert sorted(flat) == sorted(c for _, c in cells)
+
+
+def test_lm_surprisal_hand_computed(spark):
+    """Exact whole-bit surprisal on a corpus small enough to score by
+    hand; sub-2-token docs produce no row."""
+    from geobuf_cpp_spark.operators.textstats import lm_surprisal
+
+    rows = [
+        (0, "a b a b"),   # bigrams: ab, ba, ab
+        (1, "a b c"),     # bigrams: ab, bc
+        (2, "solo"),      # no bigrams
+    ]
+    # corpus: c2(ab)=3, c2(ba)=1, c2(bc)=1; prefixes c1(a)=3, c1(b)=2.
+    # ab: flog2(3)-flog2(3) = 0 bits; ba: flog2(2)-flog2(1) = 1;
+    # bc: 1. doc0 = 0+1+0 = 1 bit, doc1 = 0+1 = 1 bit.
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in lm_surprisal(df).collect()}
+    assert set(out) == {0, 1}
+    assert (out[0].n_bigrams, out[0].surprisal_bits) == (3, 1)
+    assert (out[1].n_bigrams, out[1].surprisal_bits) == (2, 1)
