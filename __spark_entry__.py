@@ -2352,6 +2352,29 @@ def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_surprisal(spark.table("documents"))
 
 
+MORANS_RES = 8  # 256 x 256 grid, same as grid_cluster
+
+
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I of point density over occupied grid cells, in
+    exact integer parts (num/den digit strings + N + W); the oracle
+    rebuilds the neighbor pairs with the same integer lattice arithmetic
+    and HUGEINT products."""
+    from geobuf_cpp_spark.operators.spatial_stats import morans_i_parts
+
+    _prep(spark, sf_dir, "orders")
+    return morans_i_parts(spark.sql(P.POINTS_SELECT), MORANS_RES)
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText duplicate n-gram stats per (doc, n) for
+    n in {2, 3} — exact integers."""
+    from geobuf_cpp_spark.operators.textstats import ngram_repetition
+
+    _prep(spark, sf_dir, "documents")
+    return ngram_repetition(spark.table("documents"), sizes=(2, 3))
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registered-domain rollup over deterministically synthesized
     URLs: the Spark side parses host/path/query with the JVM parse_url
@@ -2510,6 +2533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_centroid": q_geom_centroid,
         "cover_compact": q_cover_compact,
         "lm_surprisal": q_lm_surprisal,
+        "morans_i": q_morans_i,
+        "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
         "value_quantiles": q_value_quantiles,
@@ -4038,6 +4063,52 @@ def oracle_sql() -> dict[str, str]:
             "FROM w JOIN f USING (user_id) GROUP BY 1, 2"
         ),
         # ---- round-5 late additions ---------------------------------------
+        "morans_i": (
+            f"{POINTS_CTE}, "
+            f"c AS (SELECT {sql_iy('lat', MORANS_RES)} AS iy, "
+            f"{sql_ix('lon', MORANS_RES)} AS ix, "
+            "CAST(count(*) AS HUGEINT) AS x FROM points GROUP BY 1, 2), "
+            "t AS (SELECT CAST(sum(x) AS HUGEINT) AS ts, "
+            "CAST(count(*) AS HUGEINT) AS nc FROM c), "
+            "o AS (SELECT * FROM (VALUES (0, 1), (1, -1), (1, 0), (1, 1)) "
+            "v(dy, dx)), "
+            # forward neighbors via the same integer lattice arithmetic;
+            # the equi-join against real cells IS the border guard
+            "e AS (SELECT a.x AS xa, b.x AS xb FROM c a JOIN o ON TRUE "
+            "JOIN c b ON b.iy = a.iy + o.dy AND b.ix = a.ix + o.dx), "
+            "n AS (SELECT CAST(2 * sum((t.nc * xa - t.ts) * "
+            "(t.nc * xb - t.ts)) AS VARCHAR) AS num, "
+            "CAST(2 * count(*) AS BIGINT) AS w_pairs FROM e, t), "
+            "d AS (SELECT CAST(sum((t.nc * x - t.ts) * (t.nc * x - t.ts)) "
+            "AS VARCHAR) AS den, CAST(max(t.nc) AS BIGINT) AS n_cells "
+            "FROM c, t) "
+            "SELECT d.n_cells, n.w_pairs, n.num, d.den FROM n, d"
+        ),
+        "gopher_repetition": (
+            "WITH t AS (SELECT doc_id, list_filter("
+            "string_split(trim(text), ' '), x -> x <> '') AS toks "
+            "FROM documents), "
+            + ", ".join(
+                f"i{n} AS (SELECT doc_id, toks, unnest(generate_series(1, "
+                f"len(toks) - {n} + 1)) AS i FROM t "
+                f"WHERE len(toks) >= {n}), "
+                f"g{n} AS (SELECT doc_id, array_to_string(list_slice("
+                f"toks, i, i + {n} - 1), ' ') AS gram FROM i{n}), "
+                f"cc{n} AS (SELECT doc_id, gram, count(*) AS c FROM g{n} "
+                "GROUP BY 1, 2)"
+                for n in (2, 3)
+            )
+            + " "
+            + " UNION ALL ".join(
+                f"SELECT doc_id, CAST({n} AS BIGINT) AS n, "
+                "CAST(sum(c) AS BIGINT) AS n_grams, "
+                "CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) "
+                "AS dup_occurrences, "
+                "CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+                f"AS dup_distinct FROM cc{n} GROUP BY doc_id"
+                for n in (2, 3)
+            )
+        ),
         "cover_compact": _cover_compact_sql(),
         "lm_surprisal": _lm_surprisal_sql(),
         "domain_stats": _domain_stats_sql(),

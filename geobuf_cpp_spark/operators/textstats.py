@@ -375,3 +375,53 @@ def lm_surprisal(docs_df, id_col: str = "doc_id", text_col: str = "text"):
             F.sum(F.col("k") * bits).cast("long").alias("surprisal_bits"),
         )
     )
+
+
+def ngram_repetition(docs_df, sizes: tuple = (2, 3),
+                     id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style duplicate n-gram statistics, exact integers.
+
+    The Gopher/MassiveText quality rules drop documents whose n-grams
+    repeat too much (the "duplicate n-gram fraction" family). Per
+    (doc, n) for each requested n: total n-gram occurrences, occurrences
+    belonging to a WITHIN-DOC duplicated gram (count >= 2), and how many
+    distinct grams are duplicated. The caller derives the Gopher
+    fraction as dup_occurrences / n_grams; docs with fewer than n tokens
+    emit no row for that n (same as the oracle).
+
+    Plan per size: gram explode (JVM transform over the token array) ->
+    one hash agg on (doc, gram) -> per-doc re-agg; sizes union at the
+    end. Identical shuffle discipline to ``chunk_dedup`` — keys include
+    the doc id, so corpus growth adds reducers, not skew.
+    """
+    toks = f"filter(split(trim({text_col}), ' '), t -> t <> '')"
+    outs = []
+    for n in sizes:
+        n = int(n)
+        grams = docs_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(
+                f"explode(CASE WHEN size({toks}) >= {n} THEN "
+                f"transform(sequence(1, size({toks}) - {n} + 1), "
+                f"i -> array_join(slice({toks}, i, {n}), ' ')) "
+                "ELSE array() END)"
+            ).alias("gram"),
+        )
+        counts = grams.groupBy("doc_id", "gram").agg(
+            F.count("*").alias("c"))
+        outs.append(
+            counts.groupBy("doc_id").agg(
+                F.sum("c").cast("long").alias("n_grams"),
+                F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+                .cast("long").alias("dup_occurrences"),
+                F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+                .cast("long").alias("dup_distinct"),
+            ).select(
+                "doc_id", F.lit(n).cast("long").alias("n"),
+                "n_grams", "dup_occurrences", "dup_distinct",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -719,3 +719,62 @@ def test_lm_surprisal_hand_computed(spark):
     assert set(out) == {0, 1}
     assert (out[0].n_bigrams, out[0].surprisal_bits) == (3, 1)
     assert (out[1].n_bigrams, out[1].surprisal_bits) == (2, 1)
+
+
+def test_morans_i_sign_and_exact_parts(spark):
+    """Two adjacent occupied cells with counts (3, 1): N=2, T=4, devs
+    (N*x - T) = (+2, -2), one forward pair -> num = 2*(2*-2) = -8,
+    W = 2, den = 8: I = (N/W)*(num/den) = -1 (perfect dispersion)."""
+    from geobuf_cpp_spark.functions.cells import cell_center
+    from geobuf_cpp_spark.operators.spatial_stats import morans_i_parts
+
+    res = 8
+    # counts 3 and 1 planted at the centers of two x-adjacent cells
+    base_cell = res * (1 << 52) + 100 * (1 << res) + 100
+    lat0, lon0 = cell_center(base_cell, res)
+    lat1, lon1 = cell_center(base_cell + 1, res)
+    pts = [(float(lat0), float(lon0))] * 3 + [(float(lat1), float(lon1))]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    [r] = morans_i_parts(df, res).collect()
+    assert (r.n_cells, r.w_pairs) == (2, 2)
+    assert (int(r.num), int(r.den)) == (-8, 8)
+
+
+def test_morans_i_clustered_positive(spark):
+    """A smooth blob (equal counts in a 3x3 block) autocorrelates
+    positively against a distant outlier cell."""
+    from geobuf_cpp_spark.functions.cells import cell_center
+    from geobuf_cpp_spark.operators.spatial_stats import morans_i_parts
+
+    res = 8
+    pts = []
+    for dy in range(3):
+        for dx in range(3):
+            c = res * (1 << 52) + (50 + dy) * (1 << res) + (50 + dx)
+            lat, lon = cell_center(c, res)
+            pts += [(float(lat), float(lon))] * 5
+    far = res * (1 << 52) + 200 * (1 << res) + 200
+    lat, lon = cell_center(far, res)
+    pts += [(float(lat), float(lon))]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    [r] = morans_i_parts(df, res).collect()
+    n, w, num, den = r.n_cells, r.w_pairs, int(r.num), int(r.den)
+    assert den > 0 and w > 0
+    # blob devs are small vs the outlier's, so den is outlier-dominated:
+    # I = (10/40)*(640/1440) ~ 0.11 — positive is the signal here
+    assert num > 0 and (n * num) / (w * den) > 0.1
+
+
+def test_ngram_repetition_hand_computed(spark):
+    """'a a a b': 2-grams (aa, aa, ab) -> 3 grams, 2 dup occurrences of
+    1 distinct gram; 3-grams all unique; a 1-token doc emits no rows."""
+    from geobuf_cpp_spark.operators.textstats import ngram_repetition
+
+    df = spark.createDataFrame(
+        [(0, "a a a b"), (1, "x")], "doc_id long, text string")
+    out = {(r.doc_id, r.n): r
+           for r in ngram_repetition(df, sizes=(2, 3)).collect()}
+    assert set(out) == {(0, 2), (0, 3)}
+    r2, r3 = out[(0, 2)], out[(0, 3)]
+    assert (r2.n_grams, r2.dup_occurrences, r2.dup_distinct) == (3, 2, 1)
+    assert (r3.n_grams, r3.dup_occurrences, r3.dup_distinct) == (2, 0, 0)
