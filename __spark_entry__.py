@@ -2366,6 +2366,17 @@ def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     return morans_i_parts(spark.sql(P.POINTS_SELECT), MORANS_RES)
 
 
+def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Getis-Ord Gi* hotspot parts per occupied grid cell — exact
+    integers (gi_num = N*local_sum - k*T; globals on every row, ssq as a
+    digit string); the oracle rebuilds the queen neighborhood with the
+    same integer lattice arithmetic."""
+    from geobuf_cpp_spark.operators.spatial_stats import getis_ord_parts
+
+    _prep(spark, sf_dir, "orders")
+    return getis_ord_parts(spark.sql(P.POINTS_SELECT), MORANS_RES)
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText duplicate n-gram stats per (doc, n) for
     n in {2, 3} — exact integers."""
@@ -2534,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover_compact": q_cover_compact,
         "lm_surprisal": q_lm_surprisal,
         "morans_i": q_morans_i,
+        "getis_ord": q_getis_ord,
         "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
@@ -4083,6 +4095,28 @@ def oracle_sql() -> dict[str, str]:
             "AS VARCHAR) AS den, CAST(max(t.nc) AS BIGINT) AS n_cells "
             "FROM c, t) "
             "SELECT d.n_cells, n.w_pairs, n.num, d.den FROM n, d"
+        ),
+        "getis_ord": (
+            f"{POINTS_CTE}, "
+            f"c AS (SELECT {sql_iy('lat', MORANS_RES)} AS iy, "
+            f"{sql_ix('lon', MORANS_RES)} AS ix, "
+            "CAST(count(*) AS BIGINT) AS x FROM points GROUP BY 1, 2), "
+            "t AS (SELECT CAST(sum(x) AS BIGINT) AS ts, "
+            "CAST(count(*) AS BIGINT) AS nc, "
+            "CAST(sum(CAST(x AS HUGEINT) * x) AS VARCHAR) AS ssq FROM c), "
+            "o AS (SELECT * FROM (VALUES (-1, -1), (-1, 0), (-1, 1), "
+            "(0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)) "
+            "v(dy, dx)), "
+            # queen neighborhood incl. self over OCCUPIED cells only;
+            # the equi-join against real cells IS the border guard
+            "e AS (SELECT a.iy, a.ix, b.x AS xb FROM c a JOIN o ON TRUE "
+            "JOIN c b ON b.iy = a.iy + o.dy AND b.ix = a.ix + o.dx), "
+            "l AS (SELECT iy, ix, CAST(count(*) AS BIGINT) AS k, "
+            "CAST(sum(xb) AS BIGINT) AS local_sum FROM e GROUP BY 1, 2) "
+            f"SELECT CAST({MORANS_RES * RES_BASE} + iy * {1 << MORANS_RES} "
+            "+ ix AS BIGINT) AS cell, k, local_sum, "
+            "CAST(t.nc * local_sum - k * t.ts AS BIGINT) AS gi_num, "
+            "t.nc AS n_cells, t.ts AS t_sum, t.ssq FROM l, t"
         ),
         "gopher_repetition": (
             "WITH t AS (SELECT doc_id, list_filter("

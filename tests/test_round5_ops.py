@@ -765,6 +765,57 @@ def test_morans_i_clustered_positive(spark):
     assert num > 0 and (n * num) / (w * den) > 0.1
 
 
+def test_getis_ord_hand_computed(spark):
+    """Two x-adjacent occupied cells with counts (3, 1): each has the
+    other as its one neighbor plus itself, so k=2 and local_sum=4 for
+    both; N=2, T=4 -> gi_num = 2*4 - 2*4 = 0 for both (a two-cell
+    field has no hotspot relative to its own mean), ssq = 9+1 = 10."""
+    from geobuf_cpp_spark.functions.cells import cell_center
+    from geobuf_cpp_spark.operators.spatial_stats import getis_ord_parts
+
+    res = 8
+    base_cell = res * (1 << 52) + 100 * (1 << res) + 100
+    lat0, lon0 = cell_center(base_cell, res)
+    lat1, lon1 = cell_center(base_cell + 1, res)
+    pts = [(float(lat0), float(lon0))] * 3 + [(float(lat1), float(lon1))]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    rows = {r.cell: r for r in getis_ord_parts(df, res).collect()}
+    assert set(rows) == {base_cell, base_cell + 1}
+    for r in rows.values():
+        assert (r.k, r.local_sum, r.gi_num) == (2, 4, 0)
+        assert (r.n_cells, r.t_sum, int(r.ssq)) == (2, 4, 10)
+
+
+def test_getis_ord_hotspot_sign(spark):
+    """A 5-point cell inside a 3x3 blob of 1-point cells vs a distant
+    1-point outlier: the blob center's gi_num is positive (hotspot),
+    the outlier's negative (cold relative to the global mean)."""
+    from geobuf_cpp_spark.functions.cells import cell_center
+    from geobuf_cpp_spark.operators.spatial_stats import getis_ord_parts
+
+    res = 8
+    pts = []
+    center = None
+    for dy in range(3):
+        for dx in range(3):
+            c = res * (1 << 52) + (50 + dy) * (1 << res) + (50 + dx)
+            lat, lon = cell_center(c, res)
+            n = 5 if (dy, dx) == (1, 1) else 1
+            if (dy, dx) == (1, 1):
+                center = c
+            pts += [(float(lat), float(lon))] * n
+    far = res * (1 << 52) + 200 * (1 << res) + 200
+    lat, lon = cell_center(far, res)
+    pts += [(float(lat), float(lon))]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    rows = {r.cell: r for r in getis_ord_parts(df, res).collect()}
+    assert len(rows) == 10
+    # center: k=9, local_sum=13, N=10, T=14 -> 10*13 - 9*14 = 4 > 0
+    assert rows[center].gi_num == 4
+    # outlier: k=1, local_sum=1 -> 10*1 - 1*14 = -4 < 0
+    assert rows[far].gi_num == -4
+
+
 def test_ngram_repetition_hand_computed(spark):
     """'a a a b': 2-grams (aa, aa, ab) -> 3 grams, 2 dup occurrences of
     1 distinct gram; 3-grams all unique; a 1-token doc emits no rows."""

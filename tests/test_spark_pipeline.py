@@ -742,6 +742,7 @@ def test_whole_surface_plan_hygiene(spark):
         "term_cooccur", "triangle_count",  # broadcast vocab threshold
         "qhist_quantiles",           # broadcast 3-row probability list
         "morans_i",                  # broadcast single-row totals
+        "getis_ord",                 # broadcast single-row totals
     }
     # declared Arrow-batched Python kernels (codec, geometry, ANN, media)
     python_ok = {
