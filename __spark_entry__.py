@@ -2377,6 +2377,36 @@ def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
     return getis_ord_parts(spark.sql(P.POINTS_SELECT), MORANS_RES)
 
 
+PR_BASE = 10 ** 9   # rank scale (exact integer arithmetic)
+PR_DAMP = 85        # damping in percent
+PR_ITER = 5         # fixed rounds — what the chained-CTE oracle replays
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the host link graph (sources -> md5-derived
+    target hosts), 5 rounds of exact scaled-integer arithmetic; the
+    oracle replays the identical rounds as chained CTEs with
+    md5_number_lower reproducing the Spark-side link hashing."""
+    from geobuf_cpp_spark.operators.graph import pagerank
+    from geobuf_cpp_spark.operators.sketches import md5_low64
+
+    _prep(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    dst = F.concat(
+        F.lit("src"),
+        (md5_low64(F.concat(F.col("doc_id").cast("string"),
+                            F.lit("|link"))) % 20).cast("int").cast("string"),
+    )
+    edges = (
+        docs.select(F.col("source").alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    nodes = docs.select(F.col("source").alias("node")).distinct()
+    return pagerank(edges, nodes, PR_ITER, PR_BASE, PR_DAMP)
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText duplicate n-gram stats per (doc, n) for
     n in {2, 3} — exact integers."""
@@ -2546,6 +2576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_surprisal": q_lm_surprisal,
         "morans_i": q_morans_i,
         "getis_ord": q_getis_ord,
+        "host_pagerank": q_host_pagerank,
         "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
@@ -2620,6 +2651,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_view": q_asof_view,
         "interval_view": q_interval_view,
     }
+
+
+def _host_pagerank_sql() -> str:
+    """Chained-CTE replay of the fixed PageRank rounds: r0 = base rank,
+    r{i+1} = teleport + damped truncating-div contributions. All terms
+    positive, so DuckDB ``//`` == Spark ``div`` bit-for-bit."""
+    tel = PR_BASE * (100 - PR_DAMP) // 100
+    s = (
+        "WITH l AS (SELECT source AS src, 'src' || CAST("
+        "md5_number_lower(CAST(doc_id AS VARCHAR) || '|link') % 20 "
+        "AS VARCHAR) AS dst FROM documents), "
+        "e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM l "
+        "WHERE src <> dst GROUP BY 1, 2), "
+        "n AS (SELECT DISTINCT source AS node FROM documents), "
+        "dg AS (SELECT src, sum(w) AS deg FROM e GROUP BY 1), "
+        "ew AS (SELECT e.src, e.dst, e.w, dg.deg FROM e "
+        "JOIN dg USING (src)), "
+        f"r0 AS (SELECT node, CAST({PR_BASE} AS BIGINT) AS pr FROM n)"
+    )
+    for i in range(PR_ITER):
+        s += (
+            f", r{i + 1} AS (SELECT n.node, CAST({tel} + "
+            f"COALESCE(s{i}.inc, 0) * {PR_DAMP} // 100 AS BIGINT) AS pr "
+            f"FROM n LEFT JOIN (SELECT dst AS node, "
+            f"sum((r.pr // ew.deg) * ew.w) AS inc FROM ew "
+            f"JOIN r{i} r ON r.node = ew.src GROUP BY 1) s{i} "
+            "USING (node))"
+        )
+    return s + f" SELECT node, pr FROM r{PR_ITER}"
 
 
 def _domain_stats_sql() -> str:
@@ -4144,6 +4204,7 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "cover_compact": _cover_compact_sql(),
+        "host_pagerank": _host_pagerank_sql(),
         "lm_surprisal": _lm_surprisal_sql(),
         "domain_stats": _domain_stats_sql(),
         "boilerplate": _boilerplate_sql(),

@@ -82,3 +82,63 @@ def triangle_counts(edges_df: DataFrame) -> DataFrame:
         F.coalesce("n_triangles", F.lit(0)).cast("long")
         .alias("n_triangles"),
     )
+
+
+def pagerank(edges_df: DataFrame, nodes_df: DataFrame, n_iter: int = 5,
+             base: int = 10 ** 9, damp_pct: int = 85) -> DataFrame:
+    """Weighted PageRank in exact scaled-integer arithmetic — the crawl
+    engine's frontier-prioritization score over the host link graph.
+
+    Ranks live as BIGINTs scaled by ``base``; each round every node
+    keeps the teleport share ``base*(100-damp_pct) div 100`` and
+    receives ``(sum_in (rank_src div deg_src) * w) * damp_pct div 100``.
+    All quantities stay positive, so Spark's truncating ``div`` and
+    DuckDB's flooring ``//`` agree bit-for-bit and a fixed-round chained
+    -CTE oracle reproduces the result exactly. The truncation makes the
+    walk slightly leaky (rank mass decays ~1 ulp per hop) — deterministic
+    and identical in both engines, documented rather than hidden.
+
+    Scale shape: nodes/edges are HOST-level aggregates (bounded far
+    below corpus size — the one corpus scan happens upstream when the
+    caller rolls pages up to weighted host edges). Per round: one
+    equi-join of the edge list against the rank table on src and one
+    node-keyed aggregate — O(E) shuffle, no windows, no collect. The
+    edge list (with degrees pre-joined) is lazily localCheckpoint-ed
+    once and reused by every round, and each round's rank table is
+    lazily checkpointed so the lineage stays O(1) deep across the fixed
+    iteration count (same discipline as `dedup_clusters`).
+
+    ``edges_df``: (src, dst, w) weighted directed edges; ``nodes_df``:
+    (node) — every rankable node, including sinks with no out-edges.
+    Returns (node, pr) after ``n_iter`` rounds.
+    """
+    teleport = base * (100 - damp_pct) // 100
+    deg = edges_df.groupBy("src").agg(F.sum("w").alias("deg"))
+    edges = (
+        edges_df.join(deg, "src")
+        .select("src", "dst", "w", "deg")
+        .localCheckpoint(eager=False)
+    )
+    ranks = nodes_df.select(
+        "node", F.lit(base).cast("long").alias("pr"))
+    for _ in range(n_iter):
+        inc = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.expr("pr div deg") * F.col("w")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = (
+            nodes_df.join(inc, "node", "left")
+            .select(
+                "node",
+                (F.lit(teleport)
+                 + F.expr(f"coalesce(inc, 0) * {damp_pct} div 100"))
+                .cast("long").alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

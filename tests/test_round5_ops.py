@@ -816,6 +816,35 @@ def test_getis_ord_hotspot_sign(spark):
     assert rows[far].gi_num == -4
 
 
+def test_pagerank_dangling_chain(spark):
+    """a->b only, base=100, damp=85%: a gets pure teleport 15; b's
+    inflow decays 100 -> 15 across rounds, fixpoint b = 15 + 85% of
+    (15 div 1) = 27. Dangling b leaks its rank — documented."""
+    from geobuf_cpp_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1)], "src string, dst string, w long")
+    nodes = spark.createDataFrame([("a",), ("b",)], "node string")
+    out = {r.node: r.pr for r in
+           pagerank(edges, nodes, n_iter=5, base=100).collect()}
+    assert out == {"a": 15, "b": 27}
+
+
+def test_pagerank_weighted_split(spark):
+    """a->b w=3, a->c w=1 (deg 4): after a's rank settles at teleport
+    15, contribution 15 div 4 = 3 per weight unit -> b = 15 +
+    (3*3)*85//100 = 22, c = 15 + 3*85//100 = 17."""
+    from geobuf_cpp_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1)], "src string, dst string, w long")
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "node string")
+    out = {r.node: r.pr for r in
+           pagerank(edges, nodes, n_iter=5, base=100).collect()}
+    assert out == {"a": 15, "b": 22, "c": 17}
+
+
 def test_ngram_repetition_hand_computed(spark):
     """'a a a b': 2-grams (aa, aa, ab) -> 3 grams, 2 dup occurrences of
     1 distinct gram; 3-grams all unique; a 1-token doc emits no rows."""
