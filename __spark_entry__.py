@@ -2377,6 +2377,21 @@ def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
     return getis_ord_parts(spark.sql(P.POINTS_SELECT), MORANS_RES)
 
 
+KMV_OVERLAP_K = 64  # per-source sketch size for pairwise overlap
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source vocabulary overlap from per-source KMV
+    sketches (theta-sketch union/intersection counts, exact integers);
+    the oracle rebuilds the same bottom-k union per pair from identical
+    md5_number_lower hashes."""
+    from geobuf_cpp_spark.operators.sketches import kmv_overlap
+
+    _prep(spark, sf_dir, "documents")
+    return kmv_overlap(spark.table("documents"), "source",
+                       k=KMV_OVERLAP_K)
+
+
 PR_BASE = 10 ** 9   # rank scale (exact integer arithmetic)
 PR_DAMP = 85        # damping in percent
 PR_ITER = 5         # fixed rounds — what the chained-CTE oracle replays
@@ -2577,6 +2592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": q_morans_i,
         "getis_ord": q_getis_ord,
         "host_pagerank": q_host_pagerank,
+        "kmv_overlap": q_kmv_overlap,
         "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
@@ -4205,6 +4221,31 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cover_compact": _cover_compact_sql(),
         "host_pagerank": _host_pagerank_sql(),
+        # same per-source bottom-k sketches, paired by an inequality
+        # self-join, union re-limited to k, theta-intersection counted
+        "kmv_overlap": (
+            "WITH w AS (SELECT source, unnest(string_split(text, ' ')) "
+            "AS word FROM documents), "
+            "t AS (SELECT DISTINCT source, md5_number_lower(word) AS hv "
+            "FROM w WHERE word <> ''), "
+            "sk AS (SELECT source, hv FROM (SELECT source, hv, "
+            "ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn "
+            f"FROM t) z WHERE rn <= {KMV_OVERLAP_K}), "
+            "g AS (SELECT DISTINCT source FROM sk), "
+            "p AS (SELECT a.source AS ga, b.source AS gb FROM g a "
+            "JOIN g b ON a.source < b.source), "
+            "r AS (SELECT ga, gb, hv, "
+            "max(CASE WHEN s.source = ga THEN 1 ELSE 0 END) AS in_a, "
+            "max(CASE WHEN s.source = gb THEN 1 ELSE 0 END) AS in_b "
+            "FROM p JOIN sk s ON s.source = ga OR s.source = gb "
+            "GROUP BY 1, 2, 3), "
+            "q AS (SELECT ga, gb, hv, in_a, in_b, ROW_NUMBER() OVER ("
+            "PARTITION BY ga, gb ORDER BY hv) AS rn FROM r) "
+            "SELECT ga AS source_a, gb AS source_b, "
+            "CAST(count(*) AS BIGINT) AS k_union, max(hv) AS theta, "
+            "CAST(sum(in_a * in_b) AS BIGINT) AS n_common "
+            f"FROM q WHERE rn <= {KMV_OVERLAP_K} GROUP BY 1, 2"
+        ),
         "lm_surprisal": _lm_surprisal_sql(),
         "domain_stats": _domain_stats_sql(),
         "boilerplate": _boilerplate_sql(),

@@ -266,6 +266,65 @@ def kmv_sketch_grouped(docs_df: DataFrame, group_col: str = "lang",
     )
 
 
+def kmv_overlap(docs_df: DataFrame, group_col: str = "source",
+                text_col: str = "text", k: int = 64) -> DataFrame:
+    """Theta-sketch-style pairwise corpus overlap from per-group KMV
+    sketches — "how much does source A's vocabulary overlap B's?"
+    answered without ever joining the corpora.
+
+    For each group pair (a < b): the union sketch is the k smallest
+    distinct hashes of sketch(A) UNION sketch(B) (a valid KMV of
+    A UNION B, the classic mergeability property); theta is its kth
+    value and ``n_common`` counts union-sketch members present in BOTH
+    input sketches (the theta-sketch intersection count). All exact
+    integers — the estimates |A UNION B| ~ (k-1)*2^64/theta and
+    J(A,B) ~ n_common/k_union stay with the caller, the same division
+    discipline as `kmv_distinct`.
+
+    Scale shape: ONE corpus scan builds all group sketches (map-side
+    -deduped distinct + per-group WindowGroupLimit); everything after
+    operates on <= k rows per group — the pair fan-out is bounded by
+    (groups^2)/2 * 2k rows however large the corpus. The pair list
+    itself is a broadcast inequality pairing over the bounded group
+    list (declared BNLJ, same as the kNN serving shape).
+    """
+    sk = kmv_sketch_grouped(docs_df, group_col, text_col, k).select(
+        F.col(group_col).alias("grp"), "hash_val"
+    ).localCheckpoint(eager=False)
+    groups = sk.select("grp").distinct()
+    pairs = groups.select(F.col("grp").alias("grp_a")).join(
+        F.broadcast(groups.select(F.col("grp").alias("grp_b"))),
+        F.col("grp_a") < F.col("grp_b"),
+    )
+    ra = pairs.join(sk.withColumnRenamed("grp", "grp_a"), "grp_a").select(
+        "grp_a", "grp_b", "hash_val",
+        F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+    rb = pairs.join(sk.withColumnRenamed("grp", "grp_b"), "grp_b").select(
+        "grp_a", "grp_b", "hash_val",
+        F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+    u = (
+        ra.unionByName(rb)
+        .groupBy("grp_a", "grp_b", "hash_val")
+        .agg(F.max("ia").alias("in_a"), F.max("ib").alias("in_b"))
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("hash_val")
+    top = u.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return (
+        top.groupBy("grp_a", "grp_b")
+        .agg(
+            F.count("*").cast("long").alias("k_union"),
+            F.max("hash_val").alias("theta"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long")
+            .alias("n_common"),
+        )
+        .select(
+            F.col("grp_a").alias("source_a"),
+            F.col("grp_b").alias("source_b"),
+            "k_union", "theta", "n_common",
+        )
+    )
+
+
 HLL_B = 8                      # 2^8 = 256 registers
 
 

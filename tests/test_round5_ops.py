@@ -816,6 +816,39 @@ def test_getis_ord_hotspot_sign(spark):
     assert rows[far].gi_num == -4
 
 
+def test_kmv_overlap_exact_small_vocab(spark):
+    """Vocabularies smaller than k make the sketches exact sets, so the
+    overlap counts are exact set algebra: identical vocab -> full
+    intersection, disjoint -> zero, one shared token -> one."""
+    from geobuf_cpp_spark.operators.sketches import kmv_overlap
+
+    rows = [("a", "x y z"), ("b", "x y z"), ("c", "p q r"),
+            ("d", "x p q")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r.source_a, r.source_b): r
+           for r in kmv_overlap(df, k=8).collect()}
+    assert len(out) == 6
+    assert (out[("a", "b")].k_union, out[("a", "b")].n_common) == (3, 3)
+    assert (out[("a", "c")].k_union, out[("a", "c")].n_common) == (6, 0)
+    assert (out[("a", "d")].k_union, out[("a", "d")].n_common) == (5, 1)
+
+
+def test_kmv_overlap_union_sketch_is_kmv_of_union(spark):
+    """Mergeability: the pair (a, b) union sketch's theta equals the kth
+    smallest hash of the combined corpus's own KMV sketch."""
+    from geobuf_cpp_spark.operators.sketches import kmv_overlap, kmv_sketch
+
+    k = 4
+    rows = [("a", "t0 t1 t2 t3 t4 t5"), ("b", "t4 t5 t6 t7 t8 t9")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    [pair] = kmv_overlap(df, k=k).collect()
+    combined = spark.createDataFrame(
+        [("t0 t1 t2 t3 t4 t5 t4 t5 t6 t7 t8 t9",)], "text string")
+    ref = kmv_sketch(combined, k=k).collect()
+    assert pair.k_union == k
+    assert pair.theta == max(r.hash_val for r in ref)
+
+
 def test_pagerank_dangling_chain(spark):
     """a->b only, base=100, damp=85%: a gets pure teleport 15; b's
     inflow decays 100 -> 15 across rounds, fixpoint b = 15 + 85% of

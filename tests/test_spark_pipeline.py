@@ -741,6 +741,7 @@ def test_whole_surface_plan_hygiene(spark):
         "quality_deciles",           # broadcast scalar total
         "term_cooccur", "triangle_count",  # broadcast vocab threshold
         "qhist_quantiles",           # broadcast 3-row probability list
+        "kmv_overlap",               # broadcast group-pair inequality
         "morans_i",                  # broadcast single-row totals
         "getis_ord",                 # broadcast single-row totals
     }
