@@ -2377,6 +2377,21 @@ def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
     return getis_ord_parts(spark.sql(P.POINTS_SELECT), MORANS_RES)
 
 
+DSIR_BUCKETS = 4096  # hashed feature space (must divide 2^16)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scores in whole bits (target = lang 'en',
+    proposal = whole corpus, hashed token buckets); the oracle rebuilds
+    the bucket log-ratio table from identical md5 bucket arithmetic."""
+    from geobuf_cpp_spark.operators.curation import importance_weights
+
+    _prep(spark, sf_dir, "documents")
+    return importance_weights(
+        spark.table("documents"), F.col("lang") == "en",
+        n_buckets=DSIR_BUCKETS)
+
+
 KMV_OVERLAP_K = 64  # per-source sketch size for pairwise overlap
 
 
@@ -2593,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "getis_ord": q_getis_ord,
         "host_pagerank": q_host_pagerank,
         "kmv_overlap": q_kmv_overlap,
+        "dsir_weights": q_dsir_weights,
         "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
@@ -2667,6 +2683,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_view": q_asof_view,
         "interval_view": q_interval_view,
     }
+
+
+def _dsir_weights_sql() -> str:
+    """Same hashed-bucket log-ratio table, rebuilt in DuckDB: the md5
+    two-byte bucket equals the full md5_number_lower mod when n_buckets
+    divides 2^16, and flog2 is the shared constant-threshold CASE."""
+    from geobuf_cpp_spark.operators.textstats import sql_flog2
+
+    wb = (f"{sql_flog2('t_cnt + 1')} - {sql_flog2('a_cnt + 1')}")
+    return (
+        "WITH w AS (SELECT doc_id, lang, "
+        "unnest(string_split(text, ' ')) AS word FROM documents), "
+        "tk AS (SELECT doc_id, lang, "
+        f"md5_number_lower(word || '|0') % {DSIR_BUCKETS} AS b "
+        "FROM w WHERE word <> ''), "
+        "s AS (SELECT b, count(*) AS a_cnt, "
+        "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt "
+        "FROM tk GROUP BY 1), "
+        f"wt AS (SELECT b, {wb} AS wb FROM s) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks, "
+        "CAST(sum(wb) AS BIGINT) AS logratio_bits "
+        "FROM tk JOIN wt USING (b) GROUP BY 1"
+    )
 
 
 def _host_pagerank_sql() -> str:
@@ -4221,6 +4260,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cover_compact": _cover_compact_sql(),
         "host_pagerank": _host_pagerank_sql(),
+        "dsir_weights": _dsir_weights_sql(),
         # same per-source bottom-k sketches, paired by an inequality
         # self-join, union re-limited to k, theta-intersection counted
         "kmv_overlap": (

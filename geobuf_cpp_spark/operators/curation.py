@@ -154,3 +154,60 @@ def exact_rank_buckets(df: DataFrame, value_col: str, id_col: str,
             .cast("int").alias("bucket"),
         )
     )
+
+
+def importance_weights(docs_df: DataFrame, is_target,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n_buckets: int = 4096) -> DataFrame:
+    """DSIR-style importance scores in whole bits (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling").
+
+    Every token hashes to one of ``n_buckets`` buckets (the feature
+    space); the target distribution is the token mass of rows where
+    ``is_target`` holds, the proposal is the whole corpus, and a
+    document's score is sum over its tokens of the per-bucket
+    log-likelihood ratio. Floats are un-gateable, so the engine scores
+    in WHOLE bits with add-one smoothing:
+
+        score = sum_tok [ flog2(t_cnt[b]+1) - flog2(a_cnt[b]+1) ]
+
+    — the doc-independent normalizer n_toks*(log2 A - log2 T) is left
+    to the caller (it shifts every document equally at fixed length and
+    the raw n_toks ships alongside). High score = looks like the
+    target; resampling by score is the caller's policy.
+
+    Plan: one corpus scan aggregates BOTH distributions in a single
+    map-side-combined groupBy on the bucket id (target mass as a
+    conditional sum, no second pass); the <= n_buckets weight rows are
+    lazily checkpointed and BROADCAST onto a second corpus scan for
+    scoring, then one per-doc hash agg. No windows, no driver collect;
+    the bucket table is fixed-size however large the corpus.
+    ``n_buckets`` must divide 2^16 (the md5 two-byte bucket contract,
+    `sketches._bucket`).
+    """
+    from geobuf_cpp_spark.operators.sketches import _bucket
+    from geobuf_cpp_spark.operators.textstats import sql_flog2
+
+    toks = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        is_target.cast("long").alias("is_t"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tb = toks.withColumn("b", _bucket(F.col("tok"), 0, n_buckets))
+    stats = tb.groupBy("b").agg(
+        F.count("*").alias("a_cnt"),
+        F.sum("is_t").alias("t_cnt"),
+    )
+    wts = stats.select(
+        "b",
+        (F.expr(sql_flog2("t_cnt + 1"))
+         - F.expr(sql_flog2("a_cnt + 1"))).alias("wb"),
+    ).localCheckpoint(eager=False)
+    return (
+        tb.join(F.broadcast(wts), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.sum("wb").cast("long").alias("logratio_bits"),
+        )
+    )

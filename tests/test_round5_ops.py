@@ -816,6 +816,47 @@ def test_getis_ord_hotspot_sign(spark):
     assert rows[far].gi_num == -4
 
 
+def test_importance_weights_matches_pure_python(spark):
+    """Replicates the bucket hash (md5 bytes 8/9) and whole-bit log
+    ratio in pure Python and checks every doc's score exactly."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from geobuf_cpp_spark.operators.curation import importance_weights
+
+    docs = {0: ("en", "aa bb aa"), 1: ("de", "bb cc"),
+            2: ("en", "cc dd")}
+    df = spark.createDataFrame(
+        [(i, lang, text) for i, (lang, text) in docs.items()],
+        "doc_id long, lang string, text string")
+    out = {r.doc_id: r for r in importance_weights(
+        df, F.col("lang") == "en", n_buckets=4096).collect()}
+
+    def bucket(tok):
+        d = hashlib.md5((tok + "|0").encode()).digest()
+        return (d[8] + 256 * d[9]) % 4096
+
+    a_cnt, t_cnt = Counter(), Counter()
+    for lang, text in docs.values():
+        for tok in text.split():
+            a_cnt[bucket(tok)] += 1
+            if lang == "en":
+                t_cnt[bucket(tok)] += 1
+
+    def flog2(v):
+        return v.bit_length() - 1
+
+    for did, (lang, text) in docs.items():
+        toks = text.split()
+        score = sum(
+            flog2(t_cnt[bucket(x)] + 1) - flog2(a_cnt[bucket(x)] + 1)
+            for x in toks)
+        assert (out[did].n_toks, out[did].logratio_bits) == (
+            len(toks), score), did
+
+
 def test_kmv_overlap_exact_small_vocab(spark):
     """Vocabularies smaller than k make the sketches exact sets, so the
     overlap counts are exact set algebra: identical vocab -> full
