@@ -2377,6 +2377,16 @@ def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
     return getis_ord_parts(spark.sql(P.POINTS_SELECT), MORANS_RES)
 
 
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination zone transition matrix over the per-user ping
+    stream (lag window + pair rollup, stays excluded); the oracle
+    replays the same total order and integer zone arithmetic."""
+    from geobuf_cpp_spark.operators.trajectory import od_matrix
+
+    _prep(spark, sf_dir, "events")
+    return od_matrix(spark.sql(P.IPINGS_SELECT))
+
+
 DSIR_BUCKETS = 4096  # hashed feature space (must divide 2^16)
 
 
@@ -2609,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "kmv_overlap": q_kmv_overlap,
         "dsir_weights": q_dsir_weights,
+        "od_matrix": q_od_matrix,
         "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
@@ -4261,6 +4272,18 @@ def oracle_sql() -> dict[str, str]:
         "cover_compact": _cover_compact_sql(),
         "host_pagerank": _host_pagerank_sql(),
         "dsir_weights": _dsir_weights_sql(),
+        "od_matrix": (
+            f"WITH p AS ({P.IPINGS_SELECT}), "
+            "c AS (SELECT user_id, ts, event_id, "
+            "(ix // 2250) + 16 * (iy // 2125) AS cell FROM p), "
+            "t AS (SELECT user_id, cell, lag(cell) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM c) "
+            "SELECT prev AS cell_from, cell AS cell_to, "
+            "CAST(count(*) AS BIGINT) AS n_trips, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM t WHERE prev IS NOT NULL AND prev <> cell "
+            "GROUP BY 1, 2"
+        ),
         # same per-source bottom-k sketches, paired by an inequality
         # self-join, union re-limited to k, theta-intersection counted
         "kmv_overlap": (

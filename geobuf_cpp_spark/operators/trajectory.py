@@ -64,3 +64,43 @@ def path_stats(points: DataFrame,
         _floor_isqrt((fx - lx) * (fx - lx) + (fy - ly) * (fy - ly))
         .alias("net_disp"),
     )
+
+
+def od_matrix(pings: DataFrame, cell_w: int = 2250, cell_h: int = 2125,
+              nx: int = 16, entity_col: str = "user_id",
+              ts_col: str = "ts", tie_col: str = "event_id",
+              x_col: str = "ix", y_col: str = "iy") -> DataFrame:
+    """Origin-destination matrix: per-entity cell-to-cell transition
+    counts — the standard mobility-analytics rollup (where do trips
+    between zones actually flow?).
+
+    Each ping lands in a coarse zone ``cell = (x div cell_w) + nx *
+    (y div cell_h)``; consecutive pings of the same entity (ordered by
+    timestamp, ties broken by the id column so the order is total and
+    cross-engine deterministic) emit one transition; stays
+    (from == to) are excluded — an OD matrix counts movements. Output:
+    (cell_from, cell_to, n_trips, n_users). Integer division on
+    nonnegative coords, so Spark ``div`` == DuckDB ``//``.
+
+    Plan: ONE entity-key hash exchange feeds the lag window (a
+    per-partition spillable sort), then a map-side-combined groupBy on
+    the (from, to) pair — zone pairs are bounded by (grid size)^2
+    however many pings flow through. The n_users distinct count rides
+    the same aggregation (partial distinct on the pair key)."""
+    w = Window.partitionBy(entity_col).orderBy(ts_col, tie_col)
+    cells = pings.select(
+        entity_col, ts_col, tie_col,
+        (F.expr(f"{x_col} div {cell_w}")
+         + nx * F.expr(f"{y_col} div {cell_h}")).alias("cell"),
+    )
+    t = cells.withColumn("prev", F.lag("cell").over(w))
+    return (
+        t.filter(F.col("prev").isNotNull()
+                 & (F.col("prev") != F.col("cell")))
+        .groupBy(F.col("prev").alias("cell_from"),
+                 F.col("cell").alias("cell_to"))
+        .agg(
+            F.count("*").cast("long").alias("n_trips"),
+            F.countDistinct(entity_col).cast("long").alias("n_users"),
+        )
+    )

@@ -816,6 +816,35 @@ def test_getis_ord_hotspot_sign(spark):
     assert rows[far].gi_num == -4
 
 
+def test_od_matrix_hand_computed(spark):
+    """User 1 walks zones 0 -> 1 -> 1 -> 0 (the stay emits nothing),
+    user 2 makes 0 -> 1 once: flow (0,1) has 2 trips / 2 users,
+    flow (1,0) has 1 trip / 1 user."""
+    import datetime as dt
+
+    from geobuf_cpp_spark.operators.trajectory import od_matrix
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ping(eid, uid, sec, ix, iy):
+        return (eid, uid, t0 + dt.timedelta(seconds=sec), ix, iy)
+
+    rows = [
+        ping(1, 1, 0, 10, 10),      # zone 0
+        ping(2, 1, 60, 2300, 10),   # zone 1
+        ping(3, 1, 120, 2400, 10),  # zone 1 (stay — dropped)
+        ping(4, 1, 180, 5, 5),      # zone 0
+        ping(5, 2, 0, 0, 0),        # zone 0
+        ping(6, 2, 60, 3000, 0),    # zone 1
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, ix long, iy long")
+    out = {(r.cell_from, r.cell_to): r for r in od_matrix(df).collect()}
+    assert set(out) == {(0, 1), (1, 0)}
+    assert (out[(0, 1)].n_trips, out[(0, 1)].n_users) == (2, 2)
+    assert (out[(1, 0)].n_trips, out[(1, 0)].n_users) == (1, 1)
+
+
 def test_importance_weights_matches_pure_python(spark):
     """Replicates the bucket hash (md5 bytes 8/9) and whole-bit log
     ratio in pure Python and checks every doc's score exactly."""
