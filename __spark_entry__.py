@@ -2377,6 +2377,36 @@ def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
     return getis_ord_parts(spark.sql(P.POINTS_SELECT), MORANS_RES)
 
 
+def q_trajectory_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user great-circle track stats on the quantized unit sphere
+    (exact integer chords, exact isqrt); the oracle replays the same
+    sphere quantization, window order, and corrected floor-sqrt."""
+    from geobuf_cpp_spark.operators.trajectory import geo_path_stats
+
+    _prep(spark, sf_dir, "events")
+    return geo_path_stats(spark.sql(P.IPINGS_SELECT))
+
+
+def _traj_geo_sql() -> str:
+    from geobuf_cpp_spark.operators.range_join import sql_sphere_xyz
+    from geobuf_cpp_spark.operators.trajectory import sql_isqrt_exact
+
+    xyz = ", ".join(sql_sphere_xyz("ix", "iy"))
+    win = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    step = sql_isqrt_exact("d2")
+    return (
+        f"WITH p AS ({P.IPINGS_SELECT}), "
+        f"s AS (SELECT user_id, ts, event_id, {xyz} FROM p), "
+        f"l AS (SELECT user_id, sx, sy, sz, lag(sx) {win} AS px, "
+        f"lag(sy) {win} AS py, lag(sz) {win} AS pz FROM s), "
+        "d AS (SELECT user_id, (sx-px)*(sx-px) + (sy-py)*(sy-py) + "
+        "(sz-pz)*(sz-pz) AS d2 FROM l WHERE px IS NOT NULL) "
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_steps, "
+        f"CAST(sum({step}) AS BIGINT) AS chord_len, "
+        f"CAST(max({step}) AS BIGINT) AS max_step FROM d GROUP BY 1"
+    )
+
+
 def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Origin-destination zone transition matrix over the per-user ping
     stream (lag window + pair rollup, stays excluded); the oracle
@@ -2620,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "dsir_weights": q_dsir_weights,
         "od_matrix": q_od_matrix,
+        "trajectory_geo": q_trajectory_geo,
         "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
@@ -4272,6 +4303,7 @@ def oracle_sql() -> dict[str, str]:
         "cover_compact": _cover_compact_sql(),
         "host_pagerank": _host_pagerank_sql(),
         "dsir_weights": _dsir_weights_sql(),
+        "trajectory_geo": _traj_geo_sql(),
         "od_matrix": (
             f"WITH p AS ({P.IPINGS_SELECT}), "
             "c AS (SELECT user_id, ts, event_id, "

@@ -104,3 +104,56 @@ def od_matrix(pings: DataFrame, cell_w: int = 2250, cell_h: int = 2125,
             F.countDistinct(entity_col).cast("long").alias("n_users"),
         )
     )
+
+
+def sql_isqrt_exact(v: str) -> str:
+    """EXACT floor(sqrt(n)) for BIGINT ``0 <= n < 4.2e18`` as portable
+    SQL text. The double seed floor(sqrt(CAST(n AS DOUBLE))) is within
+    +-1 of the truth even past 2^53 (the cast rounds n by <= 512, which
+    moves sqrt by ~1e-7 at 2e9), and both engines compute the identical
+    seed (IEEE cast + correctly-rounded sqrt); the two integer CASE
+    corrections then pin the exact value. (s+1)^2 stays < 2^63 for the
+    chord^2 domain (max 4*SPHERE_SCALE^2)."""
+    s = f"CAST(floor(sqrt(CAST(({v}) AS DOUBLE))) AS BIGINT)"
+    return (
+        f"({s} + (CASE WHEN ({s} + 1) * ({s} + 1) <= ({v}) THEN 1 "
+        f"ELSE 0 END) - (CASE WHEN {s} * {s} > ({v}) THEN 1 ELSE 0 END))"
+    )
+
+
+def geo_path_stats(pings: DataFrame, entity_col: str = "user_id",
+                   ts_col: str = "ts", tie_col: str = "event_id",
+                   x_col: str = "ix", y_col: str = "iy") -> DataFrame:
+    """Per-entity GREAT-CIRCLE track stats — the geodetic sibling of
+    `path_stats`, closing the flat-earth gap for lat/lon corpora.
+
+    Each ping maps to the quantized unit sphere (`sql_sphere_xyz`, the
+    same exact-BIGINT contract as `range_join_geo`); a step's length is
+    the exact integer chord floor(sqrt(dx^2+dy^2+dz^2)) in sphere-scale
+    units (monotone with great-circle distance; the caller resolves
+    arc = 2*R*asin(chord/(2*scale)) in floats if metres are wanted).
+    Summing exact integer chords keeps per-entity totals reproducible —
+    no float accumulation order dependence. Output: (entity, n_steps,
+    chord_len, max_step); single-ping entities emit no row.
+
+    Plan shape is identical to `path_stats`: one entity-key exchange,
+    one spillable per-partition sort window, one hash agg."""
+    from geobuf_cpp_spark.operators.range_join import sql_sphere_xyz
+
+    xyz = pings.selectExpr(
+        entity_col, ts_col, tie_col, *sql_sphere_xyz(x_col, y_col))
+    w = Window.partitionBy(entity_col).orderBy(ts_col, tie_col)
+    d = (
+        xyz.withColumn("px", F.lag("sx").over(w))
+        .withColumn("py", F.lag("sy").over(w))
+        .withColumn("pz", F.lag("sz").over(w))
+        .filter(F.col("px").isNotNull())
+        .withColumn("d2", F.expr(
+            "(sx-px)*(sx-px) + (sy-py)*(sy-py) + (sz-pz)*(sz-pz)"))
+    )
+    step = F.expr(sql_isqrt_exact("d2"))
+    return d.groupBy(entity_col).agg(
+        F.count("*").cast("long").alias("n_steps"),
+        F.sum(step).cast("long").alias("chord_len"),
+        F.max(step).cast("long").alias("max_step"),
+    )

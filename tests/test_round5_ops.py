@@ -816,6 +816,54 @@ def test_getis_ord_hotspot_sign(spark):
     assert rows[far].gi_num == -4
 
 
+def test_sql_isqrt_exact_past_2_53(spark):
+    """The corrected floor-sqrt is exact at the top of the chord^2
+    domain, where the raw double seed can be off by one."""
+    from geobuf_cpp_spark.operators.trajectory import sql_isqrt_exact
+
+    x = 2 * 10 ** 9
+    cases = [0, 1, 2, 3, 4, x * x, x * x - 1, (x - 1) * (x - 1),
+             (x - 1) * (x - 1) - 1, x * x + 2 * x,  # = (x+1)^2 - 1
+             2 ** 53 + 1, (94906265 ** 2) - 1, 94906265 ** 2]
+    df = spark.createDataFrame([(v,) for v in cases], "n long")
+    out = df.selectExpr("n", sql_isqrt_exact("n") + " AS s").collect()
+    import math
+    for r in out:
+        assert r.s == math.isqrt(r.n), (r.n, r.s)
+
+
+def test_geo_path_stats_equator_quarter(spark):
+    """Two pings 90 deg apart on the equator: one step whose chord is
+    isqrt(dx^2+dy^2+dz^2) of the quantized sphere vectors (computed
+    independently in Python), ~ scale*sqrt(2)."""
+    import datetime as dt
+    import math
+
+    from geobuf_cpp_spark.operators.range_join import SPHERE_SCALE
+    from geobuf_cpp_spark.operators.trajectory import geo_path_stats
+
+    def quant(ix, iy):
+        lat = math.radians((iy - 8500) / 100.0)
+        lon = math.radians((ix - 18000) / 100.0)
+        s = SPHERE_SCALE
+        return (round(s * math.cos(lat) * math.cos(lon)),
+                round(s * math.cos(lat) * math.sin(lon)),
+                round(s * math.sin(lat)))
+
+    t0 = dt.datetime(2026, 1, 1)
+    # equator (iy=8500), lon 0 and lon 90E (ix 18000 and 27000)
+    rows = [(1, 7, t0, 18000, 8500),
+            (2, 7, t0 + dt.timedelta(60), 27000, 8500)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, ix long, iy long")
+    [r] = geo_path_stats(df).collect()
+    a, b = quant(18000, 8500), quant(27000, 8500)
+    d2 = sum((ai - bi) ** 2 for ai, bi in zip(a, b))
+    want = math.isqrt(d2)
+    assert (r.n_steps, r.chord_len, r.max_step) == (1, want, want)
+    assert abs(want - SPHERE_SCALE * math.sqrt(2)) <= 2
+
+
 def test_od_matrix_hand_computed(spark):
     """User 1 walks zones 0 -> 1 -> 1 -> 0 (the stay emits nothing),
     user 2 makes 0 -> 1 once: flow (0,1) has 2 trips / 2 users,
