@@ -2407,6 +2407,29 @@ def _traj_geo_sql() -> str:
     )
 
 
+def q_stream_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming windowed cell-hotspot rollup (the
+    stream==batch equality is pytest-asserted; this gate pins the
+    shared expression against the DuckDB oracle)."""
+    from geobuf_cpp_spark.streaming.events import cell_hotspot_counts
+
+    _prep(spark, sf_dir, "events")
+    return cell_hotspot_counts(spark.sql(P.IPINGS_SELECT))
+
+
+def _stream_cells_sql() -> str:
+    from geobuf_cpp_spark.streaming.events import _ping_cell_expr
+
+    return (
+        f"WITH p AS ({P.IPINGS_SELECT}) "
+        "SELECT date_trunc('hour', ts) AS window_start, "
+        f"{_ping_cell_expr(8)} AS cell, "
+        "CAST(count(*) AS BIGINT) AS n_pings, "
+        "CAST(max(event_id) AS BIGINT) AS max_event_id "
+        "FROM p GROUP BY 1, 2"
+    )
+
+
 def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Origin-destination zone transition matrix over the per-user ping
     stream (lag window + pair rollup, stays excluded); the oracle
@@ -2651,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "od_matrix": q_od_matrix,
         "trajectory_geo": q_trajectory_geo,
+        "stream_cells": q_stream_cells,
         "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
@@ -4304,6 +4328,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _host_pagerank_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "trajectory_geo": _traj_geo_sql(),
+        "stream_cells": _stream_cells_sql(),
         "od_matrix": (
             f"WITH p AS ({P.IPINGS_SELECT}), "
             "c AS (SELECT user_id, ts, event_id, "

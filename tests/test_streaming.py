@@ -525,3 +525,40 @@ def test_snapshot_stream_sink_exactly_once(spark, tmp_path):
     assert replay == 1
     assert len(snapshot_versions(table)) == n_versions
     assert read_snapshot(spark, table).count() == total
+
+
+def test_cell_hotspot_stream_matches_batch(spark, tmp_path):
+    """The windowed cell rollup drained from a file-source stream equals
+    the batch twin on the same rows (the gate oracles the twin)."""
+    from geobuf_cpp_spark.streaming.events import cell_hotspot_counts
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    pings = events.selectExpr(
+        "event_id", "user_id", "ts",
+        "(event_id * 7919) % 36000 AS ix",
+        "(event_id * 9973) % 17000 AS iy",
+    )
+    src = str(tmp_path / "cell_src")
+    pings.filter("event_id % 2 = 0").write.parquet(os.path.join(src, "a"))
+    pings.filter("event_id % 2 = 1").write.parquet(os.path.join(src, "b"))
+
+    schema = ("event_id long, user_id long, ts timestamp, "
+              "ix long, iy long")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src + "/*")
+    )
+    q = run_to_memory(cell_hotspot_counts(stream), "cell_hot",
+                      str(tmp_path / "cell_ckpt"))
+    try:
+        got = spark.table("cell_hot").toPandas()
+    finally:
+        q.stop()
+    expect = cell_hotspot_counts(pings).toPandas()
+    key = ["window_start", "cell"]
+    got = got.sort_values(key).reset_index(drop=True)
+    expect = expect.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(expect) and len(got) > 0
+    for c in ("n_pings", "max_event_id"):
+        assert (got[c].to_numpy() == expect[c].to_numpy()).all(), c
