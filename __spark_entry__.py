@@ -2407,6 +2407,42 @@ def _traj_geo_sql() -> str:
     )
 
 
+WAV_N = 256   # synthetic WAV corpus size
+
+
+def q_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/PCM WAV decode (pure-stdlib parser, LIST-chunk
+    skipping exercised per payload) + exact integer audio stats; the
+    oracle regenerates every stat in closed form from the square-wave
+    id arithmetic — an end-to-end check of the binary round-trip."""
+    from geobuf_cpp_spark.operators.multimodal import (
+        wav_dataframe,
+        wav_stats,
+    )
+
+    return wav_stats(wav_dataframe(spark, WAV_N))
+
+
+def _wav_stats_sql() -> str:
+    from geobuf_cpp_spark.operators.multimodal import KNUTH, WAV_RATE
+
+    k = KNUTH
+    return (
+        f"WITH p AS (SELECT range AS i, "
+        f"64 + ((range * {k}) % 4294967296) % 192 AS n, "
+        f"8 + (((range + 3) * {k}) % 4294967296) % 24 AS hp, "
+        f"1000 + (((range + 11) * {k}) % 4294967296) % 9000 AS a "
+        f"FROM range(0, {WAV_N})) "
+        f"SELECT i AS media_id, CAST({WAV_RATE} AS INT) AS sample_rate, "
+        "CAST(1 AS INT) AS n_channels, CAST(n AS BIGINT) AS n_frames, "
+        "CAST(a AS BIGINT) AS peak, "
+        "CAST(a * (2 * ((n // (2 * hp)) * hp + least(n % (2 * hp), hp)) "
+        "- n) AS BIGINT) AS sum_samples, "
+        "CAST(n * a * a AS BIGINT) AS sumsq, "
+        "CAST((n - 1) // hp AS BIGINT) AS zero_crossings FROM p"
+    )
+
+
 def q_stream_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming windowed cell-hotspot rollup (the
     stream==batch equality is pytest-asserted; this gate pins the
@@ -2675,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_matrix": q_od_matrix,
         "trajectory_geo": q_trajectory_geo,
         "stream_cells": q_stream_cells,
+        "wav_stats": q_wav_stats,
         "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
@@ -4329,6 +4366,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _dsir_weights_sql(),
         "trajectory_geo": _traj_geo_sql(),
         "stream_cells": _stream_cells_sql(),
+        "wav_stats": _wav_stats_sql(),
         "od_matrix": (
             f"WITH p AS ({P.IPINGS_SELECT}), "
             "c AS (SELECT user_id, ts, event_id, "

@@ -8,11 +8,14 @@ batch shape through ``mapInPandas``) is real and tested. Codecs:
   walk, all five scanline defilters, 8-bit gray/RGB/gray+alpha/RGBA,
   non-interlaced) — no imaging library needed, verified against a
   test-side encoder over every filter type.
+* ``wav`` — REAL: a pure-stdlib RIFF/PCM parser (chunk walk with
+  unknown-chunk skipping and odd-size padding, 8/16-bit PCM) plus a
+  minimal PCM16 writer — see ``decode_wav``/``encode_wav`` below.
 * ``fake`` — the deterministic synthetic format below (default for the
   synthetic corpus).
-* anything else (jpeg, webp, audio codecs) raises ``NotImplementedError``
-  at the decode call site, never silently: those libraries are not
-  available in this container.
+* anything else (jpeg, webp, compressed audio) raises
+  ``NotImplementedError`` at the decode call site, never silently:
+  those libraries are not available in this container.
 
 Synthetic payload format (deterministic, seeded):
     bytes 0..3   magic b"FIMG" | b"FAUD"
@@ -320,3 +323,146 @@ def media_stats(media_df):
         F.sum("meta.n_bytes").alias("total_bytes"),
         F.avg("meta.width").alias("avg_width"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) — the second REAL codec after PNG: pure-stdlib parse,
+# no audio library needed.
+# ---------------------------------------------------------------------------
+
+def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a RIFF/WAVE container and return
+    (sample_rate, n_channels, samples) with samples an int32 array of
+    shape (n_frames * n_channels,) in interleaved frame order.
+
+    Real parser, not a stub: walks the chunk list in any order, skips
+    unknown chunks (LIST, cue, ...) honoring the RIFF odd-size pad
+    byte, and accepts uncompressed PCM (format tag 1) at 8-bit
+    (unsigned, rebased to signed) or 16-bit (signed LE) depth.
+    Compressed formats (ADPCM, float, mp3-in-wav) raise
+    ``NotImplementedError`` — loudly, same policy as the image codecs.
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)   # odd chunk sizes are padded
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    tag, channels, rate, _byte_rate, _align, bits = fmt
+    if tag != 1:
+        raise NotImplementedError(
+            f"WAVE format tag {tag} (non-PCM) requires audio libraries "
+            "not present in this container; only PCM (tag 1) is decoded"
+        )
+    if bits == 16:
+        samples = np.frombuffer(
+            pcm, dtype="<i2", count=len(pcm) // 2).astype(np.int32)
+    elif bits == 8:
+        samples = np.frombuffer(pcm, dtype=np.uint8).astype(np.int32) - 128
+    else:
+        raise NotImplementedError(f"PCM bit depth {bits} not supported")
+    if channels < 1:
+        raise ValueError("channel count must be >= 1")
+    return rate, channels, samples
+
+
+def encode_wav(samples: np.ndarray, rate: int, channels: int = 1,
+               extra_chunk: bytes = b"") -> bytes:
+    """Minimal PCM16 WAV writer (the synth side of the round-trip).
+    ``extra_chunk`` is spliced in BEFORE fmt/data to exercise the
+    parser's unknown-chunk skipping."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    chunks = extra_chunk
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    if len(pcm) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+WAV_RATE = 8000
+
+
+def _wav_params(i: int) -> tuple[int, int, int]:
+    """(n_frames, half_period, amplitude) as the same bounded-product
+    integer hashes of the id that `media_dims` uses — so the DuckDB
+    oracle regenerates every stat in closed form from range(n)."""
+    n = 64 + ((i * KNUTH) % (1 << 32)) % 192
+    hp = 8 + (((i + 3) * KNUTH) % (1 << 32)) % 24
+    a = 1000 + (((i + 11) * KNUTH) % (1 << 32)) % 9000
+    return n, hp, a
+
+
+def synth_wav_batch(ids: np.ndarray) -> pd.DataFrame:
+    """Deterministic mono PCM16 square-wave WAV files: sample t is +a
+    when (t div hp) is even else -a. Each payload carries a LIST chunk
+    so decoding exercises real chunk skipping."""
+    rows = []
+    for i in ids.tolist():
+        n, hp, a = _wav_params(i)
+        t = np.arange(n, dtype=np.int64)
+        s = np.where((t // hp) % 2 == 0, a, -a)
+        payload = encode_wav(
+            s, WAV_RATE, extra_chunk=b"LIST" + struct.pack("<I", 4) + b"INFO")
+        rows.append({"media_id": i, "payload": payload})
+    return pd.DataFrame(rows)
+
+
+def wav_dataframe(spark, n: int, partitions: int | None = None):
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield synth_wav_batch(pdf["id"].to_numpy())
+
+    return spark.range(0, n, numPartitions=parts).mapInPandas(
+        gen, "media_id long, payload binary")
+
+
+def wav_stats(wav_df) -> "pd.DataFrame":
+    """Arrow-batched REAL decode + exact integer audio stats per file:
+    peak (max |s|), sum_samples, sumsq (both exact BIGINT — energies of
+    bounded 16-bit PCM stay < 2^63 up to ~2^31 frames), and
+    zero_crossings (sign flips between consecutive frames, the
+    classic voiced/unvoiced discriminator).
+
+    Scale shape: payload bytes flow Arrow-batched through one
+    ``mapInPandas`` and are dropped before the exchange — only the
+    fixed-width stat row leaves the stage."""
+    out_schema = (
+        "media_id long, sample_rate int, n_channels int, n_frames long, "
+        "peak long, sum_samples long, sumsq long, zero_crossings long"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, ch, s = decode_wav(bytes(payload))
+                s64 = s.astype(np.int64)
+                rows.append({
+                    "media_id": int(mid),
+                    "sample_rate": rate,
+                    "n_channels": ch,
+                    "n_frames": len(s) // ch,
+                    "peak": int(np.abs(s64).max(initial=0)),
+                    "sum_samples": int(s64.sum()),
+                    "sumsq": int((s64 * s64).sum()),
+                    "zero_crossings": int(
+                        (np.sign(s64[1:]) != np.sign(s64[:-1])).sum()),
+                })
+            yield pd.DataFrame(rows)
+
+    return wav_df.mapInPandas(gen, out_schema)

@@ -235,3 +235,77 @@ def test_media_features_over_real_png_payloads(spark):
         assert (r["width"], r["height"]) == (13, 11)
         assert abs(r["mean_byte"] - float(gray.mean())) < 1e-9
         assert len(r["feature"]) == 8
+
+
+def test_wav_roundtrip_16bit_with_skip_chunk():
+    """encode -> decode recovers rate, channels, and exact samples;
+    the planted LIST chunk before fmt must be skipped."""
+    import struct
+
+    import numpy as np
+
+    from geobuf_cpp_spark.operators.multimodal import decode_wav, encode_wav
+
+    s = np.array([0, 1000, -1000, 32767, -32768, 7], dtype=np.int16)
+    data = encode_wav(s, 44100,
+                      extra_chunk=b"LIST" + struct.pack("<I", 4) + b"INFO")
+    rate, ch, got = decode_wav(data)
+    assert (rate, ch) == (44100, 1)
+    assert got.tolist() == s.astype(int).tolist()
+
+
+def test_wav_decode_8bit_rebased():
+    """8-bit PCM is unsigned; the decoder rebases to signed around 128."""
+    import struct
+
+    from geobuf_cpp_spark.operators.multimodal import decode_wav
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    pcm = bytes([0, 128, 255, 200])
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    data = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    rate, ch, got = decode_wav(data)
+    assert (rate, ch) == (8000, 1)
+    assert got.tolist() == [-128, 0, 127, 72]
+
+
+def test_wav_decode_rejects_garbage_and_nonpcm():
+    import struct
+
+    import pytest
+
+    from geobuf_cpp_spark.operators.multimodal import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS" + b"\x00" * 40)
+    # IEEE-float WAV (tag 3) is honestly not implemented
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    data = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    with pytest.raises(NotImplementedError):
+        decode_wav(data)
+
+
+def test_wav_stats_square_wave_closed_form(spark):
+    """The Spark-side decoded stats equal the square wave's closed
+    forms for a couple of hand-checked ids."""
+    from geobuf_cpp_spark.operators.multimodal import (
+        _wav_params,
+        wav_dataframe,
+        wav_stats,
+    )
+
+    out = {r.media_id: r for r in
+           wav_stats(wav_dataframe(spark, 8)).collect()}
+    assert len(out) == 8
+    for i in range(8):
+        n, hp, a = _wav_params(i)
+        q, r = divmod(n, 2 * hp)
+        npos = q * hp + min(r, hp)
+        row = out[i]
+        assert (row.n_frames, row.peak) == (n, a)
+        assert row.sum_samples == a * (2 * npos - n)
+        assert row.sumsq == n * a * a
+        assert row.zero_crossings == (n - 1) // hp

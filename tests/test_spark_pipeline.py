@@ -753,7 +753,7 @@ def test_whole_surface_plan_hygiene(spark):
         "geobuf_size_stats", "geohash_assign", "hilbert_index",
         "incremental_neardup", "ivf_pruned", "ivfpq_topk",
         "lsh_neardup", "media_features",
-        "media_stats", "minhash_neardup", "pip_boxes_agg",
+        "media_stats", "minhash_neardup", "pip_boxes_agg", "wav_stats",
         "pip_boxes_join", "pip_concave", "pip_holes", "pip_large",
         "pq_ann_topk", "quadkey_assign", "simhash_neardup", "simplify",
     }
