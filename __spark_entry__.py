@@ -2407,6 +2407,20 @@ def _traj_geo_sql() -> str:
     )
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier counts via exact integer MAD
+    (type-1 discrete medians — no float quantile interpolation); the
+    oracle replays the same rank arithmetic in SQL windows."""
+    from geobuf_cpp_spark.operators.grouped_stats import mad_outliers
+
+    _prep(spark, sf_dir, "events")
+    e = spark.table("events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("y"),
+    )
+    return mad_outliers(e, "event_type", "y")
+
+
 WAV_N = 256   # synthetic WAV corpus size
 
 
@@ -2712,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory_geo": q_trajectory_geo,
         "stream_cells": q_stream_cells,
         "wav_stats": q_wav_stats,
+        "mad_outliers": q_mad_outliers,
         "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
@@ -4367,6 +4382,29 @@ def oracle_sql() -> dict[str, str]:
         "trajectory_geo": _traj_geo_sql(),
         "stream_cells": _stream_cells_sql(),
         "wav_stats": _wav_stats_sql(),
+        "mad_outliers": (
+            "WITH e AS (SELECT event_type, "
+            "CAST(floor(value * 1000) AS BIGINT) AS y FROM events), "
+            "r AS (SELECT event_type, y, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY y) AS rn, "
+            "count(*) OVER (PARTITION BY event_type) AS n FROM e), "
+            "m AS (SELECT event_type, "
+            "min(CASE WHEN rn >= (n + 1) // 2 THEN y END) AS med "
+            "FROM r GROUP BY 1), "
+            "d AS (SELECT e.event_type, abs(e.y - m.med) AS dev, m.med "
+            "FROM e JOIN m USING (event_type)), "
+            "r2 AS (SELECT event_type, med, dev, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY dev) AS rn, "
+            "count(*) OVER (PARTITION BY event_type) AS n FROM d), "
+            "md AS (SELECT event_type, max(med) AS med, "
+            "min(CASE WHEN rn >= (n + 1) // 2 THEN dev END) AS mad, "
+            "max(n) AS n FROM r2 GROUP BY 1) "
+            "SELECT d.event_type, CAST(md.n AS BIGINT) AS n_rows, "
+            "CAST(md.med AS BIGINT) AS med, CAST(md.mad AS BIGINT) AS mad, "
+            "CAST(sum(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_outliers "
+            "FROM d JOIN md USING (event_type) GROUP BY 1, 2, 3, 4"
+        ),
         "od_matrix": (
             f"WITH p AS ({P.IPINGS_SELECT}), "
             "c AS (SELECT user_id, ts, event_id, "

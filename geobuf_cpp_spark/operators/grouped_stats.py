@@ -46,3 +46,42 @@ def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
             ).alias(name)
         )
     return joined.groupBy(group_col).agg(*aggs)
+
+
+def mad_outliers(df: DataFrame, group_col: str, value_col: str,
+                 k: int = 3) -> DataFrame:
+    """Robust per-group outlier detection via median absolute deviation
+    — the data-quality monitor's workhorse (mean/stddev break down on
+    the very outliers being hunted; medians don't).
+
+    Integer-exact by construction: the type-1 discrete median of
+    `grouped_quantiles` is an actual data value (no interpolation — the
+    float quantile of most engines is un-gateable), so the deviations
+    ``|v - med|`` are exact integers and so is the MAD. A value is an
+    outlier when ``dev > k * mad`` (k=3 ~ the classic 2-sigma-ish
+    cutoff for normal-ish data). Output: (group, n_rows, med, mad,
+    n_outliers).
+
+    Plan: two `grouped_quantiles` passes (each one group-keyed exchange
+    + two windows over it) and two equi-joins back on the group key —
+    the per-group state the windows sort is the DISTINCT value domain,
+    not the row count, and AQE broadcasts the tiny per-group median/MAD
+    tables onto the row stream."""
+    med = grouped_quantiles(
+        df, group_col, value_col, [(1, 2, "med")]).select(group_col, "med")
+    dev = df.join(med, group_col).withColumn(
+        "_dev", F.abs(F.col(value_col) - F.col("med")))
+    mad = grouped_quantiles(dev, group_col, "_dev", [(1, 2, "mad")]).select(
+        group_col, "mad")
+    return (
+        dev.join(mad, group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.max("med").cast("long").alias("med"),
+            F.max("mad").cast("long").alias("mad"),
+            F.sum(
+                F.when(F.col("_dev") > k * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )

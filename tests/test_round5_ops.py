@@ -816,6 +816,22 @@ def test_getis_ord_hotspot_sign(spark):
     assert rows[far].gi_num == -4
 
 
+def test_mad_outliers_hand_computed(spark):
+    """Group g: values [1, 2, 3, 4, 100]. Lower median = 3, deviations
+    [2, 1, 0, 1, 97] -> MAD = 1; outliers are dev > 3*1: only 100.
+    Group h: constant values -> MAD 0, every unequal value an outlier
+    (none here)."""
+    from geobuf_cpp_spark.operators.grouped_stats import mad_outliers
+
+    rows = [("g", v) for v in (1, 2, 3, 4, 100)] + [("h", 7)] * 3
+    df = spark.createDataFrame(rows, "grp string, y long")
+    out = {r.grp: r for r in mad_outliers(df, "grp", "y").collect()}
+    g = out["g"]
+    assert (g.n_rows, g.med, g.mad, g.n_outliers) == (5, 3, 1, 1)
+    h = out["h"]
+    assert (h.n_rows, h.med, h.mad, h.n_outliers) == (3, 7, 0, 0)
+
+
 def test_sql_isqrt_exact_past_2_53(spark):
     """The corrected floor-sqrt is exact at the top of the chord^2
     domain, where the raw double seed can be off by one."""
