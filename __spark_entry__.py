@@ -1717,10 +1717,41 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²) pairs; the Spark plan shuffles each side once on the
     radius-sized cell key and only compares within 3x3 neighborhoods.
     """
+    return _range_pairs(spark, sf_dir)
+
+
+def _range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared radius-100 pair set (session memo): `range_join` IS this
+    set and `ripley_k` re-aggregates it — one blocked join, two gates."""
     from geobuf_cpp_spark.operators.range_join import range_self_join
 
     _prep(spark, sf_dir, "orders")
-    return range_self_join(spark.sql(P.IPOINTS_SELECT), RANGE_RADIUS)
+    return _shared_df(
+        spark, sf_dir, "range_pairs",
+        lambda: range_self_join(spark.sql(P.IPOINTS_SELECT), RANGE_RADIUS))
+
+
+RIPLEY_RADII = (30, 60, 100)  # centidegrees; max must equal RANGE_RADIUS
+
+
+def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K pair counts at three radii in exact integer parts
+    (pairs within r for r=30/60/100 cdeg + n_points; the caller
+    resolves K(r) = area*2*pairs/n^2 in floats). Completes the spatial
+    -stats family: global Moran's I, local Gi*, now the multi-scale
+    clustering curve."""
+    pairs = _range_pairs(spark, sf_dir)
+    pts = spark.sql(P.IPOINTS_SELECT)
+    tot = pts.agg(F.count("*").cast("long").alias("n_points"))
+    # coalesce: a radius with ZERO pairs (sparse SFs) must report 0,
+    # not the empty-agg NULL
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(F.col("d2") <= r * r, 1).otherwise(0)), F.lit(0))
+        .cast("long").alias(f"pairs_r{r}")
+        for r in RIPLEY_RADII
+    ]
+    return pairs.agg(*aggs).crossJoin(F.broadcast(tot))
 
 
 X_PERIOD = 36000            # lattice x wraps at 360 degrees (centideg)
@@ -2727,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cells": q_stream_cells,
         "wav_stats": q_wav_stats,
         "mad_outliers": q_mad_outliers,
+        "ripley_k": q_ripley_k,
         "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
@@ -4382,6 +4414,23 @@ def oracle_sql() -> dict[str, str]:
         "trajectory_geo": _traj_geo_sql(),
         "stream_cells": _stream_cells_sql(),
         "wav_stats": _wav_stats_sql(),
+        "ripley_k": (
+            f"WITH p AS ({P.IPOINTS_SELECT}), "
+            "d AS (SELECT (a.ix-b.ix)*(a.ix-b.ix)+(a.iy-b.iy)*(a.iy-b.iy) "
+            "AS d2 FROM p a JOIN p b ON a.point_id < b.point_id "
+            f"AND a.iy - b.iy <= {RANGE_RADIUS} "
+            f"AND b.iy - a.iy <= {RANGE_RADIUS}), "
+            "t AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM p) "
+            "SELECT "
+            + ", ".join(
+                f"CAST(sum(CASE WHEN d2 <= {r * r} THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS pairs_r{r}"
+                for r in RIPLEY_RADII
+            )
+            # LEFT JOIN keeps the single totals row alive when d is
+            # empty; a NULL d2 satisfies no CASE and adds 0
+            + ", t.n_points FROM t LEFT JOIN d ON TRUE GROUP BY t.n_points"
+        ),
         "mad_outliers": (
             "WITH e AS (SELECT event_type, "
             "CAST(floor(value * 1000) AS BIGINT) AS y FROM events), "

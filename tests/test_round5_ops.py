@@ -816,6 +816,26 @@ def test_getis_ord_hotspot_sign(spark):
     assert rows[far].gi_num == -4
 
 
+def test_ripley_k_counts_nested(spark):
+    """Pair counts are cumulative in r and match brute force on a tiny
+    planted cloud (three points at pairwise distances 25, 50, 75)."""
+    from geobuf_cpp_spark.operators.range_join import range_self_join
+
+    from pyspark.sql import functions as F
+
+    # collinear: p0=(0,0), p1=(25,0), p2=(75,0): d(0,1)=25, d(1,2)=50,
+    # d(0,2)=75 -> pairs within 30: 1; within 60: 2; within 100: 3
+    pts = spark.createDataFrame(
+        [(0, 1000, 8000), (1, 1025, 8000), (2, 1075, 8000)],
+        "point_id long, ix long, iy long")
+    pairs = range_self_join(pts, 100)
+    got = pairs.agg(*[
+        F.sum(F.when(F.col("d2") <= r * r, 1).otherwise(0)).alias(f"p{r}")
+        for r in (30, 60, 100)
+    ]).collect()[0]
+    assert (got.p30, got.p60, got.p100) == (1, 2, 3)
+
+
 def test_mad_outliers_hand_computed(spark):
     """Group g: values [1, 2, 3, 4, 100]. Lower median = 3, deviations
     [2, 1, 0, 1, 97] -> MAD = 1; outliers are dev > 3*1: only 100.

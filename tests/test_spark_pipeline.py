@@ -744,6 +744,7 @@ def test_whole_surface_plan_hygiene(spark):
         "kmv_overlap",               # broadcast group-pair inequality
         "morans_i",                  # broadcast single-row totals
         "getis_ord",                 # broadcast single-row totals
+        "ripley_k",                  # broadcast single-row totals
     }
     # declared Arrow-batched Python kernels (codec, geometry, ANN, media)
     python_ok = {
