@@ -45,6 +45,9 @@ _SEG_INTERSECT_SQL = sql_segments_intersect()
 from geobuf_cpp_spark.operators.segments import sql_point_segment_within
 
 _SEG_WITHIN_SQL = sql_point_segment_within(100)
+from geobuf_cpp_spark.operators.segments import (  # noqa: E402
+    sql_point_segment_dist2 as _seg_dist2_sql,
+)
 
 CELL_RES = 12
 ROLLUP_RES = 6
@@ -1854,12 +1857,32 @@ def q_points_near_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     division). Point cells are unique, so the plan has no dedup at all;
     the oracle brute-forces the identical predicate text over banded
     pairs."""
-    from geobuf_cpp_spark.operators.segments import point_segment_range_join
+    return _point_seg_cands(spark, sf_dir).selectExpr(
+        "pid AS point_id", "sid AS seg_id")
+
+
+def _point_seg_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared blocked (point, segment) candidate set (session memo):
+    `points_near_segments` projects it, `snap_route` argmins it."""
+    from geobuf_cpp_spark.operators.segments import _point_seg_candidates
 
     _prep(spark, sf_dir, "orders")
-    pts = spark.sql(P.IPOINTS_SELECT)
-    segs = spark.sql(P.ISEGS_SELECT)
-    return point_segment_range_join(pts, segs, SEG_NEAR_RADIUS, SEG_CELL)
+    return _shared_df(
+        spark, sf_dir, "point_seg_cands",
+        lambda: _point_seg_candidates(
+            spark.sql(P.IPOINTS_SELECT), spark.sql(P.ISEGS_SELECT),
+            SEG_NEAR_RADIUS, SEG_CELL, "point_id", "seg_id"))
+
+
+def q_snap_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-matching snap: each point's nearest segment within the
+    radius by exact scaled integer distance (seg-id tiebreak); the
+    oracle replays the identical CASE arithmetic with ``//``."""
+    from geobuf_cpp_spark.operators.segments import snap_to_segments
+
+    return snap_to_segments(
+        None, None, SEG_NEAR_RADIUS, SEG_CELL,
+        candidates=_point_seg_cands(spark, sf_dir))
 
 
 def q_trajectory_len(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2759,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_stats": q_wav_stats,
         "mad_outliers": q_mad_outliers,
         "ripley_k": q_ripley_k,
+        "snap_route": q_snap_route,
         "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
@@ -4414,6 +4438,24 @@ def oracle_sql() -> dict[str, str]:
         "trajectory_geo": _traj_geo_sql(),
         "stream_cells": _stream_cells_sql(),
         "wav_stats": _wav_stats_sql(),
+        "snap_route": (
+            f"WITH p0 AS ({P.IPOINTS_SELECT}), "
+            f"s0 AS MATERIALIZED ({P.ISEGS_SELECT}), "
+            "c AS (SELECT p.point_id, s.seg_id, "
+            "p.ix AS p_x, p.iy AS p_y, s.ax AS s_ax, s.ay AS s_ay, "
+            "s.bx AS s_bx, s.by AS s_by FROM p0 p JOIN s0 s ON "
+            "p.ix >= LEAST(s.ax, s.bx) - 100 "
+            "AND p.ix <= GREATEST(s.ax, s.bx) + 100 "
+            "AND p.iy >= LEAST(s.ay, s.by) - 100 "
+            "AND p.iy <= GREATEST(s.ay, s.by) + 100), "
+            "w AS (SELECT point_id, seg_id, "
+            + _seg_dist2_sql(div_op="//")
+            + " AS d2s FROM c WHERE " + _SEG_WITHIN_SQL + "), "
+            "r AS (SELECT point_id, seg_id, d2s, row_number() OVER ("
+            "PARTITION BY point_id ORDER BY d2s, seg_id) AS rn FROM w) "
+            "SELECT point_id, seg_id, CAST(d2s AS BIGINT) AS dist2_scaled "
+            "FROM r WHERE rn = 1"
+        ),
         "ripley_k": (
             f"WITH p AS ({P.IPOINTS_SELECT}), "
             "d AS (SELECT (a.ix-b.ix)*(a.ix-b.ix)+(a.iy-b.iy)*(a.iy-b.iy) "

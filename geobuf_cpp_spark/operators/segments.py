@@ -141,18 +141,44 @@ def sql_point_segment_within(r: int, p: str = "p_", s: str = "s_") -> str:
     )
 
 
-def point_segment_range_join(points: DataFrame, segs: DataFrame,
-                             radius: int, cell_size: int,
-                             point_id: str = "point_id",
-                             seg_id: str = "seg_id") -> DataFrame:
-    """(point_id, seg_id) for every point within ``radius`` of a segment.
+def sql_point_segment_dist2(scale: int = 1 << 20, p: str = "p_",
+                            s: str = "s_", div_op: str = "div") -> str:
+    """Exact SCALED squared distance point -> closed segment, for
+    candidates already known within a small radius.
 
-    The map-matching / buffer-intersects prefilter: segments explode to
-    the cells of their radius-expanded bbox; points carry their single
-    cell; one cell equi-join + the exact predicate. Because a point has
-    exactly ONE cell, each qualifying pair matches exactly once — no
-    dedup step exists in the plan at all.
+    Same case analysis as `sql_point_segment_within`; the perpendicular
+    branch forms ``(cross^2 * scale) intdiv len2`` — an exact integer
+    both engines agree on (all terms positive, so Spark's truncating
+    ``div`` equals DuckDB's flooring ``//``; pass ``div_op`` per
+    engine). Collisions after flooring are broken by the caller's id
+    tiebreak, making any argmin over this value a DEFINED, cross-engine
+    -deterministic snapping criterion. Bounds (radius<=100 candidates,
+    extent<=300 segments): branch values <= r^2*scale ~ 1e10 and
+    cross^2*scale <= r^2*len2*scale ~ 2e15 — well inside BIGINT.
     """
+    dx, dy = f"({s}bx - {s}ax)", f"({s}by - {s}ay)"
+    ex, ey = f"({p}x - {s}ax)", f"({p}y - {s}ay)"
+    fx, fy = f"({p}x - {s}bx)", f"({p}y - {s}by)"
+    len2 = f"({dx} * {dx} + {dy} * {dy})"
+    dot = f"({ex} * {dx} + {ey} * {dy})"
+    cross = f"({ex} * {dy} - {ey} * {dx})"
+    ap2 = f"({ex} * {ex} + {ey} * {ey})"
+    bp2 = f"({fx} * {fx} + {fy} * {fy})"
+    return (
+        f"(CASE WHEN {len2} = 0 OR {dot} <= 0 THEN {ap2} * {scale} "
+        f"WHEN {dot} >= {len2} THEN {bp2} * {scale} "
+        f"ELSE ({cross} * {cross} * {scale}) {div_op} {len2} END)"
+    )
+
+
+def _point_seg_candidates(points: DataFrame, segs: DataFrame,
+                          radius: int, cell_size: int,
+                          point_id: str, seg_id: str) -> DataFrame:
+    """Blocked (point, segment) candidate pairs with coordinates:
+    segments explode to the cells of their radius-expanded bbox; points
+    carry their single cell; one cell equi-join + the exact within-r
+    predicate. A point has exactly ONE cell, so each qualifying pair
+    matches exactly once — no dedup step in the plan."""
     r, c = int(radius), int(cell_size)
     assert r > 0 and c > 0
     s = segs.selectExpr(
@@ -176,5 +202,53 @@ def point_segment_range_join(points: DataFrame, segs: DataFrame,
     return (
         p.join(s_cells, on=["cx", "cy"])
         .where(F.expr(sql_point_segment_within(r)))
-        .selectExpr("pid AS point_id", "sid AS seg_id")
+    )
+
+
+def point_segment_range_join(points: DataFrame, segs: DataFrame,
+                             radius: int, cell_size: int,
+                             point_id: str = "point_id",
+                             seg_id: str = "seg_id") -> DataFrame:
+    """(point_id, seg_id) for every point within ``radius`` of a segment.
+
+    The map-matching / buffer-intersects prefilter (see
+    `_point_seg_candidates` for the blocked plan shape).
+    """
+    return _point_seg_candidates(
+        points, segs, radius, cell_size, point_id, seg_id
+    ).selectExpr("pid AS point_id", "sid AS seg_id")
+
+
+def snap_to_segments(points: DataFrame, segs: DataFrame,
+                     radius: int, cell_size: int,
+                     point_id: str = "point_id",
+                     seg_id: str = "seg_id",
+                     scale: int = 1 << 20,
+                     candidates: DataFrame | None = None) -> DataFrame:
+    """Map-matching step two: snap each point to its NEAREST segment
+    within ``radius`` (argmin of the exact scaled squared distance,
+    seg-id tiebreak). Points with no candidate emit no row.
+
+    Plan: the same blocked candidate join as
+    `point_segment_range_join`, then one map-side-combinable
+    ``min(struct(dist, sid))`` per point — no window, no second
+    shuffle beyond the point-keyed agg. Output: (point_id, seg_id,
+    dist2_scaled). Pass a pre-built (possibly persisted)
+    ``candidates`` to reuse the blocked join across consumers."""
+    cand = candidates
+    if cand is None:
+        cand = _point_seg_candidates(
+            points, segs, radius, cell_size, point_id, seg_id)
+    d2s = F.expr(sql_point_segment_dist2(scale, div_op="div"))
+    best = (
+        cand.select("pid", d2s.alias("_d2s"), "sid")
+        .groupBy("pid")
+        .agg(F.min(F.struct(
+            F.col("_d2s").alias("d2s"), F.col("sid").alias("sid"),
+        )).alias("m"))
+    )
+    return best.select(
+        F.col("pid").alias("point_id"),
+        F.col("m.sid").alias("seg_id"),
+        F.col("m.d2s").cast("long").alias("dist2_scaled"),
     )

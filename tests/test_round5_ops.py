@@ -816,6 +816,27 @@ def test_getis_ord_hotspot_sign(spark):
     assert rows[far].gi_num == -4
 
 
+def test_snap_to_segments_argmin_and_tiebreak(spark):
+    """Point (1000,1000): segment 1 (horizontal, perpendicular distance
+    5) ties the degenerate segment 2 (endpoint distance 5) at exactly
+    25*scale -> the seg-id tiebreak keeps 1. Point (2000,2000) snaps to
+    its only candidate at distance 1."""
+    from geobuf_cpp_spark.operators.segments import snap_to_segments
+
+    pts = spark.createDataFrame(
+        [(1, 1000, 1000), (2, 2000, 2000)], "point_id long, ix long, iy long")
+    segs = spark.createDataFrame(
+        [(1, 990, 1005, 1010, 1005),   # horizontal, 5 above the point
+         (2, 1003, 1004, 1003, 1004),  # degenerate at distance 5
+         (4, 2001, 1990, 2001, 2010)], # vertical, 1 right of point 2
+        "seg_id long, ax long, ay long, bx long, by long")
+    out = {r.point_id: r for r in
+           snap_to_segments(pts, segs, 100, 512).collect()}
+    scale = 1 << 20
+    assert (out[1].seg_id, out[1].dist2_scaled) == (1, 25 * scale)
+    assert (out[2].seg_id, out[2].dist2_scaled) == (4, 1 * scale)
+
+
 def test_ripley_k_counts_nested(spark):
     """Pair counts are cumulative in r and match brute force on a tiny
     planted cloud (three points at pairwise distances 25, 50, 75)."""
