@@ -2511,6 +2511,16 @@ def _wav_stats_sql() -> str:
     )
 
 
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event streams
+    (self-loops included, exact probability parts); the oracle replays
+    the identical total order and pair rollup."""
+    from geobuf_cpp_spark.operators.cohorts import markov_transitions
+
+    _prep(spark, sf_dir, "events")
+    return markov_transitions(spark.table("events"))
+
+
 def q_stream_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming windowed cell-hotspot rollup (the
     stream==batch equality is pytest-asserted; this gate pins the
@@ -2783,6 +2793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "ripley_k": q_ripley_k,
         "snap_route": q_snap_route,
+        "markov_transitions": q_markov_transitions,
         "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
@@ -4438,6 +4449,18 @@ def oracle_sql() -> dict[str, str]:
         "trajectory_geo": _traj_geo_sql(),
         "stream_cells": _stream_cells_sql(),
         "wav_stats": _wav_stats_sql(),
+        "markov_transitions": (
+            "WITH t AS (SELECT user_id, event_type AS to_state, "
+            "lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS from_state FROM events), "
+            "p AS (SELECT from_state, to_state, "
+            "CAST(count(*) AS BIGINT) AS n_transitions FROM t "
+            "WHERE from_state IS NOT NULL GROUP BY 1, 2), "
+            "tt AS (SELECT from_state, CAST(sum(n_transitions) AS BIGINT) "
+            "AS from_total FROM p GROUP BY 1) "
+            "SELECT p.from_state, p.to_state, p.n_transitions, "
+            "tt.from_total FROM p JOIN tt USING (from_state)"
+        ),
         "snap_route": (
             f"WITH p0 AS ({P.IPOINTS_SELECT}), "
             f"s0 AS MATERIALIZED ({P.ISEGS_SELECT}), "

@@ -43,3 +43,43 @@ def cohort_retention(events: DataFrame, entity_col: str = "user_id",
     return joined.groupBy("cohort_week", "k").agg(
         F.count("*").cast("long").alias("n_users")
     )
+
+
+def markov_transitions(events_df: DataFrame,
+                       entity_col: str = "user_id",
+                       state_col: str = "event_type",
+                       ts_col: str = "ts",
+                       tie_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition counts over per-entity event
+    streams — the behavioral-analytics rollup ("after a click, what
+    happens next?") and the `od_matrix` shape applied to states instead
+    of zones.
+
+    Consecutive events of the same entity (ordered by timestamp, ties
+    broken by the id column — a total, cross-engine-deterministic
+    order) emit one (from_state, to_state) observation, self-loops
+    INCLUDED (state persistence is signal here, unlike zone stays).
+    ``from_total`` repeats the from-state's total outgoing count on
+    every row, so a caller gets the exact transition probability
+    num/den pair without a second query. Output: (from_state,
+    to_state, n_transitions, from_total).
+
+    Plan: one entity-key exchange + lag window (spillable per-partition
+    sort), a map-side-combined groupBy on the state pair (bounded by
+    |states|^2), then a window-free broadcast-sized self-agg join for
+    the totals."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(entity_col).orderBy(ts_col, tie_col)
+    t = (
+        events_df.select(entity_col, ts_col, tie_col,
+                         F.col(state_col).alias("to_state"))
+        .withColumn("from_state", F.lag("to_state").over(w))
+        .filter(F.col("from_state").isNotNull())
+    )
+    pairs = t.groupBy("from_state", "to_state").agg(
+        F.count("*").cast("long").alias("n_transitions"))
+    totals = pairs.groupBy("from_state").agg(
+        F.sum("n_transitions").cast("long").alias("from_total"))
+    return pairs.join(F.broadcast(totals), "from_state").select(
+        "from_state", "to_state", "n_transitions", "from_total")

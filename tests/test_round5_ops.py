@@ -816,6 +816,28 @@ def test_getis_ord_hotspot_sign(spark):
     assert rows[far].gi_num == -4
 
 
+def test_markov_transitions_hand_computed(spark):
+    """User 1: a -> a -> b (self-loop counted); user 2: a -> b.
+    Transitions: (a,a)=1, (a,b)=2, from_total(a)=3."""
+    import datetime as dt
+
+    from geobuf_cpp_spark.operators.cohorts import markov_transitions
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, 1, t0, "a"), (2, 1, t0 + dt.timedelta(60), "a"),
+        (3, 1, t0 + dt.timedelta(120), "b"),
+        (4, 2, t0, "a"), (5, 2, t0 + dt.timedelta(60), "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    out = {(r.from_state, r.to_state): r
+           for r in markov_transitions(df).collect()}
+    assert set(out) == {("a", "a"), ("a", "b")}
+    assert (out[("a", "a")].n_transitions, out[("a", "a")].from_total) == (1, 3)
+    assert (out[("a", "b")].n_transitions, out[("a", "b")].from_total) == (2, 3)
+
+
 def test_snap_to_segments_argmin_and_tiebreak(spark):
     """Point (1000,1000): segment 1 (horizontal, perpendicular distance
     5) ties the degenerate segment 2 (endpoint distance 5) at exactly
