@@ -2511,6 +2511,52 @@ def _wav_stats_sql() -> str:
     )
 
 
+KMEANS_K = 8
+KMEANS_ROUNDS = 2
+
+
+def q_kmeans_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round integer-exact Lloyd's k-means over quantized
+    embeddings (seeds = first k ids, shifted truncating-mean centroid
+    update); the oracle replays both rounds as chained CTEs."""
+    from geobuf_cpp_spark.operators.ann import kmeans_lite
+
+    _prep(spark, sf_dir, "embeddings")
+    return kmeans_lite(spark.table("embeddings"), KMEANS_K, KMEANS_ROUNDS,
+                       CENTROID_SCALE)
+
+
+def _kmeans_sql() -> str:
+    scale, k = CENTROID_SCALE, KMEANS_K
+    s = (
+        "WITH e AS (SELECT vec_id AS vid, "
+        "generate_subscripts(embedding, 1) - 1 AS dim, "
+        "unnest(embedding) AS v FROM embeddings), "
+        "q AS (SELECT vid, dim, "
+        f"CAST(ROUND(CAST(v AS DOUBLE) * {scale}) AS BIGINT) AS qv "
+        "FROM e), "
+        f"c0 AS (SELECT vid AS cid, dim, qv AS cd FROM q WHERE vid < {k})"
+    )
+    for i in range(KMEANS_ROUNDS):
+        s += (
+            f", d{i} AS (SELECT q.vid, c.cid, "
+            "sum((q.qv - c.cd) * (q.qv - c.cd)) AS d2 "
+            f"FROM q JOIN c{i} c USING (dim) GROUP BY 1, 2), "
+            f"a{i} AS (SELECT vid, cid FROM (SELECT vid, cid, "
+            "row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn "
+            f"FROM d{i}) z WHERE rn = 1), "
+            f"u{i} AS (SELECT a.cid, q.dim, CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(sum(q.qv) AS BIGINT) AS qsum FROM q JOIN a{i} a "
+            "USING (vid) GROUP BY 1, 2), "
+            f"c{i + 1} AS (SELECT cid, dim, "
+            f"(qsum + n * {scale}) // n - {scale} AS cd FROM u{i})"
+        )
+    return s + (
+        f" SELECT cid AS cluster_id, CAST(dim AS INTEGER) AS dim, n, qsum "
+        f"FROM u{KMEANS_ROUNDS - 1}"
+    )
+
+
 def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition counts over per-user event streams
     (self-loops included, exact probability parts); the oracle replays
@@ -2794,6 +2840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley_k": q_ripley_k,
         "snap_route": q_snap_route,
         "markov_transitions": q_markov_transitions,
+        "kmeans_lite": q_kmeans_lite,
         "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
@@ -4449,6 +4496,7 @@ def oracle_sql() -> dict[str, str]:
         "trajectory_geo": _traj_geo_sql(),
         "stream_cells": _stream_cells_sql(),
         "wav_stats": _wav_stats_sql(),
+        "kmeans_lite": _kmeans_sql(),
         "markov_transitions": (
             "WITH t AS (SELECT user_id, event_type AS to_state, "
             "lag(event_type) OVER (PARTITION BY user_id "

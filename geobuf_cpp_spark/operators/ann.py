@@ -689,3 +689,76 @@ def load_ivf_index(spark, path: str):
     centroids = np.stack(
         [np.asarray(v, dtype=np.float64) for v in cent_pdf["centroid"]])
     return centroids, assignments
+
+
+def kmeans_lite(emb_df, k: int = 8, rounds: int = 2,
+                scale: int = 1 << 20, id_col: str = "vec_id",
+                vec_col: str = "embedding"):
+    """Fixed-round Lloyd's k-means in EXACT integer arithmetic — the
+    oracle-gateable twin of `build_ivf`'s float trainer (whose numpy
+    reductions cannot hash-match another engine).
+
+    Components quantize once (round(v * scale), exact BIGINT — the
+    `label_centroids` trick); seeds are the first ``k`` vectors by id;
+    each round assigns every vector to the centroid minimizing the
+    exact integer squared distance (centroid-id tiebreak) and rebuilds
+    integer centroids as the SHIFTED truncating mean
+    ``(qsum + n*scale) div n - scale`` — the +scale shift keeps the
+    numerator positive (components exceed -scale never), so Spark's
+    ``div`` and DuckDB's ``//`` agree bit-for-bit. Returns the last
+    round's per-(cluster, dim) update table (cluster_id, dim, n, qsum)
+    — n is the cluster size repeated per dim, qsum div n the centroid.
+
+    Plan shape: the quantized (vid, dim, qv) triple table materializes
+    once (lazy localCheckpoint) and feeds every round; assignment is a
+    broadcast join against the k*D centroid rows + one (vid, cid) hash
+    agg (rows shuffled: N*D*k — the spill-aware exhaustive baseline;
+    the IVF path is the pruned alternative at scale), update is one
+    more map-side-combined agg. No windows; the only per-round driver
+    work is Catalyst planning."""
+    q = (
+        emb_df.select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(vec_col).alias("dim", "v"),
+        )
+        .select(
+            "vid", "dim",
+            F.expr(f"CAST(ROUND(CAST(v AS DOUBLE) * {scale}) AS BIGINT)")
+            .alias("qv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cent = q.filter(F.col("vid") < k).select(
+        F.col("vid").alias("cid"), "dim", F.col("qv").alias("cd"))
+    upd = None
+    for _ in range(rounds):
+        d = (
+            q.join(F.broadcast(cent), "dim")
+            .select(
+                "vid", "cid",
+                ((F.col("qv") - F.col("cd"))
+                 * (F.col("qv") - F.col("cd"))).alias("t"),
+            )
+            .groupBy("vid", "cid")
+            .agg(F.sum("t").alias("d2"))
+        )
+        assign = (
+            d.groupBy("vid")
+            .agg(F.min(F.struct(F.col("d2"), F.col("cid"))).alias("m"))
+            .select("vid", F.col("m.cid").alias("cid"))
+        )
+        upd = (
+            q.join(assign, "vid")
+            .groupBy("cid", "dim")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("qv").cast("long").alias("qsum"),
+            )
+        )
+        cent = upd.select(
+            "cid", "dim",
+            (F.expr(f"(qsum + n * {scale}) div n") - scale).alias("cd"),
+        ).localCheckpoint(eager=False)
+    return upd.select(
+        F.col("cid").alias("cluster_id"),
+        F.col("dim").cast("int").alias("dim"), "n", "qsum")

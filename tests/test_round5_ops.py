@@ -816,6 +816,25 @@ def test_getis_ord_hotspot_sign(spark):
     assert rows[far].gi_num == -4
 
 
+def test_kmeans_lite_hand_computed_1d(spark):
+    """1-D, k=2, rounds=2: seeds 0.0 / 0.1; after round 1 the c1
+    centroid drifts right (members 0.1, 1.0, 1.1), so round 2
+    reassigns 0.1 to c0 — final clusters {0.0, 0.1} and {1.0, 1.1}
+    with exact integer sums."""
+    import numpy as np
+
+    from geobuf_cpp_spark.operators.ann import kmeans_lite
+
+    scale = 1 << 20
+    vecs = [(0, [0.0]), (1, [0.1]), (2, [1.0]), (3, [1.1])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {r.cluster_id: r for r in
+           kmeans_lite(df, k=2, rounds=2, scale=scale).collect()}
+    q = lambda v: round(float(np.float32(v)) * scale)  # noqa: E731
+    assert (out[0].n, out[0].qsum) == (2, q(0.0) + q(0.1))
+    assert (out[1].n, out[1].qsum) == (2, q(1.0) + q(1.1))
+
+
 def test_markov_transitions_hand_computed(spark):
     """User 1: a -> a -> b (self-loop counted); user 2: a -> b.
     Transitions: (a,a)=1, (a,b)=2, from_total(a)=3."""
