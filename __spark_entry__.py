@@ -2511,6 +2511,19 @@ def _wav_stats_sql() -> str:
     )
 
 
+CDC_MOD = 8   # expected CDC chunk length in words
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (shift-robust chunk boundaries at
+    hash-is-zero words); the oracle replays the identical boundary
+    hash, prefix-sum chunk indexes, and ordered chunk digests."""
+    from geobuf_cpp_spark.operators.dedup import cdc_chunk_dedup
+
+    _prep(spark, sf_dir, "documents")
+    return cdc_chunk_dedup(spark.table("documents"), CDC_MOD)
+
+
 KMEANS_K = 8
 KMEANS_ROUNDS = 2
 
@@ -2841,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_route": q_snap_route,
         "markov_transitions": q_markov_transitions,
         "kmeans_lite": q_kmeans_lite,
+        "cdc_chunks": q_cdc_chunks,
         "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
@@ -4497,6 +4511,27 @@ def oracle_sql() -> dict[str, str]:
         "stream_cells": _stream_cells_sql(),
         "wav_stats": _wav_stats_sql(),
         "kmeans_lite": _kmeans_sql(),
+        "cdc_chunks": (
+            "WITH t AS (SELECT doc_id, list_filter(string_split("
+            "trim(text), ' '), x -> x <> '') AS toks FROM documents), "
+            "p AS (SELECT doc_id, unnest(generate_series(1, len(toks))) "
+            "AS pos, toks FROM t WHERE len(toks) >= 1), "
+            "wd AS (SELECT doc_id, pos, toks[pos] AS word FROM p), "
+            "f AS (SELECT doc_id, pos, word, CASE WHEN "
+            f"md5_number_lower(word) % {CDC_MOD} = 0 THEN 1 ELSE 0 END "
+            "AS b FROM wd), "
+            "c AS (SELECT doc_id, pos, word, COALESCE(sum(b) OVER ("
+            "PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING), 0) AS chunk_idx FROM f), "
+            "ch AS (SELECT doc_id, chunk_idx, "
+            "md5(string_agg(word, ' ' ORDER BY pos)) AS h FROM c "
+            "GROUP BY 1, 2), "
+            "d AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ch "
+            "GROUP BY 1) "
+            "SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks, "
+            "CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_dup_chunks FROM ch JOIN d USING (h) GROUP BY 1"
+        ),
         "markov_transitions": (
             "WITH t AS (SELECT user_id, event_type AS to_state, "
             "lag(event_type) OVER (PARTITION BY user_id "

@@ -678,3 +678,60 @@ def boilerplate_chunks(docs_df, chunk_words: int = 8, min_df: int = 2,
             ).cast("long").alias("boiler_words"),
         )
     )
+
+
+def cdc_chunk_dedup(docs_df, boundary_mod: int = 8,
+                    id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Content-defined chunking dedup (the FastCDC idea at word
+    granularity): chunk boundaries fall AFTER any word whose 64-bit
+    hash is 0 mod ``boundary_mod``, so boundaries are a local property
+    of the content — inserting a sentence shifts ONE chunk, not every
+    downstream chunk the way `chunk_dedup`'s fixed 8-word windows do.
+    That shift-robustness is why CDC is the dedup standard for
+    near-identical page revisions.
+
+    Per doc: total chunks and chunks whose exact content (md5 of the
+    joined words) appears in >= 2 distinct documents. Expected chunk
+    length = boundary_mod words; all exact integers.
+
+    Plan: one corpus scan -> posexplode -> per-doc ordered prefix-sum
+    window (doc-keyed, spillable) assigning chunk indexes -> one
+    (doc, chunk) hash agg rebuilding chunk text deterministically
+    (sort_array over (pos, word) structs — collect_list alone is
+    order-unstable) -> a chunk-hash agg for cross-doc counts joined
+    back. Keys always include the doc id or the chunk hash: corpus
+    growth adds reducers, not skew.
+    """
+    from geobuf_cpp_spark.operators.sketches import md5_low64
+
+    toks = f"filter(split(trim({text_col}), ' '), t -> t <> '')"
+    words = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.expr(toks)).alias("pos", "word"),
+    )
+    flags = words.withColumn(
+        "b",
+        F.when(md5_low64(F.col("word")) % boundary_mod == 0, 1).otherwise(0),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1)
+    chunks = (
+        flags.withColumn(
+            "chunk_idx", F.coalesce(F.sum("b").over(w), F.lit(0)))
+        .groupBy("doc_id", "chunk_idx")
+        .agg(F.expr(
+            "md5(array_join(transform(sort_array(collect_list("
+            "struct(pos, word))), s -> s.word), ' '))").alias("h"))
+    )
+    cross = chunks.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd"))
+    return (
+        chunks.join(cross, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long").alias("n_dup_chunks"),
+        )
+    )

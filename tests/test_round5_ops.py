@@ -1107,3 +1107,36 @@ def test_ngram_repetition_hand_computed(spark):
     r2, r3 = out[(0, 2)], out[(0, 3)]
     assert (r2.n_grams, r2.dup_occurrences, r2.dup_distinct) == (3, 2, 1)
     assert (r3.n_grams, r3.dup_occurrences, r3.dup_distinct) == (2, 0, 0)
+
+
+def test_cdc_chunks_shift_robust(spark):
+    """The CDC selling point: prepending a word to a long shared text
+    leaves every chunk after the first boundary identical, so most
+    chunks still dedup across the two revisions. With fixed 8-word
+    windows the same edit would misalign every window. Also checks the
+    per-doc chunk count equals boundaries+1 replayed in pure Python."""
+    import hashlib
+
+    from geobuf_cpp_spark.operators.dedup import cdc_chunk_dedup
+
+    words = [f"w{i}" for i in range(200)]
+
+    def low64_mod(word: str, m: int) -> int:
+        dig = hashlib.md5(word.encode()).digest()
+        return int.from_bytes(dig[8:16], "little") % m
+
+    mod = 4
+    base = " ".join(words)
+    shifted = "zzz " + base  # one-word prepend, a new revision
+    df = spark.createDataFrame(
+        [(0, base), (1, shifted)], "doc_id long, text string")
+    out = {r.doc_id: r for r in cdc_chunk_dedup(df, mod).collect()}
+
+    # pure-python replay of the boundary rule for the base doc
+    n_chunks = 1 + sum(1 for w in words[:-1] if low64_mod(w, mod) == 0)
+    assert out[0].n_chunks == n_chunks
+    # every chunk after the first boundary is shared between revisions:
+    # at most ONE chunk per doc (the head chunk) fails to dedup
+    assert out[0].n_chunks - out[0].n_dup_chunks <= 1
+    assert out[1].n_chunks - out[1].n_dup_chunks <= 1
+    assert out[0].n_dup_chunks >= n_chunks - 1
