@@ -42,6 +42,24 @@ from geobuf_cpp_spark.operators.segments import sql_segments_intersect
 
 _SEG_INTERSECT_SQL = sql_segments_intersect()
 
+# shared oracle CTE chain: segment list -> bbox-banded candidate pairs ->
+# exact-predicate crossings -> doubled edge list. segment_components'
+# transitive closure and network_hops' bounded BFS both walk this graph.
+_SEG_GRAPH_CTE = (
+    "s AS MATERIALIZED ({isegs}), "
+    "c AS (SELECT a.seg_id AS id_a, b.seg_id AS id_b, "
+    "a.ax AS a_ax, a.ay AS a_ay, a.bx AS a_bx, a.by AS a_by, "
+    "b.ax AS b_ax, b.ay AS b_ay, b.bx AS b_bx, b.by AS b_by "
+    "FROM s a JOIN s b ON a.seg_id < b.seg_id "
+    "AND LEAST(a.ax, a.bx) <= GREATEST(b.ax, b.bx) "
+    "AND LEAST(b.ax, b.bx) <= GREATEST(a.ax, a.bx) "
+    "AND LEAST(a.ay, a.by) <= GREATEST(b.ay, b.by) "
+    "AND LEAST(b.ay, b.by) <= GREATEST(a.ay, a.by)), "
+    "p AS (SELECT id_a, id_b FROM c WHERE {intersect}), "
+    "e AS (SELECT id_a AS src, id_b AS dst FROM p "
+    "UNION ALL SELECT id_b, id_a FROM p)"
+)
+
 from geobuf_cpp_spark.operators.segments import sql_point_segment_within
 
 _SEG_WITHIN_SQL = sql_point_segment_within(100)
@@ -1850,6 +1868,29 @@ def q_segment_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("doc_id", "seg_id")
 
 
+BFS_SOURCE_MOD = 63   # seeds = segments whose id is a multiple of 63
+BFS_ROUNDS = 6
+
+
+def q_network_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Network distance to the nearest arterial: bounded multi-source
+    BFS (operators/graph.bfs_hops) over the SAME persisted crossing
+    graph the components gate uses — exact hop counts, frontier-delta
+    rounds. Oracle: bounded recursive-CTE walk over the banded intersect
+    pairs taking min(depth) per node."""
+    from geobuf_cpp_spark.operators.graph import bfs_hops
+
+    _prep(spark, sf_dir, "orders")
+    segs = spark.sql(P.ISEGS_SELECT)
+    pairs = _shared_seg_pairs(spark, sf_dir)
+    return bfs_hops(
+        pairs,
+        segs.filter(F.col("seg_id") % BFS_SOURCE_MOD == 0)
+        .selectExpr("seg_id AS id"),
+        BFS_ROUNDS,
+    ).withColumnRenamed("id", "seg_id")
+
+
 def q_points_near_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-matching prefilter: every (point, segment) pair within 100
     lattice units by EXACT integer point-to-segment distance (projection
@@ -2855,6 +2896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": q_markov_transitions,
         "kmeans_lite": q_kmeans_lite,
         "cdc_chunks": q_cdc_chunks,
+        "network_hops": q_network_hops,
         "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
@@ -3904,23 +3946,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT custkey, segment, ts FROM r WHERE rn = 1"
         ),
         "segment_components": (
-            f"WITH RECURSIVE s AS MATERIALIZED ({P.ISEGS_SELECT}), "
-            "c AS (SELECT a.seg_id AS id_a, b.seg_id AS id_b, "
-            "a.ax AS a_ax, a.ay AS a_ay, a.bx AS a_bx, a.by AS a_by, "
-            "b.ax AS b_ax, b.ay AS b_ay, b.bx AS b_bx, b.by AS b_by "
-            "FROM s a JOIN s b ON a.seg_id < b.seg_id "
-            "AND LEAST(a.ax, a.bx) <= GREATEST(b.ax, b.bx) "
-            "AND LEAST(b.ax, b.bx) <= GREATEST(a.ax, a.bx) "
-            "AND LEAST(a.ay, a.by) <= GREATEST(b.ay, b.by) "
-            "AND LEAST(b.ay, b.by) <= GREATEST(a.ay, a.by)), "
-            "p AS (SELECT id_a, id_b FROM c WHERE " + _SEG_INTERSECT_SQL
-            + "), e AS (SELECT id_a AS src, id_b AS dst FROM p "
-            "UNION ALL SELECT id_b, id_a FROM p), "
-            "walk(id, reach) AS ("
+            "WITH RECURSIVE "
+            + _SEG_GRAPH_CTE.format(
+                isegs=P.ISEGS_SELECT, intersect=_SEG_INTERSECT_SQL)
+            + ", walk(id, reach) AS ("
             "SELECT seg_id, seg_id FROM s "
             "UNION "
             "SELECT w.id, e.dst FROM walk w JOIN e ON e.src = w.reach) "
             "SELECT id AS seg_id, min(reach) AS cluster_id "
+            "FROM walk GROUP BY id"
+        ),
+        "network_hops": (
+            "WITH RECURSIVE "
+            + _SEG_GRAPH_CTE.format(
+                isegs=P.ISEGS_SELECT, intersect=_SEG_INTERSECT_SQL)
+            + ", walk(id, d) AS ("
+            f"SELECT seg_id, 0 FROM s WHERE seg_id % {BFS_SOURCE_MOD} = 0 "
+            "UNION "
+            "SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.id "
+            f"WHERE w.d < {BFS_ROUNDS}) "
+            "SELECT id AS seg_id, CAST(min(d) AS BIGINT) AS hops "
             "FROM walk GROUP BY id"
         ),
         # candidate pairs in a CTE with a_-/b_-prefixed columns, the

@@ -142,3 +142,52 @@ def pagerank(edges_df: DataFrame, nodes_df: DataFrame, n_iter: int = 5,
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def bfs_hops(edges_df: DataFrame, sources_df: DataFrame,
+             rounds: int) -> DataFrame:
+    """Bounded multi-source BFS: exact hop distance from the nearest
+    source, for every node reachable within ``rounds`` hops — the
+    network-distance primitive behind "how far is this road from an
+    arterial" / blast-radius queries.
+
+    Frontier-delta iteration, NOT whole-table Bellman-Ford: each round
+    expands only last round's newly-reached frontier (one node-keyed
+    equi-join + distinct) and anti-joins the settled set, so per-round
+    shuffle is O(frontier edges), not O(V). For hop metrics the first
+    arrival IS the min distance, so settled rows never need revisiting.
+    Each round's tables are lazily localCheckpoint-ed (one Spark job per
+    round, O(1) lineage depth) and the doubled edge list is checkpointed
+    once up front, pre-partitioned on the probe key — the same
+    fixed-round discipline as ``pagerank``/``dedup_clusters``. An
+    ``isEmpty`` probe per round (bounded scalar action) stops early once
+    the frontier drains; stopping early cannot change any emitted row.
+
+    ``edges_df``: undirected (id_a, id_b) pairs; ``sources_df``: (id)
+    seed set. Returns (id, hops) with hops in [0, rounds].
+    """
+    und = edges_df.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+    edges = (
+        und.unionByName(und.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    dist = sources_df.select(
+        "id", F.lit(0).cast("long").alias("hops")).localCheckpoint(
+        eager=False)
+    frontier = dist
+    for r in range(1, rounds + 1):
+        nxt = (
+            frontier.join(edges, frontier.id == edges.src)
+            .select(F.col("dst").alias("id")).distinct()
+            .join(dist, "id", "left_anti")
+            .select("id", F.lit(r).cast("long").alias("hops"))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return dist

@@ -1140,3 +1140,28 @@ def test_cdc_chunks_shift_robust(spark):
     assert out[0].n_chunks - out[0].n_dup_chunks <= 1
     assert out[1].n_chunks - out[1].n_dup_chunks <= 1
     assert out[0].n_dup_chunks >= n_chunks - 1
+
+
+def test_bfs_hops_path_graph_two_sources(spark):
+    """Path 0-1-2-3-4-5-6 plus isolated 9; sources {0, 6}, rounds=2:
+    hops are the min over the two seeds, nodes 3 (center, dist 3) and 9
+    (unreachable) are absent."""
+    from geobuf_cpp_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long")
+    src = spark.createDataFrame([(0,), (6,)], "id long")
+    out = {r.id: r.hops for r in bfs_hops(edges, src, 2).collect()}
+    assert out == {0: 0, 6: 0, 1: 1, 5: 1, 2: 2, 4: 2}
+
+
+def test_bfs_hops_early_stop_and_min_over_seeds(spark):
+    """Triangle 0-1-2 with both 0 and 1 as seeds, generous rounds:
+    frontier drains after round 1 (early stop), node 2 keeps hop 1."""
+    from geobuf_cpp_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "id_a long, id_b long")
+    src = spark.createDataFrame([(0,), (1,)], "id long")
+    out = {r.id: r.hops for r in bfs_hops(edges, src, 10).collect()}
+    assert out == {0: 0, 1: 0, 2: 1}
