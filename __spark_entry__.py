@@ -2194,6 +2194,31 @@ def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate_parts(_shared_hll(spark, sf_dir))
 
 
+def q_ams_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F2 linear sketch: 9 signed counters over the corpus token
+    stream (sign = md5-low-64 parity of tok|r). Linear => shard
+    sketches merge by addition; all counters exact BIGINTs hash-gated
+    against DuckDB replaying the identical signs."""
+    from geobuf_cpp_spark.operators.sketches import ams_sketch
+
+    _prep(spark, sf_dir, "documents")
+    return _shared_df(spark, sf_dir, "ams",
+                      lambda: ams_sketch(spark.table("documents")))
+
+
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS verdict row: median-of-squares F2 estimate next to the exact
+    second frequency moment, both exact integers (median of 9 via
+    sort-limit-max, no global window; the two 1-row frames meet on a
+    constant-key equi-join, not a cartesian)."""
+    from geobuf_cpp_spark.operators.sketches import ams_f2, ams_sketch
+
+    _prep(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    sk = _shared_df(spark, sf_dir, "ams", lambda: ams_sketch(docs))
+    return ams_f2(docs, sketch=sk)
+
+
 QSKETCH_VALUE = "CAST(round(value * 100) AS BIGINT)"   # exact cents
 QSKETCH_PROBS = (5000, 9000, 9900)
 
@@ -2897,6 +2922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_lite": q_kmeans_lite,
         "cdc_chunks": q_cdc_chunks,
         "network_hops": q_network_hops,
+        "ams_sketch": q_ams_sketch,
+        "ams_f2": q_ams_f2,
         "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
@@ -4241,6 +4268,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN count(*) < 16 THEN count(*) ELSE "
             "CAST(276701161105643274240 AS HUGEINT) // max(hv) END "
             "AS BIGINT) AS est_distinct FROM s"
+        ),
+        "ams_sketch": (
+            "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word "
+            "FROM documents), t AS (SELECT word FROM w WHERE word <> '') "
+            "SELECT CAST(g.r AS INT) AS r, CAST(sum(CASE WHEN "
+            "md5_number_lower(t.word || '|' || CAST(g.r AS VARCHAR)) "
+            "% 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS counter "
+            "FROM t CROSS JOIN generate_series(0, 8) AS g(r) GROUP BY 1"
+        ),
+        "ams_f2": (
+            "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word "
+            "FROM documents), t AS (SELECT word FROM w WHERE word <> ''), "
+            "sk AS (SELECT g.r AS r, sum(CASE WHEN md5_number_lower("
+            "t.word || '|' || CAST(g.r AS VARCHAR)) % 2 = 0 "
+            "THEN 1 ELSE -1 END) AS counter "
+            "FROM t CROSS JOIN generate_series(0, 8) AS g(r) GROUP BY 1), "
+            "sq AS (SELECT counter * counter AS c2, r FROM sk), "
+            "est AS (SELECT max(c2) AS e FROM "
+            "(SELECT c2 FROM sq ORDER BY c2, r LIMIT 5)), "
+            "ex AS (SELECT sum(cnt * cnt) AS x FROM "
+            "(SELECT word, count(*) AS cnt FROM t GROUP BY 1)) "
+            "SELECT CAST(e AS BIGINT) AS est_f2, "
+            "CAST(x AS BIGINT) AS exact_f2 FROM est, ex"
         ),
         # independent: DuckDB recomputes vocabulary, incidence and the
         # pair self-join from scratch; integer counts only

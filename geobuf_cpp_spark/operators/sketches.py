@@ -465,3 +465,67 @@ def hll_estimate_value(m: int, zero_registers: int, den_scaled) -> float:
     if e_raw <= 2.5 * m and zero_registers > 0:
         return m * math.log(m / zero_registers)
     return e_raw
+
+
+AMS_ROWS = 9   # odd, so the median-of-squares is a single counter
+
+
+def ams_sketch(docs_df: DataFrame, text_col: str = "text",
+               rows: int = AMS_ROWS) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) F2 linear sketch: ``rows`` signed
+    counters over the corpus token stream, counter_r = sum over token
+    occurrences of sign_r(tok), where sign_r is +1/-1 by the parity of
+    the md5-low-64 hash of ``tok|r`` (the same deterministic
+    ``md5_number_lower`` anchor every sketch here uses). Being LINEAR
+    (each occurrence contributes independently), shard sketches merge by
+    plain addition — the property that makes it a per-partition /
+    per-day rollup primitive; counter_r^2 estimates F2 = sum c_t^2, the
+    repetition mass a self-join would need a full token shuffle to get.
+
+    Plan: one corpus scan computing all ``rows`` conditional sums in a
+    single hash-free global aggregate — no per-row fan-out, no distinct,
+    partial aggregation map-side, a ``rows``-value exchange total. The
+    final unpivot is driver-free ``stack`` over one row.
+    """
+    toks = _tokens(docs_df, text_col)
+    aggs = []
+    for r in range(rows):
+        sign = (
+            F.when(md5_low64(F.concat(F.col("tok"), F.lit(f"|{r}")))
+                   % 2 == 0, 1)
+            .otherwise(-1)
+        )
+        aggs.append(F.sum(sign).cast("long").alias(f"c{r}"))
+    wide = toks.agg(*aggs)
+    stack = ", ".join(f"{r}, c{r}" for r in range(rows))
+    return wide.selectExpr(
+        f"stack({rows}, {stack}) AS (r, counter)"
+    ).select(F.col("r").cast("int").alias("r"),
+             F.col("counter").cast("long").alias("counter"))
+
+
+def ams_f2(docs_df: DataFrame, text_col: str = "text",
+           sketch: DataFrame | None = None) -> DataFrame:
+    """One-row AMS verdict: the median-of-squares F2 estimate next to
+    the exact F2, both exact BIGINTs. The median of the 9 squared
+    counters is taken WITHOUT a global window: sort the 9-row sketch by
+    (counter^2, r), keep 5, max — a bounded-cardinality plan whatever
+    the corpus size. Exact F2 is one (token)-keyed count + one scalar
+    aggregate; at 100 TB you would ship only the sketch, the exact side
+    exists because the gate can afford the token shuffle at test scale.
+    """
+    sk = sketch if sketch is not None else ams_sketch(docs_df, text_col)
+    sq = sk.select((F.col("counter") * F.col("counter")).alias("c2"), "r")
+    est = (
+        sq.orderBy("c2", "r").limit((AMS_ROWS + 1) // 2)
+        .agg(F.max("c2").cast("long").alias("est_f2"))
+    )
+    exact = (
+        _tokens(docs_df, text_col)
+        .groupBy("tok").agg(F.count("*").alias("cnt"))
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("long")
+             .alias("exact_f2"))
+    )
+    # 1-row x 1-row combine: broadcast nested loop is the right plan
+    # (declared in the plan-hygiene allowlist)
+    return est.join(F.broadcast(exact))

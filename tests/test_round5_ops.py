@@ -1165,3 +1165,36 @@ def test_bfs_hops_early_stop_and_min_over_seeds(spark):
     src = spark.createDataFrame([(0,), (1,)], "id long")
     out = {r.id: r.hops for r in bfs_hops(edges, src, 10).collect()}
     assert out == {0: 0, 1: 0, 2: 1}
+
+
+def test_ams_sketch_linear_merge_and_replay(spark):
+    """AMS is a LINEAR sketch: counters of two shards sum to the
+    counters of the union; every counter equals a pure-python replay of
+    the md5-low-64 parity signs; est_f2 is the 5th-smallest squared
+    counter and exact_f2 matches the hand count."""
+    import hashlib
+
+    from geobuf_cpp_spark.operators.sketches import ams_f2, ams_sketch
+
+    def sign(word: str, r: int) -> int:
+        dig = hashlib.md5(f"{word}|{r}".encode()).digest()
+        return 1 if int.from_bytes(dig[8:16], "little") % 2 == 0 else -1
+
+    shard_a = [(0, "a b b"), (1, "c a")]
+    shard_b = [(2, "b b b d")]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string")
+    ca = {r.r: r.counter for r in ams_sketch(mk(shard_a)).collect()}
+    cb = {r.r: r.counter for r in ams_sketch(mk(shard_b)).collect()}
+    cu = {r.r: r.counter
+          for r in ams_sketch(mk(shard_a + shard_b)).collect()}
+    toks = "a b b c a b b b d".split()
+    for r in range(9):
+        assert ca[r] + cb[r] == cu[r]
+        assert cu[r] == sum(sign(t, r) for t in toks)
+
+    row = ams_f2(mk(shard_a + shard_b)).collect()[0]
+    # counts: a=2, b=5, c=1, d=1 -> F2 = 4+25+1+1 = 31
+    assert row.exact_f2 == 31
+    sq = sorted((cu[r] * cu[r], r) for r in range(9))
+    assert row.est_f2 == sq[4][0]

@@ -745,6 +745,7 @@ def test_whole_surface_plan_hygiene(spark):
         "morans_i",                  # broadcast single-row totals
         "getis_ord",                 # broadcast single-row totals
         "ripley_k",                  # broadcast single-row totals
+        "ams_f2",                    # 1-row est x 1-row exact combine
     }
     # declared Arrow-batched Python kernels (codec, geometry, ANN, media)
     python_ok = {
