@@ -2375,6 +2375,68 @@ def q_term_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: term_cooccurrence(spark.table("documents")))
 
 
+KCORE_K = 5          # within-core degree floor
+KCORE_ROUNDS = 4     # fixed peel rounds (both engines run exactly these)
+KCORE_MIN_DAYS = 25  # co-activity edge: >= 25 distinct shared active days
+
+
+def q_user_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the user co-activity graph (edge = two users active on
+    >= 25 shared days): operators/graph.kcore runs 4 fixed peel rounds
+    of degree-filter + semi-join pruning — the dense-community / bot-
+    ring extractor. The pair build is day-keyed (fan-out bounded by
+    active-users-per-day squared; at web scale you cap or sample the
+    per-day group, same as any co-visitation graph). Oracle: identical
+    edges + the same 4 rounds unrolled as chained CTEs."""
+    from geobuf_cpp_spark.operators.graph import kcore
+
+    _prep(spark, sf_dir, "events")
+    ud = (
+        spark.table("events")
+        .select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+    )
+    a, b = ud.alias("a"), ud.alias("b")
+    edges = (
+        a.join(b, (F.col("a.d") == F.col("b.d"))
+               & (F.col("a.user_id") < F.col("b.user_id")))
+        .groupBy(F.col("a.user_id").alias("id_a"),
+                 F.col("b.user_id").alias("id_b"))
+        .agg(F.count("*").alias("days"))
+        .filter(F.col("days") >= KCORE_MIN_DAYS)
+        .select("id_a", "id_b")
+    )
+    return kcore(edges, KCORE_K, KCORE_ROUNDS).withColumnRenamed(
+        "node", "user_id")
+
+
+def _user_kcore_sql() -> str:
+    """The same edge build + KCORE_ROUNDS unrolled peels. MATERIALIZED
+    on the pair CTE is load-bearing: DuckDB would otherwise inline (and
+    recompute) the quadratic day-join once per peel round."""
+    sql = (
+        "WITH h AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d "
+        "FROM events), "
+        "eu AS MATERIALIZED (SELECT a.user_id AS u, b.user_id AS v "
+        "FROM h a JOIN h b ON a.d = b.d AND a.user_id < b.user_id "
+        f"GROUP BY 1, 2 HAVING count(*) >= {KCORE_MIN_DAYS}), "
+        "e0 AS (SELECT u AS src, v AS dst FROM eu "
+        "UNION ALL SELECT v, u FROM eu)"
+    )
+    for r in range(KCORE_ROUNDS):
+        sql += (
+            f", n{r} AS (SELECT src FROM e{r} GROUP BY src "
+            f"HAVING count(*) >= {KCORE_K}), "
+            f"e{r + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r} e "
+            f"JOIN n{r} a ON e.src = a.src "
+            f"JOIN n{r} b ON e.dst = b.src)"
+        )
+    return sql + (
+        f" SELECT src AS user_id, CAST(count(*) AS BIGINT) AS deg "
+        f"FROM e{KCORE_ROUNDS} GROUP BY 1"
+    )
+
+
 GRID_CLUSTER_RES = 8        # 256 x 256 grid
 GRID_CLUSTER_MIN_PTS = 2    # density threshold: cells below are noise
 
@@ -2924,6 +2986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "network_hops": q_network_hops,
         "ams_sketch": q_ams_sketch,
         "ams_f2": q_ams_f2,
+        "user_kcore": q_user_kcore,
         "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
@@ -4338,6 +4401,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT nodes.term, CAST(coalesce(pc.c, 0) AS BIGINT) "
             "AS n_triangles FROM nodes LEFT JOIN pc USING (term)"
         ),
+        "user_kcore": _user_kcore_sql(),
         # sliding-window model: an event at hour H belongs to the 2h/1h
         # windows starting at H and H-1 (epoch-aligned, same as Spark's
         # window() generator); min/max are selections -> float parity

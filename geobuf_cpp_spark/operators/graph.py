@@ -191,3 +191,40 @@ def bfs_hops(edges_df: DataFrame, sources_df: DataFrame,
         dist = dist.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return dist
+
+
+def kcore(edges_df: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Bounded k-core peeling: drop nodes of degree < ``k``, recompute
+    degrees on the surviving subgraph, repeat ``rounds`` times — the
+    dense-community extractor (template farms in a near-dup graph,
+    keyword communities in a term graph). Fixed-round semantics, so the
+    oracle is ``rounds`` unrolled degree-filter CTEs, no recursion.
+
+    Per round: one node-keyed degree aggregate + two semi-joins pruning
+    edges whose either endpoint fell out — all keyed on node ids, O(E)
+    shuffle, lineage truncated per round by a lazy localCheckpoint
+    (the `pagerank`/`bfs_hops` discipline). Returns (node, deg): every
+    surviving node with its within-core degree.
+    """
+    und = edges_df.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+    e = (
+        und.unionByName(und.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("src").agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k).select("src")
+        )
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+        .select(F.col("src").alias("node"), "deg")
+    )

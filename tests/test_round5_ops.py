@@ -1198,3 +1198,18 @@ def test_ams_sketch_linear_merge_and_replay(spark):
     assert row.exact_f2 == 31
     sq = sorted((cu[r] * cu[r], r) for r in range(9))
     assert row.est_f2 == sq[4][0]
+
+
+def test_kcore_peeling_cascade(spark):
+    """Clique {0,1,2,3} (deg 3) plus a pendant chain 3-4-5: k=2 peels 5
+    (deg 1), then 4 (its degree FELL to 1 — the cascade), leaving the
+    clique; every survivor reports its within-core degree 3. k=4 peels
+    everything."""
+    from geobuf_cpp_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(
+        clique + [(3, 4), (4, 5)], "id_a long, id_b long")
+    out = {r.node: r.deg for r in kcore(edges, 2, 4).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert kcore(edges, 4, 4).count() == 0
