@@ -1671,6 +1671,20 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered EXACT Jaccard: identical output
+    contract to ngram_jaccard (same oracle) from a plan that joins only
+    each doc's rarest n-ceil(t*n)+1 shingles, then verifies candidates
+    exactly — the at-scale shape where boilerplate shingles never
+    join."""
+    from geobuf_cpp_spark.operators.dedup import prefix_jaccard_pairs
+
+    _prep(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(
+        spark.table("documents"), threshold=MINHASH_THRESHOLD
+    )
+
+
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata aggregation over the synthetic multimodal table (payload
     column pruned from the scan); oracle regenerates the metadata from
@@ -2987,6 +3001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_sketch": q_ams_sketch,
         "ams_f2": q_ams_f2,
         "user_kcore": q_user_kcore,
+        "prefix_jaccard": q_prefix_jaccard,
         "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
@@ -3954,6 +3969,8 @@ def oracle_sql() -> dict[str, str]:
         # DataFrame implementation (no LSH, no Python) — structural
         # equality, not corpus-dependent recall
         "ngram_jaccard": EXACT_JACCARD_SQL.format(threshold=MINHASH_THRESHOLD),
+        # same contract, prefix-filtered plan -> same oracle
+        "prefix_jaccard": EXACT_JACCARD_SQL.format(threshold=MINHASH_THRESHOLD),
         # brute-force SimHash reimplementation: identical word hash
         # (md5_number_lower == the codec's md5-low-64), per-bit +-1 sums,
         # two's-complement assembly, all-pairs Hamming <= 3. The Spark

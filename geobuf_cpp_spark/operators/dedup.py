@@ -735,3 +735,90 @@ def cdc_chunk_dedup(docs_df, boundary_mod: int = 8,
             .cast("long").alias("n_dup_chunks"),
         )
     )
+
+
+def prefix_jaccard_pairs(docs_df, threshold: float = 0.5, w: int = 3,
+                         id_col: str = "doc_id", text_col: str = "text"):
+    """EXACT w-shingle Jaccard pairs via the AllPairs/PPJoin prefix
+    filter — the at-scale plan for the `ngram_jaccard_pairs` contract
+    (identical output, same oracle).
+
+    The full inverted-index join pays k^2 rows for EVERY shingle shared
+    by k docs. The prefix filter pays it only for each doc's RAREST
+    shingles: order the universe by (global doc-frequency, shingle)
+    ascending and keep each doc's first n - ceil(t*n) + 1 shingles; any
+    pair with Jaccard >= t MUST share a prefix shingle (if two sets
+    disagree on all of either prefix, the overlap is at most
+    n - prefix_len = ceil(t*n) - 1 < t*n <= t*|union| — pigeonhole on
+    the common total order), so joining prefixes only is lossless. High-
+    frequency boilerplate shingles land at the order's tail and never
+    join — the skew k^2 blowup the exact variant documents is cut at
+    the source rather than capped. Candidates then pass the size filter
+    (min(n_a,n_b) >= t*max — else J < t even at full containment) and
+    are verified by an exact intersection count restricted to the
+    candidate pair set.
+
+    Per-doc prefix selection is a doc-keyed window (never global: the
+    frequency order is carried as the (df, shingle) struct itself, so
+    no global rank table and no single-partition sort exists anywhere
+    in the plan). The shingle set is built once and lazily checkpointed;
+    it feeds the frequency table, the prefixes, and the verify join.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = docs_df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    ).filter(F.size("toks") >= w)
+    idx = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (w - 1))).alias("i"),
+    )
+    shingle = F.concat_ws(
+        " ", *[F.element_at("toks", F.col("i") + F.lit(k)) for k in range(w)]
+    )
+    ds = (
+        idx.select("doc_id", shingle.alias("shingle")).distinct()
+        .localCheckpoint(eager=False)
+    )
+    freq = ds.groupBy("shingle").agg(F.count("*").alias("df"))
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ranked = (
+        ds.join(freq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("doc_id", "shingle", "n")
+    pa = prefix.select(F.col("doc_id").alias("id_a"), "shingle",
+                       F.col("n").alias("na"))
+    pb = prefix.select(F.col("doc_id").alias("id_b"), "shingle",
+                       F.col("n").alias("nb"))
+    cands = (
+        pa.join(pb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.least("na", "nb")
+                >= F.lit(threshold) * F.greatest("na", "nb"))
+        .select("id_a", "id_b", "na", "nb")
+        .distinct()
+    )
+    inter = (
+        cands.join(ds.select(F.col("doc_id").alias("id_a"), "shingle"),
+                   "id_a")
+        .join(ds.select(F.col("doc_id").alias("id_b"), "shingle"),
+              ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("i") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("i")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1213,3 +1213,30 @@ def test_kcore_peeling_cascade(spark):
     out = {r.node: r.deg for r in kcore(edges, 2, 4).collect()}
     assert out == {0: 3, 1: 3, 2: 3, 3: 3}
     assert kcore(edges, 4, 4).count() == 0
+
+
+def test_prefix_jaccard_matches_full_join_on_boilerplate_corpus(spark):
+    """Prefix filter is lossless: on a corpus where every doc shares a
+    boilerplate shingle (the worst case for the full inverted-index
+    join), the prefix-filtered pairs equal the exact full-join pairs,
+    jaccard values included."""
+    from geobuf_cpp_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    boiler = "copyright acme corp"
+    rows = [
+        (0, f"{boiler} alpha beta gamma delta"),
+        (1, f"{boiler} alpha beta gamma epsilon"),
+        (2, f"{boiler} zeta eta theta iota"),
+        (3, f"{boiler} zeta eta theta kappa"),
+        (4, f"{boiler} solo unique words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(df, 0.5).collect()}
+    pref = {(r.id_a, r.id_b): r.jaccard
+            for r in prefix_jaccard_pairs(df, 0.5).collect()}
+    assert full == pref
+    assert (0, 1) in pref and (2, 3) in pref
