@@ -2745,6 +2745,16 @@ def _stream_cells_sql() -> str:
     )
 
 
+def q_cell_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time rollup per (user, zone): visits via gaps-and-islands
+    run segmentation, dwell seconds as integer epoch differences — the
+    stay-side complement of od_matrix over the same ping stream."""
+    from geobuf_cpp_spark.operators.trajectory import cell_dwell
+
+    _prep(spark, sf_dir, "events")
+    return cell_dwell(spark.sql(P.IPINGS_SELECT))
+
+
 def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Origin-destination zone transition matrix over the per-user ping
     stream (lag window + pair rollup, stays excluded); the oracle
@@ -3002,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_f2": q_ams_f2,
         "user_kcore": q_user_kcore,
         "prefix_jaccard": q_prefix_jaccard,
+        "cell_dwell": q_cell_dwell,
         "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
@@ -4777,6 +4788,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END) "
             "AS BIGINT) AS n_outliers "
             "FROM d JOIN md USING (event_type) GROUP BY 1, 2, 3, 4"
+        ),
+        "cell_dwell": (
+            f"WITH p AS ({P.IPINGS_SELECT}), "
+            "c AS (SELECT user_id, ts, event_id, "
+            "(ix // 2250) + 16 * (iy // 2125) AS cell FROM p), "
+            "t AS (SELECT user_id, cell, "
+            "CASE WHEN lag(cell) OVER w IS NULL OR lag(cell) OVER w <> cell "
+            "THEN 1 ELSE 0 END AS new_visit, "
+            "CAST(floor(epoch(coalesce(lead(ts) OVER w, ts))) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) AS dwell_secs "
+            "FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT user_id, cell, CAST(count(*) AS BIGINT) AS n_pings, "
+            "CAST(sum(new_visit) AS BIGINT) AS n_visits, "
+            "CAST(sum(dwell_secs) AS BIGINT) AS dwell_secs "
+            "FROM t GROUP BY 1, 2"
         ),
         "od_matrix": (
             f"WITH p AS ({P.IPINGS_SELECT}), "

@@ -157,3 +157,45 @@ def geo_path_stats(pings: DataFrame, entity_col: str = "user_id",
         F.sum(step).cast("long").alias("chord_len"),
         F.max(step).cast("long").alias("max_step"),
     )
+
+
+def cell_dwell(pings: DataFrame, cell_w: int = 2250, cell_h: int = 2125,
+               nx: int = 16, entity_col: str = "user_id",
+               ts_col: str = "ts", tie_col: str = "event_id",
+               x_col: str = "ix", y_col: str = "iy") -> DataFrame:
+    """Dwell-time rollup: per (entity, zone) — ping count, VISIT count
+    (maximal runs of consecutive same-zone pings, the gaps-and-islands
+    segmentation), and total dwell seconds (each inter-ping interval is
+    charged to the zone of its starting ping; the final ping contributes
+    zero). The mobility-side complement of `od_matrix`: trips count the
+    movements, dwell measures the stays.
+
+    Zone ids and ordering are identical to `od_matrix` (nonnegative
+    integer division, total (ts, id) order), and seconds are integer
+    epoch differences — every output column is an exact BIGINT both
+    engines reproduce bit-for-bit. Plan: ONE entity-key exchange feeds
+    both lag/lead windows (same sorted partition), then a map-side-
+    combined groupBy on (entity, zone) — output bounded by entities x
+    zones, never by ping count.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, tie_col)
+    cells = pings.select(
+        entity_col, ts_col, tie_col,
+        (F.expr(f"{x_col} div {cell_w}")
+         + nx * F.expr(f"{y_col} div {cell_h}")).alias("cell"),
+    )
+    t = cells.select(
+        entity_col, "cell",
+        F.when(F.lag("cell").over(w).isNull()
+               | (F.lag("cell").over(w) != F.col("cell")), 1)
+        .otherwise(0).alias("new_visit"),
+        (F.coalesce(
+            F.unix_timestamp(F.lead(ts_col).over(w)),
+            F.unix_timestamp(F.col(ts_col)))
+         - F.unix_timestamp(F.col(ts_col))).alias("dwell_secs"),
+    )
+    return t.groupBy(entity_col, "cell").agg(
+        F.count("*").cast("long").alias("n_pings"),
+        F.sum("new_visit").cast("long").alias("n_visits"),
+        F.sum("dwell_secs").cast("long").alias("dwell_secs"),
+    )

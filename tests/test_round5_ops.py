@@ -1240,3 +1240,26 @@ def test_prefix_jaccard_matches_full_join_on_boilerplate_corpus(spark):
             for r in prefix_jaccard_pairs(df, 0.5).collect()}
     assert full == pref
     assert (0, 1) in pref and (2, 3) in pref
+
+
+def test_cell_dwell_hand_computed(spark):
+    """One user, zone sequence A A B A (10s apart): zone A gets 3
+    pings, 2 visits (the run is broken by B), dwell 10+10+0s charged to
+    starting pings; B gets 1 ping, 1 visit, 10s."""
+    import datetime as dt
+
+    from geobuf_cpp_spark.operators.trajectory import cell_dwell
+
+    t0 = dt.datetime(2026, 1, 1)
+    # cell_w=2250: ix=0 -> zone 0 (A); ix=3000 -> zone 1 (B); iy=0
+    rows = [
+        (1, 7, t0, 0, 0),
+        (2, 7, t0 + dt.timedelta(seconds=10), 100, 0),
+        (3, 7, t0 + dt.timedelta(seconds=20), 3000, 0),
+        (4, 7, t0 + dt.timedelta(seconds=30), 50, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, ix long, iy long")
+    out = {r.cell: r for r in cell_dwell(df).collect()}
+    assert (out[0].n_pings, out[0].n_visits, out[0].dwell_secs) == (3, 2, 20)
+    assert (out[1].n_pings, out[1].n_visits, out[1].dwell_secs) == (1, 1, 10)
