@@ -1410,6 +1410,43 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(spark.table("documents"))
 
 
+def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Wilson lower-bound keep rate (z=2) in exact integer
+    parts — isqrt + positive floor-div, so every column hash-gates; the
+    float resolve stays with the caller."""
+    from geobuf_cpp_spark.operators.textstats import source_quality_ci
+
+    _prep(spark, sf_dir, "documents")
+    return source_quality_ci(spark.table("documents"))
+
+
+def _source_quality_sql() -> str:
+    from geobuf_cpp_spark.operators.trajectory import sql_isqrt_exact
+
+    scale = 10_000
+    mean = ("FLOOR((n_chars - (n_tokens - 1)) * 100 / "
+            "GREATEST(n_tokens, 1))")
+    arg = (f"(CAST({scale} AS BIGINT) * {scale} * "
+           f"(n_keep * (n_docs - n_keep) + n_docs)) // n_docs")
+    return (
+        "WITH s AS (SELECT doc_id, source, "
+        "CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST((length(trim(text)) - length(replace(trim(text), ' ', ''))"
+        " + CASE WHEN length(trim(text)) > 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_tokens FROM documents), "
+        "k AS (SELECT source, CAST((n_tokens >= 10 AND "
+        f"n_tokens <= 100000 AND {mean} >= 200 AND {mean} <= 1200) "
+        "AS INT) AS keep FROM s), "
+        "g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(keep) AS BIGINT) AS n_keep FROM k GROUP BY 1) "
+        f"SELECT source, n_docs, n_keep, "
+        f"CAST((n_keep + 2) * {scale} - 2 * {sql_isqrt_exact(arg)} "
+        "AS BIGINT) AS lb_num, "
+        f"CAST((n_docs + 4) * CAST({scale} AS BIGINT) AS BIGINT) "
+        "AS lb_den FROM g"
+    )
+
+
 def q_lang_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geobuf_cpp_spark.operators.textstats import lang_signal
 
@@ -3013,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_kcore": q_user_kcore,
         "prefix_jaccard": q_prefix_jaccard,
         "cell_dwell": q_cell_dwell,
+        "source_quality": q_source_quality,
         "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
@@ -4803,6 +4841,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(dwell_secs) AS BIGINT) AS dwell_secs "
             "FROM t GROUP BY 1, 2"
         ),
+        "source_quality": _source_quality_sql(),
         "od_matrix": (
             f"WITH p AS ({P.IPINGS_SELECT}), "
             "c AS (SELECT user_id, ts, event_id, "

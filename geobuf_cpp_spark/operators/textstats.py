@@ -425,3 +425,45 @@ def ngram_repetition(docs_df, sizes: tuple = (2, 3),
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def source_quality_ci(docs_df, id_col: str = "doc_id",
+                      source_col: str = "source",
+                      scale: int = 10_000):
+    """Per-source quality keep-rate with a Wilson-score LOWER bound in
+    exact integer parts — the statistic a curation pipeline actually
+    ranks sources by (a 3/3 source must not outrank a 9500/10000 one,
+    which the raw rate does).
+
+    Wilson at z = 2 (z^2 = 4 keeps everything rational):
+        lb = [ (x + 2) - 2*sqrt( (x*(n-x) + n) / n ) ] / (n + 4)
+    Emitted as lb_num = (x+2)*scale - 2*isqrt( scale^2*(x*(n-x)+n)
+    div n ) over lb_den = (n+4)*scale: one floor-division and one exact
+    integer sqrt (operators/trajectory.sql_isqrt_exact), every operand
+    positive, so Spark `div` == DuckDB `//` and the parts hash-gate
+    bit-for-bit; the final float division stays with the caller (the
+    tfidf_topk discipline). scale^2 * (x*(n-x)+n) stays < 2^63 for
+    n <= 10^7 docs per source at the default scale.
+
+    Plan: the doc-keyed keep flags join their source labels, then ONE
+    source-keyed aggregate; the CI arithmetic is a scalar projection on
+    the aggregated row — sources, not documents, bound the output.
+    """
+    from geobuf_cpp_spark.operators.trajectory import sql_isqrt_exact
+
+    q = quality_score(docs_df, id_col=id_col)
+    src = docs_df.select(id_col, source_col)
+    g = (
+        q.join(src, id_col)
+        .groupBy(source_col)
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("keep").cast("long").alias("n_keep"))
+    )
+    arg = (f"(cast({scale} as bigint) * {scale} * "
+           f"(n_keep * (n_docs - n_keep) + n_docs)) div n_docs")
+    root = sql_isqrt_exact(arg)
+    return g.selectExpr(
+        source_col, "n_docs", "n_keep",
+        f"cast((n_keep + 2) * {scale} - 2 * {root} as bigint) AS lb_num",
+        f"cast((n_docs + 4) * cast({scale} as bigint) as bigint) AS lb_den",
+    )

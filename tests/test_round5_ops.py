@@ -1263,3 +1263,31 @@ def test_cell_dwell_hand_computed(spark):
     out = {r.cell: r for r in cell_dwell(df).collect()}
     assert (out[0].n_pings, out[0].n_visits, out[0].dwell_secs) == (3, 2, 20)
     assert (out[1].n_pings, out[1].n_visits, out[1].dwell_secs) == (1, 1, 10)
+
+
+def test_source_quality_wilson_bound_properties(spark):
+    """Wilson LB (z=2): matches the closed form on hand counts, and the
+    3/3 source does NOT outrank the 95/100 one even though its raw rate
+    is 1.0 — the reason the bound exists."""
+    import math
+
+    from geobuf_cpp_spark.operators.textstats import source_quality_ci
+
+    good_doc = " ".join(["word"] * 20)      # keep=1 (20 toks, len 4)
+    bad_doc = "x y"                          # keep=0 (2 tokens < 10)
+    rows = ([(i, good_doc, "tiny") for i in range(3)]
+            + [(100 + i, good_doc, "big") for i in range(95)]
+            + [(300 + i, bad_doc, "big") for i in range(5)])
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in source_quality_ci(df).collect()}
+
+    def lb(x, n):
+        return ((x + 2) - 2 * math.sqrt((x * (n - x) + n) / n)) / (n + 4)
+
+    for src, (x, n) in {"tiny": (3, 3), "big": (95, 100)}.items():
+        r = out[src]
+        assert (r.n_docs, r.n_keep) == (n, x)
+        # integer parts resolve to the closed form within isqrt flooring
+        assert abs(r.lb_num / r.lb_den - lb(x, n)) < 1e-4
+    assert (out["tiny"].lb_num * out["big"].lb_den
+            < out["big"].lb_num * out["tiny"].lb_den)
