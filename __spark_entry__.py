@@ -2792,6 +2792,24 @@ def q_cell_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cell_dwell(spark.sql(P.IPINGS_SELECT))
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-style longest-prefix-match crawl filter over planted
+    deterministic urls (path /p{doc_id%17}/{lang} on the source host):
+    '/p1' disallows p1 and p10-p16, the longer '/p12' re-allows p12,
+    everything else defaults to allowed. Broadcast policy join — the
+    corpus never shuffles."""
+    from geobuf_cpp_spark.operators.curation import robots_filter
+
+    _prep(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    urls = docs.selectExpr(
+        "doc_id", "source AS host",
+        "concat('/p', cast(doc_id % 17 as string), '/', lang) AS path")
+    rules = docs.select(F.col("source").alias("host")).distinct().selectExpr(
+        "host", "stack(2, '/p1', 0, '/p12', 1) AS (prefix, allow)")
+    return robots_filter(urls, rules)
+
+
 def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Origin-destination zone transition matrix over the per-user ping
     stream (lag window + pair rollup, stays excluded); the oracle
@@ -3051,6 +3069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_jaccard": q_prefix_jaccard,
         "cell_dwell": q_cell_dwell,
         "source_quality": q_source_quality,
+        "robots_filter": q_robots_filter,
         "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
@@ -4842,6 +4861,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM t GROUP BY 1, 2"
         ),
         "source_quality": _source_quality_sql(),
+        "robots_filter": (
+            "WITH u AS (SELECT doc_id, source AS host, "
+            "'/p' || CAST(doc_id % 17 AS VARCHAR) || '/' || lang AS path "
+            "FROM documents), "
+            "h AS (SELECT DISTINCT source AS host FROM documents), "
+            "r AS (SELECT host, '/p1' AS prefix, 0 AS allow FROM h "
+            "UNION ALL SELECT host, '/p12', 1 FROM h), "
+            "c AS (SELECT u.doc_id, r.prefix, r.allow FROM u JOIN r "
+            "ON u.host = r.host AND starts_with(u.path, r.prefix)), "
+            "b AS (SELECT doc_id, prefix, allow FROM (SELECT *, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY "
+            "length(prefix) DESC, prefix DESC, allow DESC) AS rn FROM c) "
+            "WHERE rn = 1) "
+            "SELECT u.doc_id, coalesce(b.prefix, '') AS matched_prefix, "
+            "CAST(coalesce(b.allow, 1) AS INT) AS allowed "
+            "FROM u LEFT JOIN b USING (doc_id)"
+        ),
         "od_matrix": (
             f"WITH p AS ({P.IPINGS_SELECT}), "
             "c AS (SELECT user_id, ts, event_id, "

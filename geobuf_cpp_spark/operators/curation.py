@@ -211,3 +211,46 @@ def importance_weights(docs_df: DataFrame, is_target,
             F.sum("wb").cast("long").alias("logratio_bits"),
         )
     )
+
+
+def robots_filter(urls_df: DataFrame, rules_df: DataFrame) -> DataFrame:
+    """Crawl-policy URL filter with robots.txt longest-prefix-match
+    semantics: each url is judged by the LONGEST rule prefix of its
+    host that path-prefix-matches it (an allow nested under a broader
+    disallow wins exactly when it is longer — Google's documented rule);
+    urls matching no rule default to allowed.
+
+    ``urls_df``: (doc_id, host, path); ``rules_df``: (host, prefix,
+    allow) with (host, prefix) unique. Plan: the rule table is a
+    POLICY, bounded by hosts x rules-per-host, never by corpus size —
+    so it broadcasts, the corpus never shuffles: one broadcast
+    startswith join picks candidates, a doc-keyed max(struct(len,
+    prefix, allow)) selects the winner map-side, and a second broadcast
+    -able left join restores never-matched urls. Ties are impossible
+    (equal-length distinct prefixes differ as strings; the struct
+    order is total either way).
+
+    Returns (doc_id, matched_prefix — '' when no rule fired, allowed).
+    """
+    cand = urls_df.join(
+        F.broadcast(rules_df),
+        (urls_df.host == rules_df.host)
+        & urls_df.path.startswith(rules_df.prefix),
+    ).select(
+        "doc_id",
+        F.struct(
+            F.length("prefix").alias("l"),
+            F.col("prefix").alias("p"),
+            F.col("allow").alias("a"),
+        ).alias("m"),
+    )
+    best = cand.groupBy("doc_id").agg(F.max("m").alias("m")).select(
+        "doc_id",
+        F.col("m.p").alias("matched_prefix"),
+        F.col("m.a").alias("allowed"),
+    )
+    return urls_df.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("matched_prefix", F.lit("")).alias("matched_prefix"),
+        F.coalesce("allowed", F.lit(1)).cast("int").alias("allowed"),
+    )

@@ -1291,3 +1291,23 @@ def test_source_quality_wilson_bound_properties(spark):
         assert abs(r.lb_num / r.lb_den - lb(x, n)) < 1e-4
     assert (out["tiny"].lb_num * out["big"].lb_den
             < out["big"].lb_num * out["tiny"].lb_den)
+
+
+def test_robots_filter_longest_prefix_wins(spark):
+    """Google-rule semantics: /p1 disallows, the LONGER /p1/en
+    re-allows; /p1/enx matches the allow too (prefix semantics); no
+    rule -> default allow; other hosts unaffected by this host's
+    rules."""
+    from geobuf_cpp_spark.operators.curation import robots_filter
+
+    urls = spark.createDataFrame(
+        [(0, "a", "/p1/fr"), (1, "a", "/p1/en"), (2, "a", "/p1/enx"),
+         (3, "a", "/q"), (4, "b", "/p1/fr")],
+        "doc_id long, host string, path string")
+    rules = spark.createDataFrame(
+        [("a", "/p1", 0), ("a", "/p1/en", 1)],
+        "host string, prefix string, allow int")
+    out = {r.doc_id: (r.matched_prefix, r.allowed)
+           for r in robots_filter(urls, rules).collect()}
+    assert out == {0: ("/p1", 0), 1: ("/p1/en", 1), 2: ("/p1/en", 1),
+                   3: ("", 1), 4: ("", 1)}
