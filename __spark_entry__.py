@@ -1310,6 +1310,38 @@ def q_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_snapshot_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution on a snapshot lineage: v1 commits
+    (doc_id, lang) for even docs, the v2 append adds n_chars for odd
+    docs; the latest read surfaces NULL n_chars for pre-evolution rows
+    (the Iceberg/Delta contract) and a per-lang aggregate hash-gates
+    against the oracle predicting it straight from documents."""
+    import hashlib
+    import os
+    import shutil
+
+    from geobuf_cpp_spark.sources.snapshots import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    _prep(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    table = f"/root/repo/.scratch/snapev_{tag}"
+    shutil.rmtree(table, ignore_errors=True)
+    write_snapshot(docs.where("doc_id % 2 = 0").select("doc_id", "lang"),
+                   table, mode="overwrite")
+    write_snapshot(
+        docs.where("doc_id % 2 = 1").select("doc_id", "lang", "n_chars"),
+        table, mode="append")
+    return read_snapshot(spark, table).groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count("n_chars").cast("long").alias("n_with_chars"),
+        F.sum("n_chars").cast("long").alias("chars_sum"),
+    )
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming exact dedup (first-seen-wins per text
     digest). documents has no event-time column, so arrival time is
@@ -2792,6 +2824,56 @@ def q_cell_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cell_dwell(spark.sql(P.IPINGS_SELECT))
 
 
+def q_cusum_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM change-point scan over hourly counts: the
+    n-scaled mean-centered running sum is integer-exact (no mean
+    division); peak |s| + earliest-hour tie-break picked by one
+    group-keyed max(struct)."""
+    from geobuf_cpp_spark.operators.cohorts import cusum_changepoint
+
+    _prep(spark, sf_dir, "events")
+    return cusum_changepoint(spark.table("events"))
+
+
+def q_star_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace centroids of the CONCAVE star polygons on the integer
+    lattice (exact scaled parts: area, 6*area*C): the centroid kernel's
+    generality beyond boxes+holes, oracle-gated by the closed form
+    derived from STAR_OFFSETS + the translation identity
+    cx6 = cx6_origin + 6*area*shift."""
+    from geobuf_cpp_spark.operators.geom_stats import centroids
+    from geobuf_cpp_spark.sources.pages import ADMIN_SCHEMA
+
+    stars = P.stars_as_wire_polygons(spark, sf_dir, lattice=True)
+    polys = spark.createDataFrame(stars.to_dict("records"),
+                                  schema=ADMIN_SCHEMA)
+    return centroids(polys)
+
+
+def _star_centroid_sql() -> str:
+    """Closed form computed from STAR_OFFSETS in exact ints: the ring
+    at the origin gives 2A and the raw shoelace numerators; translation
+    adds 6*area*center (area invariant, centroid equivariant)."""
+    ring = P.STAR_OFFSETS + P.STAR_OFFSETS[:1]
+    sa = sum(x0 * y1 - x1 * y0
+             for (x0, y0), (x1, y1) in zip(ring, ring[1:]))
+    raw_x = sum((x0 * y1 - x1 * y0) * (x0 + x1)
+                for (x0, y0), (x1, y1) in zip(ring, ring[1:]))
+    raw_y = sum((x0 * y1 - x1 * y0) * (y0 + y1)
+                for (x0, y0), (x1, y1) in zip(ring, ring[1:]))
+    sgn = 1 if sa >= 0 else -1
+    area2 = abs(sa)                       # 2 * area, exact int
+    six_area = 3 * area2                  # 6 * area
+    return (
+        "SELECT CAST(n_nationkey AS BIGINT) AS admin_id, "
+        f"CAST({area2} / 2.0 AS DOUBLE) AS area, "
+        f"CAST({sgn * raw_x} + CAST({six_area} AS BIGINT) * ({P.STAR_CX_SQL}) AS DOUBLE) "
+        "AS cx6, "
+        f"CAST({sgn * raw_y} + CAST({six_area} AS BIGINT) * ({P.STAR_CY_SQL}) AS DOUBLE) "
+        "AS cy6 FROM nation"
+    )
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots-style longest-prefix-match crawl filter over planted
     deterministic urls (path /p{doc_id%17}/{lang} on the source host):
@@ -3070,6 +3152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_dwell": q_cell_dwell,
         "source_quality": q_source_quality,
         "robots_filter": q_robots_filter,
+        "star_centroid": q_star_centroid,
+        "cusum_change": q_cusum_change,
+        "snapshot_evolve": q_snapshot_evolve,
         "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
@@ -4877,6 +4962,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT u.doc_id, coalesce(b.prefix, '') AS matched_prefix, "
             "CAST(coalesce(b.allow, 1) AS INT) AS allowed "
             "FROM u LEFT JOIN b USING (doc_id)"
+        ),
+        "star_centroid": _star_centroid_sql(),
+        "cusum_change": (
+            "WITH h AS (SELECT event_type, "
+            "CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour, "
+            "count(*) AS c FROM events GROUP BY 1, 2), "
+            "t AS (SELECT event_type, sum(c) AS total, "
+            "count(*) AS n_hours FROM h GROUP BY 1), "
+            "s AS (SELECT h.event_type, hour, n_hours, total, "
+            "sum(c * n_hours - total) OVER (PARTITION BY h.event_type "
+            "ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS s FROM h JOIN t USING (event_type)), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY event_type "
+            "ORDER BY abs(s) DESC, hour ASC) AS rn FROM s) "
+            "SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours, "
+            "CAST(total AS BIGINT) AS total, hour AS peak_hour, "
+            "CAST(s AS BIGINT) AS peak_s FROM r WHERE rn = 1"
+        ),
+        "snapshot_evolve": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_with_chars, "
+            "CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) "
+            "AS BIGINT) AS chars_sum FROM documents GROUP BY 1"
         ),
         "od_matrix": (
             f"WITH p AS ({P.IPINGS_SELECT}), "

@@ -17,7 +17,7 @@ BIGINT arithmetic, portable to the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 WEEK_S = 7 * 24 * 3600
 
@@ -83,3 +83,56 @@ def markov_transitions(events_df: DataFrame,
         F.sum("n_transitions").cast("long").alias("from_total"))
     return pairs.join(F.broadcast(totals), "from_state").select(
         "from_state", "to_state", "n_transitions", "from_total")
+
+
+def cusum_changepoint(events_df: DataFrame,
+                      group_col: str = "event_type",
+                      ts_col: str = "ts") -> DataFrame:
+    """Per-group CUSUM change-point scan over hourly counts, exact
+    integers end to end — the drift detector a data-quality dashboard
+    runs per source/event stream (where did the rate break?).
+
+    With hourly counts c_1..c_n (observed hours only, in hour order)
+    and total T = sum c_i, the mean-centered cumulative sum scaled by n
+    is  s_h = sum_{i<=h} (n*c_i - T)  — integer-exact (no mean
+    division; s_h = n * classic CUSUM). The change-point estimate is
+    the hour maximizing |s_h| (ties -> earliest hour), the standard
+    CUSUM argmax. Emits (group, n_hours, total, peak_hour epoch-hours,
+    peak_s signed) — every column a BIGINT both engines reproduce.
+
+    Plan: one (group, hour) map-side-combined count, a 1-row-per-group
+    totals join, a group-keyed running-sum window (spillable sort on
+    bounded hours-per-group), and a group-keyed max(struct) — the
+    argmax needs no second window pass.
+    """
+    hours = events_df.select(
+        group_col,
+        # integer div on positive epochs: Spark `div` == DuckDB `//`
+        F.expr(f"unix_timestamp({ts_col}) div 3600").alias("hour"),
+    ).groupBy(group_col, "hour").agg(F.count("*").alias("c"))
+    tot = hours.groupBy(group_col).agg(
+        F.sum("c").alias("total"),
+        F.count("*").alias("n_hours"),
+    )
+    w = (Window.partitionBy(group_col).orderBy("hour")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    s = (
+        hours.join(tot, group_col)
+        .withColumn(
+            "s", F.sum(F.col("c") * F.col("n_hours") - F.col("total"))
+            .over(w))
+    )
+    best = s.groupBy(group_col, "n_hours", "total").agg(
+        F.max(F.struct(
+            F.abs("s").alias("a"),
+            (-F.col("hour")).alias("nh"),
+            F.col("s").alias("sv"),
+        )).alias("m")
+    )
+    return best.select(
+        group_col,
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.col("total").cast("long").alias("total"),
+        (-F.col("m.nh")).cast("long").alias("peak_hour"),
+        F.col("m.sv").cast("long").alias("peak_s"),
+    )

@@ -158,10 +158,16 @@ STAR_CX_SQL = "((n_nationkey * 89) % 300) * 100 + 600"    # lattice ix
 STAR_CY_SQL = "((n_nationkey * 53) % 150) * 100 + 450"    # lattice iy
 
 
-def stars_as_wire_polygons(spark, sf_dir: str):
+def stars_as_wire_polygons(spark, sf_dir: str, lattice: bool = False):
     """Per-nation CONCAVE star polygons as wire structs (degrees) —
     drives cover_polygon + the ray-crossing refine on reflex vertices
-    and slanted edges, which the axis-aligned box corpus never did."""
+    and slanted edges, which the axis-aligned box corpus never did.
+
+    ``lattice=True`` keeps the coordinates in the raw integer
+    centidegree lattice (integer-valued doubles): every shoelace term
+    is then exactly representable, which the centroid gate needs —
+    degree coords carry the /100 rounding and exactness would depend
+    on summation order."""
     import pandas as pd
 
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -172,6 +178,12 @@ def stars_as_wire_polygons(spark, sf_dir: str):
         f"CAST({STAR_CY_SQL} AS BIGINT) AS cy FROM nation"
     ).toPandas()
     ring = STAR_OFFSETS + STAR_OFFSETS[:1]
+
+    def xy(cx, cy, ox, oy):
+        if lattice:
+            return float(cx + ox), float(cy + oy)
+        return (cx + ox) / 100.0 - 180.0, (cy + oy) / 100.0 - 85.0
+
     return pd.DataFrame(
         {
             "admin_id": c["admin_id"].astype(int),
@@ -183,8 +195,7 @@ def stars_as_wire_polygons(spark, sf_dir: str):
                     "coords": [
                         v
                         for ox, oy in ring
-                        for v in ((cx + ox) / 100.0 - 180.0,
-                                  (cy + oy) / 100.0 - 85.0)
+                        for v in xy(cx, cy, ox, oy)
                     ],
                 }
                 for cx, cy in zip(c["cx"].astype(int), c["cy"].astype(int))

@@ -190,14 +190,30 @@ def _read_dirs(spark: SparkSession, table_dir: str, dirs: list[str],
     commit dir as its own root — Spark refuses multiple partitioned
     roots in one scan — then union; the per-dir scans keep partition
     pruning, and types are aligned to the first dir's schema so
-    per-commit partition-value inference can never drift the union."""
+    per-commit partition-value inference can never drift the union.
+
+    Flat lineages whose commits disagree on columns (ADDITIVE schema
+    evolution: a later append introduced a column) fall back to per-dir
+    reads + unionByName(allowMissingColumns) — older commits surface
+    NULL for columns they predate, the Iceberg/Delta contract. A plain
+    multi-path scan would silently bind every file to one footer's
+    schema and drop the new column. Detection costs one driver-side
+    footer read per commit dir (manifest-bounded, never data-bounded);
+    uniform lineages keep the single multi-path scan. Type CHANGES on a
+    shared column are not evolution and still raise (unionByName)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
     paths = [os.path.join(table_dir, d) for d in dirs]
     if not layout:
-        return spark.read.parquet(*paths)
+        parts = [spark.read.parquet(p) for p in paths]
+        schemas = {tuple((f.name, f.dataType.simpleString())
+                         for f in df.schema.fields) for df in parts}
+        if len(schemas) == 1:
+            return spark.read.parquet(*paths)
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
     parts = [spark.read.parquet(p) for p in paths]
     fields = parts[0].schema.fields
     aligned = [parts[0]] + [

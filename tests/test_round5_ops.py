@@ -1311,3 +1311,59 @@ def test_robots_filter_longest_prefix_wins(spark):
            for r in robots_filter(urls, rules).collect()}
     assert out == {0: ("/p1", 0), 1: ("/p1/en", 1), 2: ("/p1/en", 1),
                    3: ("", 1), 4: ("", 1)}
+
+
+def test_cusum_changepoint_planted_step(spark):
+    """Rate steps 1/hour -> 3/hour at hour 4 of 8: |s| peaks exactly at
+    the last pre-change hour (h0+3), s negative there (below-mean
+    run); n-scaled s at the peak = sum(8*c - 16) over 4 hours = -32."""
+    import datetime as dt
+
+    from geobuf_cpp_spark.operators.cohorts import cusum_changepoint
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows, eid = [], 0
+    for h in range(8):
+        per = 1 if h < 4 else 3
+        for k in range(per):
+            rows.append((eid, 1, t0 + dt.timedelta(hours=h, minutes=k),
+                         "click"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    r = cusum_changepoint(df).collect()[0]
+    h0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) // 3600
+    assert (r.n_hours, r.total) == (8, 16)
+    assert r.peak_hour == h0 + 3
+    assert r.peak_s == -32
+
+
+def test_snapshot_schema_evolution_and_time_travel(spark, tmp_path):
+    """Additive evolution: the v2 append introduces a column; the
+    latest read NULL-fills pre-evolution rows, time travel to v1 keeps
+    the OLD schema (no phantom column), and a TYPE change on a shared
+    column is refused rather than coerced."""
+    import pytest as _pytest
+
+    from geobuf_cpp_spark.sources.snapshots import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame([(1, "en"), (2, "fr")], "id long, lang string")
+    write_snapshot(v1, t, mode="overwrite")
+    v2 = spark.createDataFrame([(3, "de", 10)],
+                               "id long, lang string, n long")
+    write_snapshot(v2, t, mode="append")
+
+    latest = read_snapshot(spark, t)
+    assert set(latest.columns) == {"id", "lang", "n"}
+    rows = {r.id: r.n for r in latest.collect()}
+    assert rows == {1: None, 2: None, 3: 10}
+    assert read_snapshot(spark, t, version=1).columns == ["id", "lang"]
+
+    bad = spark.createDataFrame([("x", "en")], "id string, lang string")
+    write_snapshot(bad, t, mode="append")
+    with _pytest.raises(Exception):
+        read_snapshot(spark, t).collect()
