@@ -2824,6 +2824,45 @@ def q_cell_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cell_dwell(spark.sql(P.IPINGS_SELECT))
 
 
+def q_self_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory self-intersection counts: non-adjacent step
+    pairs under the exact integer CLRS predicate, entity-keyed
+    self-join (grid blocking buys nothing for full-space steps; pair
+    volume is bounded by track length squared per user)."""
+    from geobuf_cpp_spark.operators.trajectory import self_crossings
+
+    _prep(spark, sf_dir, "events")
+    return self_crossings(spark.sql(P.IPINGS_SELECT))
+
+
+def _self_crossings_sql() -> str:
+    from geobuf_cpp_spark.operators.segments import sql_segments_intersect
+
+    return (
+        f"WITH p AS ({P.IPINGS_SELECT}), "
+        "s AS MATERIALIZED (SELECT user_id, "
+        "row_number() OVER w AS i, ix AS ax, iy AS ay, "
+        "lead(ix) OVER w AS bx, lead(iy) OVER w AS by FROM p "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
+        "QUALIFY lead(ix) OVER w IS NOT NULL), "
+        "c AS (SELECT a.user_id, a.ax AS a_ax, a.ay AS a_ay, "
+        "a.bx AS a_bx, a.by AS a_by, b.ax AS b_ax, b.ay AS b_ay, "
+        "b.bx AS b_bx, b.by AS b_by FROM s a JOIN s b "
+        "ON a.user_id = b.user_id AND b.i >= a.i + 2 "
+        "AND LEAST(a.ax, a.bx) <= GREATEST(b.ax, b.bx) "
+        "AND LEAST(b.ax, b.bx) <= GREATEST(a.ax, a.bx) "
+        "AND LEAST(a.ay, a.by) <= GREATEST(b.ay, b.by) "
+        "AND LEAST(b.ay, b.by) <= GREATEST(a.ay, a.by)), "
+        "x AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_crossings "
+        "FROM c WHERE " + sql_segments_intersect() + " GROUP BY 1), "
+        "t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_segs "
+        "FROM s GROUP BY 1) "
+        "SELECT t.user_id, t.n_segs, "
+        "CAST(coalesce(x.n_crossings, 0) AS BIGINT) AS n_crossings "
+        "FROM t LEFT JOIN x USING (user_id)"
+    )
+
+
 def q_cusum_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type CUSUM change-point scan over hourly counts: the
     n-scaled mean-centered running sum is integer-exact (no mean
@@ -3155,6 +3194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_centroid": q_star_centroid,
         "cusum_change": q_cusum_change,
         "snapshot_evolve": q_snapshot_evolve,
+        "self_crossings": q_self_crossings,
         "gopher_repetition": q_gopher_repetition,
         # -- block 3: unsampled in r04, signed in earlier rounds (20) -------
         "rolling_events": q_rolling_events,
@@ -4987,6 +5027,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) "
             "AS BIGINT) AS chars_sum FROM documents GROUP BY 1"
         ),
+        "self_crossings": _self_crossings_sql(),
         "od_matrix": (
             f"WITH p AS ({P.IPINGS_SELECT}), "
             "c AS (SELECT user_id, ts, event_id, "

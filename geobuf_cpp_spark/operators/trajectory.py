@@ -199,3 +199,64 @@ def cell_dwell(pings: DataFrame, cell_w: int = 2250, cell_h: int = 2125,
         F.sum("new_visit").cast("long").alias("n_visits"),
         F.sum("dwell_secs").cast("long").alias("dwell_secs"),
     )
+
+
+def self_crossings(pings: DataFrame, entity_col: str = "user_id",
+                   ts_col: str = "ts", tie_col: str = "event_id",
+                   x_col: str = "ix", y_col: str = "iy") -> DataFrame:
+    """Per-entity path self-intersection count — the GPS-quality /
+    route-complexity metric (a clean commute crosses itself rarely; a
+    noisy or looping track constantly).
+
+    Steps are consecutive ping pairs in the (ts, id) total order; a
+    self-crossing is any NON-ADJACENT step pair (|i-j| >= 2 — adjacent
+    steps share an endpoint by construction) that intersects under the
+    exact integer CLRS predicate (operators/segments.py — orientation
+    cross products + on-segment boxes, no floats).
+
+    Plan note: steps of one trajectory span the whole space, so grid
+    blocking buys nothing here (a long step overlaps every cell);
+    the honest plan is the ENTITY-keyed self-join — per-entity O(k^2)
+    on k = track length, with a bbox-overlap prefilter ahead of the
+    exact predicate. Bounded by max track length squared, never by
+    corpus size: more users add reducers, not pair volume. Returns
+    (entity, n_segs, n_crossings), zero rows included.
+    """
+    from geobuf_cpp_spark.operators.segments import sql_segments_intersect
+
+    w = Window.partitionBy(entity_col).orderBy(ts_col, tie_col)
+    steps = (
+        pings.select(
+            entity_col,
+            F.row_number().over(w).alias("i"),
+            F.col(x_col).alias("ax"), F.col(y_col).alias("ay"),
+            F.lead(x_col).over(w).alias("bx"),
+            F.lead(y_col).over(w).alias("by"),
+        )
+        .filter(F.col("bx").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    a = steps.selectExpr(
+        entity_col, "i AS ia", "ax AS a_ax", "ay AS a_ay",
+        "bx AS a_bx", "by AS a_by")
+    b = steps.selectExpr(
+        entity_col, "i AS ib", "ax AS b_ax", "ay AS b_ay",
+        "bx AS b_bx", "by AS b_by")
+    pairs = (
+        a.join(b, entity_col)
+        .where("ib >= ia + 2")
+        .where("LEAST(a_ax, a_bx) <= GREATEST(b_ax, b_bx) AND "
+               "LEAST(b_ax, b_bx) <= GREATEST(a_ax, a_bx) AND "
+               "LEAST(a_ay, a_by) <= GREATEST(b_ay, b_by) AND "
+               "LEAST(b_ay, b_by) <= GREATEST(a_ay, a_by)")
+        .where(F.expr(sql_segments_intersect()))
+        .groupBy(entity_col)
+        .agg(F.count("*").cast("long").alias("n_crossings"))
+    )
+    totals = steps.groupBy(entity_col).agg(
+        F.count("*").cast("long").alias("n_segs"))
+    return totals.join(pairs, entity_col, "left").select(
+        entity_col, "n_segs",
+        F.coalesce("n_crossings", F.lit(0)).cast("long")
+        .alias("n_crossings"),
+    )

@@ -1367,3 +1367,31 @@ def test_snapshot_schema_evolution_and_time_travel(spark, tmp_path):
     write_snapshot(bad, t, mode="append")
     with _pytest.raises(Exception):
         read_snapshot(spark, t).collect()
+
+
+def test_self_crossings_figure_eight_and_straight(spark):
+    """A bowtie track counts exactly 1 crossing (steps 1 and 3 cross at
+    the center); a straight-line track counts 0; adjacent steps sharing
+    an endpoint never count."""
+    import datetime as dt
+
+    from geobuf_cpp_spark.operators.trajectory import self_crossings
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ping(eid, uid, k, x, y):
+        return (eid, uid, t0 + dt.timedelta(minutes=k), x, y)
+
+    # user 1 bowtie: (0,0)->(10,10)->(10,0)->(0,10): step 1 [(0,0)-(10,10)]
+    # and step 3 [(10,0)-(0,10)] cross at (5,5); middle step adjacent to both
+    # user 2 straight line: no crossings
+    rows = [
+        ping(1, 1, 0, 0, 0), ping(2, 1, 1, 10, 10),
+        ping(3, 1, 2, 10, 0), ping(4, 1, 3, 0, 10),
+        ping(5, 2, 0, 0, 0), ping(6, 2, 1, 5, 0), ping(7, 2, 2, 9, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, ix long, iy long")
+    out = {r.user_id: r for r in self_crossings(df).collect()}
+    assert (out[1].n_segs, out[1].n_crossings) == (3, 1)
+    assert (out[2].n_segs, out[2].n_crossings) == (2, 0)
