@@ -2289,6 +2289,16 @@ def q_ams_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                       lambda: ams_sketch(spark.table("documents")))
 
 
+def q_ams_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source AMS F2 counters (grouped sibling completing the
+    sketch-family pattern kmv_grouped/hll_grouped set): one group-keyed
+    scan, exchange bounded by groups x 9."""
+    from geobuf_cpp_spark.operators.sketches import ams_sketch_grouped
+
+    _prep(spark, sf_dir, "documents")
+    return ams_sketch_grouped(spark.table("documents"))
+
+
 def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS verdict row: median-of-squares F2 estimate next to the exact
     second frequency moment, both exact integers (median of 9 via
@@ -3186,6 +3196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "network_hops": q_network_hops,
         "ams_sketch": q_ams_sketch,
         "ams_f2": q_ams_f2,
+        "ams_grouped": q_ams_grouped,
         "user_kcore": q_user_kcore,
         "prefix_jaccard": q_prefix_jaccard,
         "cell_dwell": q_cell_dwell,
@@ -4549,6 +4560,16 @@ def oracle_sql() -> dict[str, str]:
             "md5_number_lower(t.word || '|' || CAST(g.r AS VARCHAR)) "
             "% 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS counter "
             "FROM t CROSS JOIN generate_series(0, 8) AS g(r) GROUP BY 1"
+        ),
+        "ams_grouped": (
+            "WITH w AS (SELECT source, unnest(string_split(text, ' ')) "
+            "AS word FROM documents), "
+            "t AS (SELECT source, word FROM w WHERE word <> '') "
+            "SELECT source, CAST(g.r AS INT) AS r, CAST(sum(CASE WHEN "
+            "md5_number_lower(t.word || '|' || CAST(g.r AS VARCHAR)) "
+            "% 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS counter "
+            "FROM t CROSS JOIN generate_series(0, 8) AS g(r) "
+            "GROUP BY 1, 2"
         ),
         "ams_f2": (
             "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word "

@@ -529,3 +529,36 @@ def ams_f2(docs_df: DataFrame, text_col: str = "text",
     # 1-row x 1-row combine: broadcast nested loop is the right plan
     # (declared in the plan-hygiene allowlist)
     return est.join(F.broadcast(exact))
+
+
+def ams_sketch_grouped(docs_df: DataFrame, group_col: str = "source",
+                       text_col: str = "text",
+                       rows: int = AMS_ROWS) -> DataFrame:
+    """Per-group AMS F2 counters (the grouped sibling `kmv_grouped` /
+    `hll_grouped` have) — one row group's repetition mass per source /
+    shard, merge = addition per (group, r). Same single-scan shape as
+    `ams_sketch`: all ``rows`` conditional sums ride one group-keyed
+    aggregate (map-side partials, exchange bounded by groups), the
+    unpivot is a per-row ``stack``.
+    """
+    toks = (
+        docs_df.select(
+            group_col,
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        ).filter(F.col("tok") != "")
+    )
+    aggs = []
+    for r in range(rows):
+        sign = (
+            F.when(md5_low64(F.concat(F.col("tok"), F.lit(f"|{r}")))
+                   % 2 == 0, 1)
+            .otherwise(-1)
+        )
+        aggs.append(F.sum(sign).cast("long").alias(f"c{r}"))
+    wide = toks.groupBy(group_col).agg(*aggs)
+    stack = ", ".join(f"{r}, c{r}" for r in range(rows))
+    return wide.selectExpr(
+        group_col, f"stack({rows}, {stack}) AS (r, counter)"
+    ).select(group_col,
+             F.col("r").cast("int").alias("r"),
+             F.col("counter").cast("long").alias("counter"))

@@ -1395,3 +1395,22 @@ def test_self_crossings_figure_eight_and_straight(spark):
     out = {r.user_id: r for r in self_crossings(df).collect()}
     assert (out[1].n_segs, out[1].n_crossings) == (3, 1)
     assert (out[2].n_segs, out[2].n_crossings) == (2, 0)
+
+
+def test_ams_grouped_sums_to_global(spark):
+    """Group counters are a partition of the global sketch: summing
+    per-source AMS counters over sources reproduces ams_sketch exactly
+    (linearity again, now across the group dimension)."""
+    from geobuf_cpp_spark.operators.sketches import (
+        ams_sketch,
+        ams_sketch_grouped,
+    )
+
+    rows = [(0, "a b b", "s1"), (1, "c a", "s2"), (2, "b d", "s1")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    grouped = ams_sketch_grouped(df).collect()
+    glob = {r.r: r.counter for r in ams_sketch(df).collect()}
+    acc = {}
+    for r in grouped:
+        acc[r.r] = acc.get(r.r, 0) + r.counter
+    assert acc == glob
