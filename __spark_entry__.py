@@ -4557,8 +4557,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word "
             "FROM documents), t AS (SELECT word FROM w WHERE word <> '') "
             "SELECT CAST(g.r AS INT) AS r, CAST(sum(CASE WHEN "
-            "md5_number_lower(t.word || '|' || CAST(g.r AS VARCHAR)) "
-            "% 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS counter "
+            "(md5_number_lower(t.word) >> g.r) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS counter "
             "FROM t CROSS JOIN generate_series(0, 8) AS g(r) GROUP BY 1"
         ),
         "ams_grouped": (
@@ -4566,17 +4565,15 @@ def oracle_sql() -> dict[str, str]:
             "AS word FROM documents), "
             "t AS (SELECT source, word FROM w WHERE word <> '') "
             "SELECT source, CAST(g.r AS INT) AS r, CAST(sum(CASE WHEN "
-            "md5_number_lower(t.word || '|' || CAST(g.r AS VARCHAR)) "
-            "% 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS counter "
+            "(md5_number_lower(t.word) >> g.r) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS counter "
             "FROM t CROSS JOIN generate_series(0, 8) AS g(r) "
             "GROUP BY 1, 2"
         ),
         "ams_f2": (
             "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word "
             "FROM documents), t AS (SELECT word FROM w WHERE word <> ''), "
-            "sk AS (SELECT g.r AS r, sum(CASE WHEN md5_number_lower("
-            "t.word || '|' || CAST(g.r AS VARCHAR)) % 2 = 0 "
-            "THEN 1 ELSE -1 END) AS counter "
+            "sk AS (SELECT g.r AS r, sum(CASE WHEN (md5_number_lower("
+            "t.word) >> g.r) % 2 = 0 THEN 1 ELSE -1 END) AS counter "
             "FROM t CROSS JOIN generate_series(0, 8) AS g(r) GROUP BY 1), "
             "sq AS (SELECT counter * counter AS c2, r FROM sk), "
             "est AS (SELECT max(c2) AS e FROM "

@@ -468,15 +468,41 @@ def hll_estimate_value(m: int, zero_registers: int, den_scaled) -> float:
 
 
 AMS_ROWS = 9   # odd, so the median-of-squares is a single counter
+               # (must stay <= 16: signs are bits of the low-16 hash)
+
+
+def _low16(tok: Column) -> Column:
+    """Low 16 bits of md5_low64 (digest bytes 8 and 9) as a plain INT —
+    ONE md5 per token feeds every AMS sign bit (same byte-8 contract as
+    ``_bucket``)."""
+    h = F.md5(tok.cast("binary"))
+    lo = F.conv(F.substring(h, 17, 2), 16, 10).cast("int")
+    hi = F.conv(F.substring(h, 19, 2), 16, 10).cast("int")
+    return lo + hi * 256
+
+
+def _ams_sign_sums(rows: int) -> list[Column]:
+    """One conditional sum per sign bit over the shared ``h16`` column."""
+    assert rows <= 16, "AMS signs draw from the low 16 hash bits"
+    return [
+        F.sum(
+            F.when(F.expr(f"shiftright(h16, {r}) % 2") == 0, 1).otherwise(-1)
+        ).cast("long").alias(f"c{r}")
+        for r in range(rows)
+    ]
 
 
 def ams_sketch(docs_df: DataFrame, text_col: str = "text",
                rows: int = AMS_ROWS) -> DataFrame:
     """AMS (Alon-Matias-Szegedy) F2 linear sketch: ``rows`` signed
     counters over the corpus token stream, counter_r = sum over token
-    occurrences of sign_r(tok), where sign_r is +1/-1 by the parity of
-    the md5-low-64 hash of ``tok|r`` (the same deterministic
-    ``md5_number_lower`` anchor every sketch here uses). Being LINEAR
+    occurrences of sign_r(tok), where sign_r is +1/-1 by BIT r of the
+    md5-low-64 hash (the same deterministic ``md5_number_lower`` anchor
+    every sketch here uses; DuckDB: ``(md5_number_lower(w) // 2^r) %
+    2``). One md5 per token supplies all ``rows`` signs — the first cut
+    hashed ``tok|r`` per counter and the 9x md5 work dominated the whole
+    gate (11.6s at sf0.1; bits-of-one-hash is the standard AMS seeding
+    and cut it to the cost of a single-scan aggregate). Being LINEAR
     (each occurrence contributes independently), shard sketches merge by
     plain addition — the property that makes it a per-partition /
     per-day rollup primitive; counter_r^2 estimates F2 = sum c_t^2, the
@@ -487,16 +513,9 @@ def ams_sketch(docs_df: DataFrame, text_col: str = "text",
     partial aggregation map-side, a ``rows``-value exchange total. The
     final unpivot is driver-free ``stack`` over one row.
     """
-    toks = _tokens(docs_df, text_col)
-    aggs = []
-    for r in range(rows):
-        sign = (
-            F.when(md5_low64(F.concat(F.col("tok"), F.lit(f"|{r}")))
-                   % 2 == 0, 1)
-            .otherwise(-1)
-        )
-        aggs.append(F.sum(sign).cast("long").alias(f"c{r}"))
-    wide = toks.agg(*aggs)
+    toks = _tokens(docs_df, text_col).select(
+        _low16(F.col("tok")).alias("h16"))
+    wide = toks.agg(*_ams_sign_sums(rows))
     stack = ", ".join(f"{r}, c{r}" for r in range(rows))
     return wide.selectExpr(
         f"stack({rows}, {stack}) AS (r, counter)"
@@ -546,16 +565,9 @@ def ams_sketch_grouped(docs_df: DataFrame, group_col: str = "source",
             group_col,
             F.explode(F.split(F.col(text_col), " ")).alias("tok"),
         ).filter(F.col("tok") != "")
+        .select(group_col, _low16(F.col("tok")).alias("h16"))
     )
-    aggs = []
-    for r in range(rows):
-        sign = (
-            F.when(md5_low64(F.concat(F.col("tok"), F.lit(f"|{r}")))
-                   % 2 == 0, 1)
-            .otherwise(-1)
-        )
-        aggs.append(F.sum(sign).cast("long").alias(f"c{r}"))
-    wide = toks.groupBy(group_col).agg(*aggs)
+    wide = toks.groupBy(group_col).agg(*_ams_sign_sums(rows))
     stack = ", ".join(f"{r}, c{r}" for r in range(rows))
     return wide.selectExpr(
         group_col, f"stack({rows}, {stack}) AS (r, counter)"

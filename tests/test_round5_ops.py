@@ -1177,8 +1177,9 @@ def test_ams_sketch_linear_merge_and_replay(spark):
     from geobuf_cpp_spark.operators.sketches import ams_f2, ams_sketch
 
     def sign(word: str, r: int) -> int:
-        dig = hashlib.md5(f"{word}|{r}".encode()).digest()
-        return 1 if int.from_bytes(dig[8:16], "little") % 2 == 0 else -1
+        dig = hashlib.md5(word.encode()).digest()
+        bit = (int.from_bytes(dig[8:16], "little") >> r) & 1
+        return 1 if bit == 0 else -1
 
     shard_a = [(0, "a b b"), (1, "c a")]
     shard_b = [(2, "b b b d")]
