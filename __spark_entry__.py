@@ -2873,6 +2873,36 @@ def _self_crossings_sql() -> str:
     )
 
 
+NEIGHBOR_GAP = 4000   # centidegree Chebyshev gap threshold
+
+
+def q_admin_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region-adjacency matrix over the admin box dimension: every pair
+    within a 4000-centidegree Chebyshev bbox gap, with the exact
+    per-axis and Chebyshev gap distances (0 = touching/overlapping).
+    The overlay primitive behind merge-adjacent-regions decisions; a
+    25-row dimension self-join — broadcast nested loop IS the plan."""
+    _prep(spark, sf_dir, "nation")
+    b = spark.sql(P.IBOXES_SELECT)
+    a = b.selectExpr("admin_id AS id_a", "lon0 AS a_lon0",
+                     "lat0 AS a_lat0", "lon1 AS a_lon1", "lat1 AS a_lat1")
+    c = b.selectExpr("admin_id AS id_b", "lon0 AS b_lon0",
+                     "lat0 AS b_lat0", "lon1 AS b_lon1", "lat1 AS b_lat1")
+    gx = "GREATEST(GREATEST(a_lon0, b_lon0) - LEAST(a_lon1, b_lon1), 0)"
+    gy = "GREATEST(GREATEST(a_lat0, b_lat0) - LEAST(a_lat1, b_lat1), 0)"
+    return (
+        a.join(F.broadcast(c), F.expr(
+            f"id_a < id_b AND {gx} <= {NEIGHBOR_GAP} "
+            f"AND {gy} <= {NEIGHBOR_GAP}"))
+        .selectExpr(
+            "id_a", "id_b",
+            f"CAST({gx} AS BIGINT) AS gap_x",
+            f"CAST({gy} AS BIGINT) AS gap_y",
+            f"CAST(GREATEST({gx}, {gy}) AS BIGINT) AS gap_chebyshev",
+        )
+    )
+
+
 def q_cusum_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type CUSUM change-point scan over hourly counts: the
     n-scaled mean-centered running sum is integer-exact (no mean
@@ -3203,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality": q_source_quality,
         "robots_filter": q_robots_filter,
         "star_centroid": q_star_centroid,
+        "admin_neighbors": q_admin_neighbors,
         "cusum_change": q_cusum_change,
         "snapshot_evolve": q_snapshot_evolve,
         "self_crossings": q_self_crossings,
@@ -5022,6 +5053,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM u LEFT JOIN b USING (doc_id)"
         ),
         "star_centroid": _star_centroid_sql(),
+        "admin_neighbors": (
+            f"WITH b AS ({P.IBOXES_SELECT}) "
+            "SELECT a.admin_id AS id_a, c.admin_id AS id_b, "
+            "CAST(GREATEST(GREATEST(a.lon0, c.lon0) "
+            "- LEAST(a.lon1, c.lon1), 0) AS BIGINT) AS gap_x, "
+            "CAST(GREATEST(GREATEST(a.lat0, c.lat0) "
+            "- LEAST(a.lat1, c.lat1), 0) AS BIGINT) AS gap_y, "
+            "CAST(GREATEST(GREATEST(GREATEST(a.lon0, c.lon0) "
+            "- LEAST(a.lon1, c.lon1), 0), GREATEST(GREATEST(a.lat0, "
+            "c.lat0) - LEAST(a.lat1, c.lat1), 0)) AS BIGINT) "
+            "AS gap_chebyshev "
+            "FROM b a JOIN b c ON a.admin_id < c.admin_id "
+            "AND GREATEST(a.lon0, c.lon0) - LEAST(a.lon1, c.lon1) "
+            f"<= {NEIGHBOR_GAP} "
+            "AND GREATEST(a.lat0, c.lat0) - LEAST(a.lat1, c.lat1) "
+            f"<= {NEIGHBOR_GAP}"
+        ),
         "cusum_change": (
             "WITH h AS (SELECT event_type, "
             "CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour, "

@@ -746,6 +746,7 @@ def test_whole_surface_plan_hygiene(spark):
         "getis_ord",                 # broadcast single-row totals
         "ripley_k",                  # broadcast single-row totals
         "ams_f2",                    # 1-row est x 1-row exact combine
+        "admin_neighbors",           # 25-box dimension self-join
     }
     # declared Arrow-batched Python kernels (codec, geometry, ANN, media)
     python_ok = {
