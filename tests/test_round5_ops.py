@@ -1415,3 +1415,24 @@ def test_ams_grouped_sums_to_global(spark):
     for r in grouped:
         acc[r.r] = acc.get(r.r, 0) + r.counter
     assert acc == glob
+
+
+def test_cdc_and_prefix_jaccard_partition_invariant(spark):
+    """The two order-sensitive new operators must not depend on input
+    partitioning: cdc rebuilds chunk text via sort_array (collect_list
+    alone is order-unstable), prefix selection orders by (df, shingle)
+    within a doc-keyed window. Same corpus at 1 and 13 partitions ->
+    identical rows."""
+    from geobuf_cpp_spark.operators.dedup import (
+        cdc_chunk_dedup,
+        prefix_jaccard_pairs,
+    )
+
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(30)))
+            for i in range(24)]
+    base = spark.createDataFrame(rows, "doc_id long, text string")
+    for op, key in ((cdc_chunk_dedup, "doc_id"),
+                    (prefix_jaccard_pairs, "id_a")):
+        a = sorted(map(tuple, op(base.repartition(1)).collect()))
+        b = sorted(map(tuple, op(base.repartition(13)).collect()))
+        assert a == b and a, op.__name__
