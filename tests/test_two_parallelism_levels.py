@@ -48,3 +48,46 @@ def test_same_results_at_n_and_4n():
     b = _run(8)
     assert a == b
     assert a["n"] > 100  # non-trivial join
+
+
+JOB_SHUFFLE = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+from geobuf_cpp_spark.session import get_spark
+
+cpus = int(sys.argv[1])
+spark = get_spark(f"shuf{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+from geobuf_cpp_spark.operators.dedup import exact_dedup
+from geobuf_cpp_spark.operators.sketches import ams_sketch, count_min_sketch
+
+kept = exact_dedup(docs).count()
+cms = sorted((int(r["sketch_row"]), int(r["bucket"]), int(r["cnt"]))
+             for r in count_min_sketch(docs).collect())
+ams = sorted((int(r["r"]), int(r["counter"])) for r in ams_sketch(docs).collect())
+print("RESULT " + json.dumps({"kept": kept, "cms_head": cms[:5],
+                               "cms_n": len(cms), "ams": ams}))
+spark.stop()
+"""
+
+
+def test_shuffle_operators_same_at_n_and_4n():
+    """The dedup + sketch shuffle paths (hash agg, distinct, global
+    agg) are parallelism-invariant: identical outputs at local[2] and
+    local[8], the same two-cluster-size evidence the pipeline test
+    gives the extract->PIP path."""
+    out2 = subprocess.run(
+        [sys.executable, "-c", JOB_SHUFFLE, "2"],
+        capture_output=True, text=True, timeout=400, cwd="/root/repo")
+    out8 = subprocess.run(
+        [sys.executable, "-c", JOB_SHUFFLE, "8"],
+        capture_output=True, text=True, timeout=400, cwd="/root/repo")
+    rs = []
+    for out in (out2, out8):
+        lines = [l for l in out.stdout.splitlines()
+                 if l.startswith("RESULT ")]
+        assert lines, out.stderr[-2000:]
+        rs.append(json.loads(lines[-1][len("RESULT "):]))
+    assert rs[0] == rs[1]
+    assert rs[0]["kept"] > 0 and rs[0]["cms_n"] > 100
