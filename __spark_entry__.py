@@ -2076,6 +2076,63 @@ def q_hilbert_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.mapInPandas(gen, "point_id long, hilbert long")
 
 
+# SFC range-query bbox on the 512x512 hilbert grid (gx < 360, gy < 170):
+# big enough that a full scan is the wrong plan, irregular enough that
+# the curve decomposes it into many runs (exercises the gap-merge cap)
+HRANGE_BBOX = (41, 222, 23, 131)      # gx0, gx1, gy0, gy1 inclusive
+
+
+def q_hilbert_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-filling-curve range query: the bbox is planned DRIVER-SIDE
+    into <=64 covering Hilbert-key intervals (functions/hilbert.
+    hilbert_coarse_ranges — bounded coarse-cell work regardless of bbox
+    size), then executed as interval filters + the exact bbox refine.
+    At scale the intervals hit a hilbert-sorted layout's zone maps /
+    row-group stats and the scan skips everything else; here the gate
+    proves the cover loses NO rows — the oracle filters the bbox
+    directly and never touches the curve. (The key is computed here
+    with the vectorized numpy kernel via mapInPandas, like
+    `hilbert_index` — the unrolled CTE chain is DuckDB-oracle-only:
+    Spark inlines CTEs, so each bit level would square the expression
+    tree and blow up the analyzer.)"""
+    import pandas as pd
+
+    from geobuf_cpp_spark.functions.hilbert import (
+        hilbert_coarse_ranges,
+        hilbert_d,
+    )
+
+    _prep(spark, sf_dir, "orders")
+    x0, x1, y0, y1 = HRANGE_BBOX
+    plan = hilbert_coarse_ranges(x0, x1, y0, y1, HILBERT_ORDER)
+    pts = spark.sql(P.IPOINTS_SELECT).selectExpr(
+        "point_id", "ix div 100 AS gx", "iy div 100 AS gy")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["h"] = hilbert_d(
+                pdf["gx"].to_numpy(), pdf["gy"].to_numpy(), HILBERT_ORDER)
+            yield pdf
+
+    keyed = pts.mapInPandas(gen, "point_id long, gx long, gy long, h long")
+    pred = " OR ".join(f"(h BETWEEN {lo} AND {hi})" for lo, hi in plan)
+    return keyed.where(
+        f"({pred}) AND gx BETWEEN {x0} AND {x1} "
+        f"AND gy BETWEEN {y0} AND {y1}"
+    ).select("point_id", "gx", "gy")
+
+
+def _hilbert_ranges_sql() -> str:
+    x0, x1, y0, y1 = HRANGE_BBOX
+    return (
+        f"WITH p AS ({P.IPOINTS_SELECT}) "
+        "SELECT point_id, ix // 100 AS gx, iy // 100 AS gy FROM p "
+        f"WHERE ix // 100 BETWEEN {x0} AND {x1} "
+        f"AND iy // 100 BETWEEN {y0} AND {y1}"
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over the events stream."""
     from geobuf_cpp_spark.operators.cohorts import cohort_retention
@@ -2873,6 +2930,62 @@ def _self_crossings_sql() -> str:
     )
 
 
+# 1-degree bands: at sf0.01 the ~45k-cell grid stays sub-percolation
+# (dense-cell fraction « 0.59), so components are small and the DuckDB
+# recursive-closure oracle (quadratic in component size) stays cheap;
+# a 3-degree grid at the same SF is super-critical and the closure blows up
+GEO_CLUSTER_R = 100       # band height / nominal cell width (1 deg)
+GEO_CLUSTER_MIN_PTS = 3
+
+
+def q_grid_cluster_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodetic DBSCAN-lite (operators/clustering.grid_cluster_geo):
+    lat-banded cells with per-band lon widths, interval-overlap
+    adjacency, min-label components. Oracle: identical dense cells from
+    a VALUES band table + quadratic adjacency self-join + recursive-CTE
+    closure."""
+    from geobuf_cpp_spark.operators.clustering import grid_cluster_geo
+
+    _prep(spark, sf_dir, "orders")
+    return grid_cluster_geo(spark.sql(P.IPOINTS_SELECT),
+                            GEO_CLUSTER_R, GEO_CLUSTER_MIN_PTS)
+
+
+def _grid_cluster_geo_sql() -> str:
+    from geobuf_cpp_spark.operators.range_join import geo_band_widths
+
+    r = GEO_CLUSTER_R
+    vals = ", ".join(f"({b}, {w})" for b, w in geo_band_widths(r))
+    base = 1_000_000
+    return (
+        f"WITH RECURSIVE bands(band, w) AS (VALUES {vals}), "
+        f"p AS ({P.IPOINTS_SELECT}), "
+        f"pb AS (SELECT iy // {r} AS band, ix FROM p), "
+        "cells AS (SELECT pb.band, bands.w, pb.ix // bands.w AS cx, "
+        "count(*) AS n_points FROM pb JOIN bands USING (band) "
+        "GROUP BY 1, 2, 3), "
+        f"dense AS (SELECT *, band * {base} + cx AS cell_id FROM cells "
+        f"WHERE n_points >= {GEO_CLUSTER_MIN_PTS}), "
+        "es AS (SELECT a.cell_id AS id_a, b.cell_id AS id_b FROM dense a "
+        "JOIN dense b ON a.band = b.band AND b.cx = a.cx + 1), "
+        "eu AS (SELECT a.cell_id AS id_a, b.cell_id AS id_b FROM dense a "
+        "JOIN dense b ON b.band = a.band + 1 "
+        "AND b.cx >= GREATEST(CAST(FLOOR(((a.cx - 1) * a.w) "
+        "/ (1.0 * b.w)) AS BIGINT), 0) "
+        "AND b.cx <= CAST(FLOOR(((a.cx + 2) * a.w - 1) "
+        "/ (1.0 * b.w)) AS BIGINT)), "
+        "e AS (SELECT id_a AS src, id_b AS dst FROM es "
+        "UNION ALL SELECT id_b, id_a FROM es "
+        "UNION ALL SELECT id_a, id_b FROM eu "
+        "UNION ALL SELECT id_b, id_a FROM eu), "
+        "walk(id, reach) AS (SELECT cell_id, cell_id FROM dense "
+        "UNION SELECT w.id, e.dst FROM walk w JOIN e ON e.src = w.reach) "
+        "SELECT d.band, d.cx, CAST(d.n_points AS BIGINT) AS n_points, "
+        "l.cluster_id FROM dense d JOIN (SELECT id, min(reach) AS "
+        "cluster_id FROM walk GROUP BY id) l ON l.id = d.cell_id"
+    )
+
+
 NEIGHBOR_GAP = 4000   # centidegree Chebyshev gap threshold
 
 
@@ -3234,6 +3347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "star_centroid": q_star_centroid,
         "admin_neighbors": q_admin_neighbors,
+        "grid_cluster_geo": wrap(q_grid_cluster_geo),
+        "hilbert_ranges": q_hilbert_ranges,
         "cusum_change": q_cusum_change,
         "snapshot_evolve": q_snapshot_evolve,
         "self_crossings": q_self_crossings,
@@ -5053,6 +5168,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM u LEFT JOIN b USING (doc_id)"
         ),
         "star_centroid": _star_centroid_sql(),
+        "grid_cluster_geo": _grid_cluster_geo_sql(),
+        "hilbert_ranges": _hilbert_ranges_sql(),
         "admin_neighbors": (
             f"WITH b AS ({P.IBOXES_SELECT}) "
             "SELECT a.admin_id AS id_a, c.admin_id AS id_b, "

@@ -51,6 +51,73 @@ def hilbert_d(x: np.ndarray, y: np.ndarray, order: int) -> np.ndarray:
     return d
 
 
+def hilbert_coarse_ranges(x0: int, x1: int, y0: int, y1: int,
+                          order: int, max_cells: int = 4096,
+                          max_intervals: int = 64) -> list[tuple[int, int]]:
+    """Covering Hilbert-index intervals for the inclusive grid bbox
+    [x0, x1] x [y0, y1] — the planning step of a space-filling-curve
+    range query (the access path behind Z-order/liquid-clustered
+    layouts: sort the table by Hilbert key once, then any bbox becomes
+    a handful of key ranges the zone maps / parquet row-group stats can
+    prune on, instead of a full scan).
+
+    The decomposition is hierarchical: pick the finest coarse order
+    ``g`` whose bbox footprint stays within ``max_cells`` coarse cells
+    (driver-side work is bounded by construction — a planet-sized bbox
+    plans as cheaply as a city block), Hilbert-index those cells at
+    order ``g`` (each is one CONTIGUOUS fine range, because the curve
+    visits a quadrant completely before leaving it), sort, and fuse
+    abutting runs. If more than ``max_intervals`` runs survive, the
+    smallest inter-run gaps are swallowed — the cover only ever GROWS,
+    so pairing it with an exact bbox refine (as ``zone_pruned_read``
+    re-applies its predicate) keeps results exact while the scan skips
+    everything outside the intervals.
+
+    Returns sorted, disjoint, inclusive ``(lo, hi)`` index intervals at
+    the FINE order; every bbox cell's index lands inside one of them.
+    """
+    n = 1 << order
+    assert 0 <= x0 <= x1 < n and 0 <= y0 <= y1 < n
+    g = order
+    while g > 0 and (
+        ((x1 >> (order - g)) - (x0 >> (order - g)) + 1)
+        * ((y1 >> (order - g)) - (y0 >> (order - g)) + 1) > max_cells
+    ):
+        g -= 1
+    if g == 0:
+        return [(0, (1 << (2 * order)) - 1)]
+    shift = order - g
+    cxs = np.arange(x0 >> shift, (x1 >> shift) + 1, dtype=np.int64)
+    cys = np.arange(y0 >> shift, (y1 >> shift) + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(cxs, cys)
+    d = np.sort(hilbert_d(gx.ravel(), gy.ravel(), g))
+    span = 1 << (2 * shift)
+    intervals: list[tuple[int, int]] = []
+    cur_lo = int(d[0]) * span
+    cur_hi = cur_lo + span - 1
+    for di in d[1:]:
+        lo = int(di) * span
+        if lo == cur_hi + 1:
+            cur_hi = lo + span - 1
+        else:
+            intervals.append((cur_lo, cur_hi))
+            cur_lo, cur_hi = lo, lo + span - 1
+    intervals.append((cur_lo, cur_hi))
+    if len(intervals) > max_intervals:
+        order_by_gap = sorted(
+            range(1, len(intervals)),
+            key=lambda i: (intervals[i][0] - intervals[i - 1][1], i))
+        drop = set(order_by_gap[: len(intervals) - max_intervals])
+        fused: list[tuple[int, int]] = []
+        for i, iv in enumerate(intervals):
+            if i in drop:
+                fused[-1] = (fused[-1][0], iv[1])
+            else:
+                fused.append(iv)
+        intervals = fused
+    return intervals
+
+
 def sql_hilbert_query(base_sql: str, carry_cols: list[str],
                       x_col: str, y_col: str, order: int,
                       out_col: str = "hilbert") -> str:

@@ -171,3 +171,78 @@ def grid_cluster(points_df: DataFrame, res: int, min_pts: int,
         ).select("cell", "n_points", "cluster_id")
     )
     return out
+
+
+GEO_CELL_BASE = 1_000_000   # cell_id = band * BASE + cx (cx < 36000)
+
+
+def grid_cluster_geo(points_df: DataFrame, radius_cdeg: int,
+                     min_pts: int) -> DataFrame:
+    """Geodetic DBSCAN-lite: density clustering on the SPHERE's honest
+    grid — latitude bands of height ``radius_cdeg`` with per-band
+    longitude cell widths from ``geo_band_widths`` (meridian
+    convergence: cells widen toward the poles), so a cluster's spatial
+    extent means the same ground distance at 80 deg latitude as at the
+    equator, which the planar `grid_cluster` grid gets wrong by 1/cos.
+
+    Dense cells (>= min_pts) connect when their longitude intervals
+    overlap after expanding a cell by one own-width on each side:
+    within a band that is exactly the +1-forward neighbor join (O(dense)
+    id enumeration, no pair scan); across adjacent bands the candidate
+    cx' range under the other band's width is enumerated by exact floor
+    division ((cx-1)*w1 and (cx+2)*w1 - 1 over w2 — doubles are exact
+    here: quotients are either exact integers or >= 2^-16 from one) and
+    equi-joined, a bounded <= 3*w1/w2 + 2 fan-out per cell. Like the
+    planar sibling, borders are guarded and there is NO antimeridian
+    wrap for adjacency (a cluster crossing +-180 splits — documented
+    family convention; the geodetic distance JOINS do ghost the seam).
+    Components via the shared min-label engine; cluster_id = min
+    cell_id (band * 10^6 + cx).
+
+    Returns (band, cx, n_points, cluster_id) for every dense cell.
+    """
+    from geobuf_cpp_spark.operators.range_join import geo_band_widths
+
+    r = int(radius_cdeg)
+    spark = points_df.sparkSession
+    bands = spark.createDataFrame(geo_band_widths(r), "band long, w long")
+    dense = (
+        points_df.withColumn("band", F.expr(f"iy div {r}"))
+        .join(F.broadcast(bands), "band")
+        .groupBy("band", "w", F.expr("ix div w").alias("cx"))
+        .agg(F.count("*").alias("n_points"))
+        .filter(F.col("n_points") >= min_pts)
+        .withColumn("cell_id",
+                    F.expr(f"band * {GEO_CELL_BASE} + cx"))
+        .persist()
+    )
+    nodes = dense.select(F.col("cell_id").alias("doc_id"))
+    same = (
+        dense.selectExpr("cell_id AS id_a", "band",
+                         "cx + 1 AS cx_next")
+        .join(dense.selectExpr("cell_id AS id_b", "band",
+                               "cx AS cx_next"),
+              ["band", "cx_next"])
+        .select("id_a", "id_b")
+    )
+    fdiv = ("CAST(FLOOR(CAST({n} AS DOUBLE) / w2) AS BIGINT)")
+    up = (
+        dense.selectExpr(
+            "cell_id AS id_a", "band + 1 AS band_b", "cx", "w AS w1")
+        .join(F.broadcast(bands.selectExpr("band AS band_b",
+                                           "w AS w2")), "band_b")
+        .selectExpr(
+            "id_a", "band_b",
+            "explode(sequence(GREATEST("
+            + fdiv.format(n="(cx - 1) * w1") + ", 0), "
+            + fdiv.format(n="(cx + 2) * w1 - 1") + ")) AS cx_b")
+        .join(dense.selectExpr("cell_id AS id_b", "band AS band_b",
+                               "cx AS cx_b"),
+              ["band_b", "cx_b"])
+        .select("id_a", "id_b")
+    )
+    edges = same.unionByName(up).selectExpr("id_a", "id_b")
+    labels = dedup_clusters(nodes, edges)
+    return dense.join(
+        labels.withColumnRenamed("doc_id", "cell_id"), "cell_id"
+    ).select("band", "cx", "n_points", "cluster_id")

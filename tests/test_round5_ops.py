@@ -1436,3 +1436,126 @@ def test_cdc_and_prefix_jaccard_partition_invariant(spark):
         a = sorted(map(tuple, op(base.repartition(1)).collect()))
         b = sorted(map(tuple, op(base.repartition(13)).collect()))
         assert a == b and a, op.__name__
+
+
+def test_grid_cluster_geo_matches_interval_union_find(spark):
+    """Geodetic dense-cell components equal a scalar union-find over the
+    same adjacency, derived independently here as INTERVAL OVERLAP (cell
+    expanded one own-width each side vs the other band's cells) rather
+    than the operator's floor-division enumeration — the two must agree
+    exactly. High-latitude bands exercise unequal adjacent widths."""
+    from geobuf_cpp_spark.operators.clustering import (
+        GEO_CELL_BASE,
+        grid_cluster_geo,
+    )
+    from geobuf_cpp_spark.operators.range_join import geo_band_widths
+
+    r, min_pts = 300, 2
+    widths = dict(geo_band_widths(r))
+    pts, pid = [], 0
+    for i in range(240):
+        ix = (i * 2654435761) % 36000
+        iy = 15000 + (i * 40503) % 2000      # bands 50..56 (lat 65-85N)
+        for _ in range(2 if i % 3 else 1):   # every 3rd point stays sparse
+            pts.append((pid, ix, iy))
+            pid += 1
+    df = spark.createDataFrame(pts, "point_id long, ix long, iy long")
+    got = {(row.band, row.cx): (row.n_points, row.cluster_id)
+           for row in grid_cluster_geo(df, r, min_pts).collect()}
+
+    from collections import Counter
+    cnt = Counter((iy // r, ix // widths[iy // r]) for _, ix, iy in pts)
+    dense = {c: n for c, n in cnt.items() if n >= min_pts}
+    parent = {c: c for c in dense}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)   # root stays component min
+
+    for b1, c1 in dense:
+        w1 = widths[b1]
+        if (b1, c1 + 1) in dense:
+            union((b1, c1), (b1, c1 + 1))
+        if b1 + 1 in widths:
+            w2 = widths[b1 + 1]
+            for bb, c2 in dense:
+                if (bb == b1 + 1
+                        and c2 * w2 <= (c1 + 2) * w1 - 1
+                        and (c2 + 1) * w2 - 1 >= (c1 - 1) * w1):
+                    union((b1, c1), (bb, c2))
+    expect = {c: (n, find(c)[0] * GEO_CELL_BASE + find(c)[1])
+              for c, n in dense.items()}
+    assert got == expect and len(dense) > 10
+    # the fixture must actually exercise a cross-band merge
+    assert any(find(c)[0] != c[0] for c in dense)
+
+
+def test_hilbert_coarse_ranges_cover_and_skip(spark, tmp_path):
+    """(a) Exhaustive cover: every bbox cell's Hilbert index falls in
+    some planned interval, intervals are sorted/disjoint and respect the
+    cap. (b) The 100 TB point: on a hilbert-range-clustered layout the
+    planned intervals let the zone map skip most files."""
+    import numpy as np
+
+    from geobuf_cpp_spark.functions.hilbert import (
+        hilbert_coarse_ranges,
+        hilbert_d,
+    )
+    from geobuf_cpp_spark.plans.zonemap import collect_zone_map, prune_files
+
+    order = 7                       # 128x128 — exhaustive check is cheap
+    for bbox, cap in [((5, 90, 17, 73), 64), ((0, 127, 0, 127), 8),
+                      ((33, 34, 90, 90), 16)]:
+        x0, x1, y0, y1 = bbox
+        plan = hilbert_coarse_ranges(x0, x1, y0, y1, order,
+                                     max_cells=256, max_intervals=cap)
+        assert 1 <= len(plan) <= cap
+        assert all(lo <= hi for lo, hi in plan)
+        assert all(plan[i][1] < plan[i + 1][0] for i in range(len(plan) - 1))
+        gx, gy = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1))
+        d = hilbert_d(gx.ravel(), gy.ravel(), order)
+        starts = np.array([lo for lo, _ in plan])
+        idx = np.searchsorted(starts, d, side="right") - 1
+        assert (idx >= 0).all()
+        assert (d <= np.array([hi for _, hi in plan])[idx]).all()
+
+    # file-skip: 16 range-clustered files, a small bbox's intervals
+    # must not touch most of them
+    n, order = 4096, 7
+    xs = (np.arange(n) * 2654435761 % 128).tolist()
+    ys = (np.arange(n) * 40503 % 128).tolist()
+    h = hilbert_d(np.array(xs), np.array(ys), order).tolist()
+    df = spark.createDataFrame(
+        list(zip(range(n), xs, ys, h)), "id long, x long, y long, h long")
+    path = str(tmp_path / "hsorted")
+    df.repartitionByRange(16, "h").write.mode("overwrite").parquet(path)
+    zmap = collect_zone_map(spark, path, ["h"]).cache()
+    n_files = zmap.count()
+    plan = hilbert_coarse_ranges(40, 55, 40, 55, order,
+                                 max_cells=256, max_intervals=16)
+    touched = set()
+    for lo, hi in plan:
+        touched.update(prune_files(zmap, "h", lo, hi))
+    assert n_files == 16 and len(touched) <= n_files // 2
+    # and the pruned read still finds exactly the bbox rows
+    got = 0
+    for lo, hi in plan:
+        files = prune_files(zmap, "h", lo, hi)
+        if not files:
+            continue
+        got += (
+            spark.read.parquet(*files)
+            .where(f"h BETWEEN {lo} AND {hi} "
+                   "AND x BETWEEN 40 AND 55 AND y BETWEEN 40 AND 55")
+            .count()
+        )
+    expect = sum(1 for x, y in zip(xs, ys) if 40 <= x <= 55 and 40 <= y <= 55)
+    assert got == expect > 0
+    zmap.unpersist()
