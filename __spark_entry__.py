@@ -2930,6 +2930,125 @@ def _self_crossings_sql() -> str:
     )
 
 
+CO_RADIUS = 1000      # Chebyshev contact radius, centidegrees
+CO_TAU = 7200         # contact time window, seconds
+
+
+def q_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatiotemporal co-location join over the ping stream: contact
+    counts per user pair within Chebyshev 10 deg and 2 h. Blocked into
+    2r x 2r x 2tau space-time cells with 2x2x2 half-aware probe
+    replication (operators/colocation.py) — the oracle is the direct
+    inequality self-join that never sees a block."""
+    from geobuf_cpp_spark.operators.colocation import colocation_pairs
+
+    _prep(spark, sf_dir, "events")
+    return colocation_pairs(spark.sql(P.IPINGS_SELECT), CO_RADIUS, CO_TAU)
+
+
+def _colocation_sql() -> str:
+    r, t = CO_RADIUS, CO_TAU
+    return (
+        f"WITH p AS ({P.IPINGS_SELECT}), "
+        "q AS (SELECT user_id, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS e, ix, iy FROM p) "
+        "SELECT a.user_id AS user_a, b.user_id AS user_b, "
+        "CAST(count(*) AS BIGINT) AS n_contacts "
+        "FROM q a JOIN q b ON a.user_id < b.user_id "
+        f"AND b.e BETWEEN a.e - {t} AND a.e + {t} "
+        f"AND b.ix BETWEEN a.ix - {r} AND a.ix + {r} "
+        f"AND b.iy BETWEEN a.iy - {r} AND a.iy + {r} "
+        "GROUP BY 1, 2"
+    )
+
+
+def q_traj_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory diameter: exact max squared distance via
+    convex hull + rotating calipers (O(k log k) per entity,
+    applyInPandas) — the oracle computes the same number by the naive
+    O(k^2) all-pairs max, so the gate cross-checks two algorithms."""
+    from geobuf_cpp_spark.operators.trajectory import traj_diameter
+
+    _prep(spark, sf_dir, "events")
+    return traj_diameter(spark.sql(P.IPINGS_SELECT))
+
+
+def _traj_diameter_sql() -> str:
+    return (
+        f"WITH p AS ({P.IPINGS_SELECT}), "
+        "d AS (SELECT a.user_id, "
+        "max((a.ix - b.ix) * (a.ix - b.ix) "
+        "+ (a.iy - b.iy) * (a.iy - b.iy)) AS diam2 "
+        "FROM p a JOIN p b USING (user_id) GROUP BY 1), "
+        "n AS (SELECT user_id, count(*) AS n_pings FROM p GROUP BY 1) "
+        "SELECT n.user_id, CAST(n.n_pings AS BIGINT) AS n_pings, "
+        "CAST(d.diam2 AS BIGINT) AS diam2 FROM n JOIN d USING (user_id)"
+    )
+
+
+KDE_RADIUS = 600      # Epanechnikov kernel support, centidegrees (even)
+
+
+def q_kde_heat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Epanechnikov kernel-density heatmap at occupied-cell
+    centers: explode-to-3x3 + equi-join against the cell directory
+    (operators/spatial_stats.kde_density); the oracle enumerates
+    candidates by a BETWEEN range join instead."""
+    from geobuf_cpp_spark.operators.spatial_stats import kde_density
+
+    _prep(spark, sf_dir, "orders")
+    return kde_density(spark.sql(P.IPOINTS_SELECT), KDE_RADIUS)
+
+
+def _kde_heat_sql() -> str:
+    w = KDE_RADIUS
+    r2 = w * w
+    d2 = (
+        f"(p.ix - (c.cx * {w} + {w // 2})) * "
+        f"(p.ix - (c.cx * {w} + {w // 2})) + "
+        f"(p.iy - (c.cy * {w} + {w // 2})) * "
+        f"(p.iy - (c.cy * {w} + {w // 2}))"
+    )
+    return (
+        f"WITH p AS ({P.IPOINTS_SELECT}), "
+        f"c AS (SELECT ix // {w} AS cx, iy // {w} AS cy, "
+        "CAST(count(*) AS BIGINT) AS n_points FROM p GROUP BY 1, 2) "
+        "SELECT c.cx, c.cy, c.n_points, "
+        f"CAST(sum({r2} - ({d2})) AS BIGINT) AS density "
+        "FROM c JOIN p "
+        f"ON p.ix // {w} BETWEEN c.cx - 1 AND c.cx + 1 "
+        f"AND p.iy // {w} BETWEEN c.cy - 1 AND c.cy + 1 "
+        f"WHERE {d2} < {r2} "
+        "GROUP BY 1, 2, 3"
+    )
+
+
+INVIDX_MIN_DF = 2
+
+
+def q_postings_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list materialization: term -> df + the sorted posting
+    list as a digit string (term-keyed hash agg; min_df prunes the
+    Heaps-law hapax tail). Complements the positional `inverted_index`
+    gate, which emits per-(term, doc) entries rather than the
+    aggregated retrieval structure."""
+    from geobuf_cpp_spark.operators.textstats import inverted_index
+
+    _prep(spark, sf_dir, "documents")
+    return inverted_index(spark.table("documents"), min_df=INVIDX_MIN_DF)
+
+
+def _postings_lists_sql() -> str:
+    return (
+        "WITH toks AS (SELECT DISTINCT doc_id, t.term FROM documents, "
+        "unnest(string_split(text, ' ')) AS t(term) WHERE t.term <> '') "
+        "SELECT term, CAST(count(*) AS BIGINT) AS df, "
+        "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
+        "AS postings FROM toks GROUP BY term "
+        f"HAVING count(*) >= {INVIDX_MIN_DF}"
+    )
+
+
 # 1-degree bands: at sf0.01 the ~45k-cell grid stays sub-percolation
 # (dense-cell fraction « 0.59), so components are small and the DuckDB
 # recursive-closure oracle (quadratic in component size) stays cheap;
@@ -3349,6 +3468,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "admin_neighbors": q_admin_neighbors,
         "grid_cluster_geo": wrap(q_grid_cluster_geo),
         "hilbert_ranges": q_hilbert_ranges,
+        "colocation": q_colocation,
+        "traj_diameter": q_traj_diameter,
+        "kde_heat": q_kde_heat,
+        "postings_lists": q_postings_lists,
         "cusum_change": q_cusum_change,
         "snapshot_evolve": q_snapshot_evolve,
         "self_crossings": q_self_crossings,
@@ -5170,6 +5293,10 @@ def oracle_sql() -> dict[str, str]:
         "star_centroid": _star_centroid_sql(),
         "grid_cluster_geo": _grid_cluster_geo_sql(),
         "hilbert_ranges": _hilbert_ranges_sql(),
+        "colocation": _colocation_sql(),
+        "traj_diameter": _traj_diameter_sql(),
+        "kde_heat": _kde_heat_sql(),
+        "postings_lists": _postings_lists_sql(),
         "admin_neighbors": (
             f"WITH b AS ({P.IBOXES_SELECT}) "
             "SELECT a.admin_id AS id_a, c.admin_id AS id_b, "

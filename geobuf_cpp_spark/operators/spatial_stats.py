@@ -148,3 +148,169 @@ def getis_ord_parts(points_df: DataFrame, res: int,
             "ssq",
         )
     )
+
+
+def kde_density(points_df: DataFrame, radius: int,
+                x_col: str = "ix", y_col: str = "iy") -> DataFrame:
+    """Kernel-density heatmap in exact integer arithmetic — the
+    Epanechnikov-kernel surface behind every web-map "heat layer",
+    evaluated at occupied-cell centers.
+
+    Grid width w = radius (w even so centers (c*w + w/2) are lattice
+    points); the density at an occupied cell's center is
+
+        density = sum over points p with d2(p, center) < r^2
+                  of (r^2 - d2)            (d2 = squared Euclidean)
+
+    — the unnormalized Epanechnikov kernel, integer-exact end to end
+    (the usual gaussian weights are transcendental; this kernel is the
+    standard finite-support substitute and keeps both engines
+    bit-identical). Only cells CONTAINING at least one point are
+    evaluated: the output is bounded by occupied cells, not the grid.
+
+    Plan: one scan derives the occupied-cell directory (bounded, grid-
+    capped); each point explodes to the 3x3 neighboring cells (a center
+    within r of a point can only be 0/+-1 cells away when w = r), the
+    candidates equi-join the directory on the cell key, the kernel
+    filter runs map-side, one hash agg sums. Shuffle O(9 * points) on
+    a 2-int key — never cells x points.
+
+    Returns (cx, cy, n_points, density): n_points = points inside the
+    cell, density = the kernel sum over its center.
+    """
+    r = int(radius)
+    assert r % 2 == 0, "radius must be even (lattice cell centers)"
+    w = r
+    cells = (
+        points_df.groupBy(
+            F.expr(f"{x_col} div {w}").alias("cx"),
+            F.expr(f"{y_col} div {w}").alias("cy"),
+        )
+        .agg(F.count("*").cast("long").alias("n_points"))
+    )
+    cand = (
+        points_df.select(
+            F.col(x_col).cast("long").alias("px"),
+            F.col(y_col).cast("long").alias("py"),
+        )
+        .select(
+            "px", "py",
+            F.expr(f"explode(sequence(px div {w} - 1, px div {w} + 1))")
+            .alias("cx"),
+        )
+        .select(
+            "px", "py", "cx",
+            F.expr(f"explode(sequence(py div {w} - 1, py div {w} + 1))")
+            .alias("cy"),
+        )
+    )
+    half = w // 2
+    d2 = (
+        f"(px - (cx * {w} + {half})) * (px - (cx * {w} + {half})) + "
+        f"(py - (cy * {w} + {half})) * (py - (cy * {w} + {half}))"
+    )
+    return (
+        cand.join(cells, ["cx", "cy"])
+        .where(F.expr(f"{d2} < {r * r}"))
+        .groupBy("cx", "cy")
+        .agg(
+            F.first("n_points").cast("long").alias("n_points"),
+            F.sum(F.expr(f"{r * r} - ({d2})")).cast("long")
+            .alias("density"),
+        )
+    )
+
+
+def rect_union_area(rects_df: DataFrame, block: int = 4096,
+                    x0: str = "lon0", x1: str = "lon1",
+                    y0: str = "lat0", y1: str = "lat1") -> DataFrame:
+    """Exact area of the UNION of axis-aligned rectangles — the
+    coverage question ("how much of the plane do these footprints
+    cover?") that naive sum-of-areas gets wrong the moment two boxes
+    overlap (reference stores box geometries; this is the measure-side
+    query over them).
+
+    Classic sweep, re-expressed as data-parallel window algebra:
+
+    * Slab decomposition: the DISTINCT x-boundaries of the input,
+      paired with their successor via lead(), cut the plane into
+      vertical slabs within which coverage is constant in x.
+    * Slab <-> rect matching is grid-blocked into an EQUI-join (the
+      range-join discipline of operators/range_join.py): each rect
+      explodes to the x-blocks its [x0, x1) span touches, each slab
+      joins on its start-x block, the exact x0 <= sx < x1 predicate
+      runs map-side. Truncating `div` on possibly-negative coords is
+      safe here because BOTH join sides use the same div — monotone,
+      so a slab's block always lies inside its covering rect's block
+      range. No BNLJ, no cartesian.
+    * Per-slab y-interval union via gaps-and-islands: running max of
+      y1 over the slab's intervals (ordered by y0, y1) marks island
+      starts; an island's covered length is max(y1) - min(y0); the
+      windows are PARTITIONed by slab, so slabs sweep in parallel.
+
+    The one global window is the lead() over the distinct-x directory
+    — bounded by the rectangle dimension (2 per rect), the same
+    bounded-directory concession zonemap planning makes; at corpus
+    scale tile-block the plane first and run this per tile.
+
+    All arithmetic is integer-exact (lattice coords): covered length
+    and slab area are BIGINTs. Returns one row per slab with nonzero
+    coverage: (slab_x0, slab_x1, covered, area); total union area =
+    sum(area).
+    """
+    from pyspark.sql import Window
+
+    b = int(block)
+    xs = (
+        rects_df.select(F.col(x0).cast("long").alias("sx"))
+        .union(rects_df.select(F.col(x1).cast("long").alias("sx")))
+        .distinct()
+    )
+    slabs = (
+        xs.select(
+            "sx", F.lead("sx").over(Window.orderBy("sx")).alias("sxn"))
+        .where(F.col("sxn").isNotNull())
+        .withColumn("xb", F.expr(f"sx div {b}"))
+    )
+    rects = rects_df.select(
+        F.col(x0).cast("long").alias("rx0"),
+        F.col(x1).cast("long").alias("rx1"),
+        F.col(y0).cast("long").alias("ry0"),
+        F.col(y1).cast("long").alias("ry1"),
+    ).where((F.col("rx0") < F.col("rx1")) & (F.col("ry0") < F.col("ry1")))
+    spread = rects.select(
+        "rx0", "rx1", "ry0", "ry1",
+        F.expr(f"explode(sequence(rx0 div {b}, (rx1 - 1) div {b}))")
+        .alias("xb"),
+    )
+    spans = (
+        slabs.join(spread, "xb")
+        .where((F.col("rx0") <= F.col("sx")) & (F.col("sx") < F.col("rx1")))
+        .select("sx", "sxn", "ry0", "ry1")
+    )
+    order = Window.partitionBy("sx").orderBy("ry0", "ry1")
+    prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    islands = (
+        spans.withColumn("pmax", F.max("ry1").over(prev))
+        .withColumn(
+            "ni",
+            F.when(
+                F.col("pmax").isNull() | (F.col("ry0") > F.col("pmax")), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("ni").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    cov = (
+        islands.groupBy("sx", "sxn", "island")
+        .agg((F.max("ry1") - F.min("ry0")).alias("ilen"))
+        .groupBy("sx", "sxn")
+        .agg(F.sum("ilen").cast("long").alias("covered"))
+    )
+    return cov.select(
+        F.col("sx").alias("slab_x0"),
+        F.col("sxn").alias("slab_x1"),
+        "covered",
+        ((F.col("sxn") - F.col("sx")) * F.col("covered"))
+        .cast("long").alias("area"),
+    )

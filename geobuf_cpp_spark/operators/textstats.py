@@ -467,3 +467,45 @@ def source_quality_ci(docs_df, id_col: str = "doc_id",
         f"cast((n_keep + 2) * {scale} - 2 * {root} as bigint) AS lb_num",
         f"cast((n_docs + 4) * cast({scale} as bigint) as bigint) AS lb_den",
     )
+
+
+def inverted_index(docs_df, id_col: str = "doc_id",
+                   text_col: str = "text", min_df: int = 2):
+    """Inverted-index materialization: term -> document frequency +
+    the full sorted posting list — the retrieval-side structure a
+    web-corpus search/RAG stack builds from the same token stream the
+    dedup and tf-idf operators consume.
+
+    Postings are emitted as a comma-joined string of ascending doc_ids
+    (deterministic, engine-portable — array hashing differs across
+    engines, digit strings do not). ``min_df`` prunes hapax terms,
+    which at corpus scale dominate the vocabulary (Heaps' law) while
+    serving no retrieval purpose; set 1 to keep everything.
+
+    Plan: explode -> per-doc distinct (map-side combinable hash agg) ->
+    term hash agg with collect_list, sort_array before joining so the
+    string never depends on arrival order. One shuffle keyed by term;
+    a posting list's size is bounded by df — the one genuinely skewed
+    term class ("the") is exactly what ``min_df`` does NOT remove, so
+    at 100 TB the stop-term postings are the known hot keys: cap them
+    upstream (textstats.top_terms / a df ceiling) or let AQE split the
+    build; the structure itself stays a single hash aggregation.
+    """
+    toks = docs_df.select(
+        F.col(id_col), F.explode(F.split(text_col, " ")).alias("term")
+    ).filter(F.col("term") != "")
+    posting = toks.distinct()
+    return (
+        posting.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.col(id_col))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= int(min_df))
+    )

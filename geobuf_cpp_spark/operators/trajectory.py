@@ -260,3 +260,90 @@ def self_crossings(pings: DataFrame, entity_col: str = "user_id",
         F.coalesce("n_crossings", F.lit(0)).cast("long")
         .alias("n_crossings"),
     )
+
+
+def traj_diameter(pings: DataFrame, entity_col: str = "user_id",
+                  x_col: str = "ix", y_col: str = "iy") -> DataFrame:
+    """Per-entity trajectory diameter: the exact maximum squared
+    Euclidean distance between any two of the entity's pings — the
+    "how far does this user range" metric.
+
+    The subquadratic plan: group by entity, then per group build the
+    convex hull (Andrew monotone chain, pure integer cross products)
+    and rotate calipers over antipodal hull vertex pairs — O(k log k)
+    per entity vs the naive O(k^2) all-pairs max (which is what the
+    DuckDB oracle computes, so the gate cross-checks the two
+    algorithms, not two copies of one). The diameter of a point set is
+    attained at hull vertices, and calipers enumerates every antipodal
+    pair, so the result is exact; with BIGINT lattice coords every
+    cross product and squared distance is exact integer arithmetic.
+
+    Runs as applyInPandas (Arrow-batched; one shuffle on the entity
+    key). Per-entity work is bounded by max track length — corpus
+    growth adds groups, not group size. Singleton entities return 0.
+
+    Returns (entity, n_pings, diam2) — diam2 the exact squared
+    diameter in lattice units.
+    """
+    import pandas as pd
+
+    def _hull_diam2(xs: list[int], ys: list[int]) -> int:
+        pts = sorted(set(zip(xs, ys)))
+        if len(pts) == 1:
+            return 0
+
+        def half(seq):
+            h: list[tuple[int, int]] = []
+            for p in seq:
+                while len(h) >= 2 and (
+                    (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                    - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+                ) <= 0:
+                    h.pop()
+                h.append(p)
+            return h
+
+        lower, upper = half(pts), half(reversed(pts))
+        hull = lower[:-1] + upper[:-1]
+        if len(hull) == 2:
+            (ax, ay), (bx, by) = hull
+            return (ax - bx) ** 2 + (ay - by) ** 2
+
+        # rotating calipers over the CCW hull
+        m = len(hull)
+        best, j = 0, 1
+        for i in range(m):
+            ni = (i + 1) % m
+            ex, ey = hull[ni][0] - hull[i][0], hull[ni][1] - hull[i][1]
+            while True:
+                nj = (j + 1) % m
+                adv = ex * (hull[nj][1] - hull[j][1]) \
+                    - ey * (hull[nj][0] - hull[j][0])
+                if adv > 0:
+                    j = nj
+                else:
+                    break
+            for q in (hull[j], hull[(j + 1) % m]):
+                for p in (hull[i], hull[ni]):
+                    d2 = (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+                    if d2 > best:
+                        best = d2
+        return best
+
+    def per_entity(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "entity": [pdf["entity"].iloc[0]],
+            "n_pings": [len(pdf)],
+            "diam2": [_hull_diam2(pdf["x"].tolist(), pdf["y"].tolist())],
+        })
+
+    prepared = pings.select(
+        F.col(entity_col).alias("entity"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    return (
+        prepared.groupBy("entity")
+        .applyInPandas(per_entity, "entity long, n_pings long, diam2 long")
+        .withColumnRenamed("entity", entity_col)
+    )

@@ -1559,3 +1559,122 @@ def test_hilbert_coarse_ranges_cover_and_skip(spark, tmp_path):
     expect = sum(1 for x, y in zip(xs, ys) if 40 <= x <= 55 and 40 <= y <= 55)
     assert got == expect > 0
     zmap.unpersist()
+
+
+def test_colocation_pairs_matches_bruteforce(spark):
+    """Blocked 2x2x2 contact join == the O(n^2) brute force, on a
+    fixture salted with exact-boundary pairs (distance == radius,
+    dt == tau, both-side block edges) and same-user near-pairs that
+    must NOT count."""
+    import datetime as dt
+    import itertools
+
+    from geobuf_cpp_spark.operators.colocation import colocation_pairs
+
+    r, tau = 50, 600
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ping(u, sec, x, y):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, u, t0 + dt.timedelta(seconds=sec), x, y))
+
+    ping(1, 0, 1000, 1000)
+    ping(2, 600, 1050, 1000)       # dt == tau, dx == r: counts
+    ping(3, 601, 1000, 1050)       # dt == tau + 1 vs u1: no
+    ping(4, 300, 1051, 1000)       # dx == r + 1 vs u1: no
+    ping(1, 200, 1049, 930)        # same-user near u1's first: no pair
+                                   # (dy 70 > r from u2/u3/u4's pings)
+    ping(5, 100, 99, 599)          # straddles block corner (w = 100)
+    ping(6, 150, 101, 601)         # counts with u5
+    for i in range(40):            # pseudo-random cloud
+        ping(7 + i % 5, (i * 977) % 2000, (i * 313) % 400,
+             (i * 661) % 400)
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, ix long, iy long")
+    got = {(x.user_a, x.user_b): x.n_contacts
+           for x in colocation_pairs(df, r, tau).collect()}
+
+    brute = {}
+    for a, b in itertools.combinations(rows, 2):
+        if a[1] == b[1]:
+            continue
+        if (abs((a[2] - b[2]).total_seconds()) <= tau
+                and abs(a[3] - b[3]) <= r and abs(a[4] - b[4]) <= r):
+            k = tuple(sorted((a[1], b[1])))
+            brute[k] = brute.get(k, 0) + 1
+    assert got == brute
+    # boundary probes against u1 ping#1: dt == tau and dx == r count,
+    # dt == tau + 1 (u3) and dx == r + 1 (u4) do not
+    assert got[(1, 2)] == 1 and (1, 3) not in got and (1, 4) not in got
+    assert got[(5, 6)] == 1
+
+
+def test_traj_diameter_matches_bruteforce(spark):
+    """Hull + rotating calipers through the operator == all-pairs max,
+    including singleton (diam2 = 0), duplicate-point, and collinear
+    tracks."""
+    from geobuf_cpp_spark.operators.trajectory import traj_diameter
+
+    rows, eid = [], 0
+    tracks = {
+        1: [(0, 0)],                               # singleton
+        2: [(5, 5), (5, 5), (5, 5)],               # all-duplicate
+        3: [(0, 0), (10, 10), (20, 20), (30, 30)],  # collinear
+        4: [((i * 37) % 100, (i * 59) % 100) for i in range(25)],
+        5: [(0, 0), (100, 0), (50, 87), (50, 30)],  # interior point
+    }
+    for u, pts in tracks.items():
+        for x, y in pts:
+            eid += 1
+            rows.append((u, x, y))
+    df = spark.createDataFrame(rows, "user_id long, ix long, iy long")
+    got = {x.user_id: (x.n_pings, x.diam2)
+           for x in traj_diameter(df).collect()}
+    for u, pts in tracks.items():
+        brute = max((a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+                    for a in pts for b in pts)
+        assert got[u] == (len(pts), brute), u
+
+
+def test_kde_density_matches_bruteforce(spark):
+    """Explode-join KDE == direct per-cell kernel sums over all points;
+    kernel support boundary (d2 == r2 excluded) exercised."""
+    from geobuf_cpp_spark.operators.spatial_stats import kde_density
+
+    r = 10
+    pts = [(i, (i * 37) % 55, (i * 23) % 40) for i in range(80)]
+    # plant an exact-boundary pair: center of cell (9,9) is (95, 95)
+    pts.append((900, 95 + r, 95))          # d2 == r2 from that center: out
+    pts.append((901, 95, 95))              # occupies cell (9, 9)
+    df = spark.createDataFrame(pts, "point_id long, ix long, iy long")
+    got = {(x.cx, x.cy): (x.n_points, x.density)
+           for x in kde_density(df, r).collect()}
+
+    from collections import Counter
+    occ = Counter((x // r, y // r) for _, x, y in pts)
+    expect = {}
+    for (cx, cy), n in occ.items():
+        ccx, ccy = cx * r + r // 2, cy * r + r // 2
+        dens = sum(r * r - ((x - ccx) ** 2 + (y - ccy) ** 2)
+                   for _, x, y in pts
+                   if (x - ccx) ** 2 + (y - ccy) ** 2 < r * r)
+        expect[(cx, cy)] = (n, dens)
+    assert got == expect
+    # the planted boundary point contributes to its own cell but not
+    # to (9,9)'s center at exactly d2 == r2
+    assert (10, 9) in got
+
+
+def test_inverted_index_postings_sorted_and_pruned(spark):
+    from geobuf_cpp_spark.operators.textstats import inverted_index
+
+    docs = spark.createDataFrame(
+        [(10, "b a a"), (2, "a c"), (1, "a  b")],
+        "doc_id long, text string")
+    got = {x.term: (x.df, x.postings)
+           for x in inverted_index(docs, min_df=2).collect()}
+    # numeric sort (1,2,10), per-doc dedup of the double 'a', empty
+    # token from the double space dropped, hapax 'c' pruned
+    assert got == {"a": (3, "1,2,10"), "b": (2, "1,10")}

@@ -754,7 +754,7 @@ def test_whole_surface_plan_hygiene(spark):
         "geom_centroid",
         "geobuf_files", "geobuf_roundtrip", "geobuf_roundtrip_3d",
         "geobuf_size_stats", "geohash_assign", "hilbert_index",
-        "hilbert_ranges",
+        "hilbert_ranges", "traj_diameter",
         "incremental_neardup", "ivf_pruned", "ivfpq_topk",
         "lsh_neardup", "media_features",
         "media_stats", "minhash_neardup", "pip_boxes_agg", "wav_stats",
