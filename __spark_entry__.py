@@ -3049,6 +3049,139 @@ def _postings_lists_sql() -> str:
     )
 
 
+def q_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact area of the union of the admin boxes via the slab-sweep
+    (coordinate compression + per-slab gaps-and-islands interval union,
+    operators/spatial_stats.rect_union_area); the oracle runs the sweep
+    with a direct inequality join instead of the grid-blocked equi-join."""
+    from geobuf_cpp_spark.operators.spatial_stats import rect_union_area
+
+    _prep(spark, sf_dir, "nation")
+    return rect_union_area(spark.sql(P.IBOXES_SELECT))
+
+
+def _union_area_sql() -> str:
+    return (
+        f"WITH b AS ({P.IBOXES_SELECT}), "
+        "xs AS (SELECT DISTINCT x FROM (SELECT lon0 AS x FROM b "
+        "UNION ALL SELECT lon1 FROM b)), "
+        "s AS (SELECT x, lead(x) OVER (ORDER BY x) AS xn FROM xs), "
+        "sp AS (SELECT s.x, s.xn, b.lat0, b.lat1 FROM s JOIN b "
+        "ON b.lon0 <= s.x AND s.x < b.lon1 WHERE s.xn IS NOT NULL), "
+        "m AS (SELECT x, xn, lat0, lat1, max(lat1) OVER "
+        "(PARTITION BY x ORDER BY lat0, lat1 "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM sp), "
+        "f AS (SELECT x, xn, lat0, lat1, "
+        "CASE WHEN pm IS NULL OR lat0 > pm THEN 1 ELSE 0 END AS ni FROM m), "
+        "isl AS (SELECT x, xn, lat0, lat1, sum(ni) OVER "
+        "(PARTITION BY x ORDER BY lat0, lat1 "
+        "ROWS UNBOUNDED PRECEDING) AS island FROM f), "
+        "c AS (SELECT x, xn, island, max(lat1) - min(lat0) AS ilen "
+        "FROM isl GROUP BY 1, 2, 3), "
+        "cov AS (SELECT x, xn, CAST(sum(ilen) AS BIGINT) AS covered "
+        "FROM c GROUP BY 1, 2) "
+        "SELECT x AS slab_x0, xn AS slab_x1, covered, "
+        "CAST((xn - x) * covered AS BIGINT) AS area FROM cov"
+    )
+
+
+QT_CAP = 64           # quadtree leaf capacity (points)
+QT_MAX_Z = 8          # max split depth below the 2^16 root domain
+
+
+def q_adaptive_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree leaves over the order points: split every tile
+    holding more than QT_CAP points, to depth QT_MAX_Z. The whole
+    recursion is one level-explode + hash agg + parent self-join
+    (operators/tiles.adaptive_quadtree); leaves partition the points."""
+    from geobuf_cpp_spark.operators.tiles import adaptive_quadtree
+
+    _prep(spark, sf_dir, "orders")
+    return adaptive_quadtree(
+        spark.sql(P.IPOINTS_SELECT), QT_CAP, QT_MAX_Z)
+
+
+def _adaptive_tiles_sql() -> str:
+    cap, zs = QT_CAP, QT_MAX_Z
+    return (
+        f"WITH p AS ({P.IPOINTS_SELECT}), "
+        f"z AS (SELECT * FROM generate_series(0, {zs}) t(z)), "
+        f"c AS (SELECT z.z, p.ix // (1 << (16 - z.z)) AS cx, "
+        "p.iy // (1 << (16 - z.z)) AS cy, count(*) AS n "
+        "FROM p, z GROUP BY 1, 2, 3), "
+        "j AS (SELECT c.z, c.cx, c.cy, c.n, par.n AS pn FROM c "
+        "LEFT JOIN c par ON par.z = c.z - 1 "
+        "AND par.cx = c.cx // 2 AND par.cy = c.cy // 2) "
+        "SELECT CAST(z AS INTEGER) AS z, cx, cy, "
+        "CAST(n AS BIGINT) AS n_points FROM j "
+        f"WHERE (z = 0 OR pn > {cap}) AND (n <= {cap} OR z = {zs})"
+    )
+
+
+HH_K = 31             # Misra-Gries counters; heavy = freq > N/(k+1)
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token heavy hitters by the two-pass Misra-Gries pattern:
+    bounded deterministic candidate summaries per partition, merged,
+    then an exact broadcast-probe recount (operators/sketches.
+    heavy_hitters). The oracle computes the same set the direct way, so
+    the gate proves the pigeonhole guarantee end to end."""
+    from geobuf_cpp_spark.operators.sketches import heavy_hitters
+
+    _prep(spark, sf_dir, "documents")
+    return heavy_hitters(spark.table("documents"), HH_K)
+
+
+def _heavy_hitters_sql() -> str:
+    k1 = HH_K + 1
+    return (
+        "WITH t AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) "
+        "AS tok FROM documents), "
+        "c AS (SELECT tok, count(*) AS n FROM t WHERE tok <> '' "
+        "GROUP BY tok) "
+        "SELECT tok, CAST(n AS BIGINT) AS n FROM c "
+        f"WHERE n * {k1} > (SELECT count(*) FROM t WHERE tok <> '')"
+    )
+
+
+CONT_NUM, CONT_DEN = 4, 5   # containment threshold 0.8, exact rational
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment near-dup pairs (partial-copy /
+    quotation detection): |S_a cap S_b| / min(|S_a|, |S_b|) >= 4/5 as
+    an exact integer cross-multiplication over the inverted shingle
+    index (operators/dedup.shingle_containment_pairs)."""
+    from geobuf_cpp_spark.operators.dedup import shingle_containment_pairs
+
+    _prep(spark, sf_dir, "documents")
+    return shingle_containment_pairs(
+        spark.table("documents"), CONT_NUM, CONT_DEN)
+
+
+def _containment_sql() -> str:
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents WHERE len(string_split(text, ' ')) >= 3), "
+        "idx AS (SELECT doc_id, toks, "
+        "unnest(generate_series(1, len(toks) - 2)) AS i FROM t), "
+        "sh AS (SELECT doc_id, toks[CAST(i AS INT)] || ' ' || "
+        "toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2] "
+        "AS shingle FROM idx), "
+        "ds AS (SELECT DISTINCT doc_id, shingle FROM sh), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "count(*) AS i FROM ds a JOIN ds b "
+        "ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT id_a, id_b, CAST(i AS BIGINT) AS i, "
+        "CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b "
+        "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+        "JOIN sizes sb ON sb.doc_id = id_b "
+        f"WHERE i * {CONT_DEN} >= {CONT_NUM} * least(sa.n, sb.n)"
+    )
+
+
 # 1-degree bands: at sf0.01 the ~45k-cell grid stays sub-percolation
 # (dense-cell fraction « 0.59), so components are small and the DuckDB
 # recursive-closure oracle (quadratic in component size) stays cheap;
@@ -3472,6 +3605,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traj_diameter": q_traj_diameter,
         "kde_heat": q_kde_heat,
         "postings_lists": q_postings_lists,
+        "union_area": q_union_area,
+        "adaptive_tiles": q_adaptive_tiles,
+        "heavy_hitters": q_heavy_hitters,
+        "containment": q_containment,
         "cusum_change": q_cusum_change,
         "snapshot_evolve": q_snapshot_evolve,
         "self_crossings": q_self_crossings,
@@ -5297,6 +5434,10 @@ def oracle_sql() -> dict[str, str]:
         "traj_diameter": _traj_diameter_sql(),
         "kde_heat": _kde_heat_sql(),
         "postings_lists": _postings_lists_sql(),
+        "union_area": _union_area_sql(),
+        "adaptive_tiles": _adaptive_tiles_sql(),
+        "heavy_hitters": _heavy_hitters_sql(),
+        "containment": _containment_sql(),
         "admin_neighbors": (
             f"WITH b AS ({P.IBOXES_SELECT}) "
             "SELECT a.admin_id AS id_a, c.admin_id AS id_b, "

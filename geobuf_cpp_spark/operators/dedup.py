@@ -822,3 +822,63 @@ def prefix_jaccard_pairs(docs_df, threshold: float = 0.5, w: int = 3,
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def shingle_containment_pairs(docs_df, thr_num: int = 4, thr_den: int = 5,
+                              w: int = 3, id_col: str = "doc_id",
+                              text_col: str = "text"):
+    """EXACT shingle-containment pairs — the ASYMMETRIC near-dup
+    detector Jaccard misses: a short document pasted into a long one
+    has tiny Jaccard (the union is dominated by the long doc) but
+    containment |S(A) cap S(B)| / min(|S(A)|, |S(B)|) ~ 1. This is the
+    partial-copy / quotation / boilerplate-inclusion case a web-corpus
+    dedup pass must catch (Broder's containment measure, the other half
+    of the resemblance/containment pair from the original shingling
+    paper).
+
+    Same all-JVM inverted-shingle-index plan as ``ngram_jaccard_pairs``
+    (split -> shingle explode -> DISTINCT sets -> shingle equi-join ->
+    size joins), with the threshold applied as an exact integer
+    cross-multiplication: keep pairs with
+    inter * thr_den >= thr_num * least(n_a, n_b) — no float division
+    anywhere, so both engines agree bit-for-bit. Same skew exposure as
+    the Jaccard twin (exactness forbids bucket caps); the LSH variants
+    are the scale-out candidate tier.
+
+    Returns (id_a, id_b, i, n_a, n_b): id_a < id_b, i = shared
+    distinct shingles, n_* = distinct-shingle set sizes.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = docs_df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    ).filter(F.size("toks") >= w)
+    idx = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (w - 1))).alias("i"),
+    )
+    shingle = F.concat_ws(
+        " ", *[F.element_at("toks", F.col("i") + F.lit(k)) for k in range(w)]
+    )
+    ds = idx.select("doc_id", shingle.alias("shingle")).distinct()
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        ds.select(F.col("doc_id").alias("id_a"), "shingle")
+        .join(ds.select(F.col("doc_id").alias("id_b"), "shingle"),
+              "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"),
+                                F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("n").alias("n_b")), "id_b")
+        .filter(
+            F.col("i") * int(thr_den)
+            >= int(thr_num) * F.least("n_a", "n_b"))
+        .select("id_a", "id_b", "i",
+                F.col("n_a").cast("long").alias("n_a"),
+                F.col("n_b").cast("long").alias("n_b"))
+    )

@@ -574,3 +574,112 @@ def ams_sketch_grouped(docs_df: DataFrame, group_col: str = "source",
     ).select(group_col,
              F.col("r").cast("int").alias("r"),
              F.col("counter").cast("long").alias("counter"))
+
+
+def _mg_summaries(toks: DataFrame, k: int) -> DataFrame:
+    """Per-partition Misra-Gries (Frequent) summaries over a token
+    column. Each partition keeps at most k counters: per Arrow batch,
+    value_counts folds into the running dict, then one batched
+    decrement (subtract the (k+1)-th largest count, drop non-positive)
+    restores the size bound — O(k log k) per batch, no per-row Python.
+    """
+    import pandas as pd
+
+    kk = int(k)
+
+    def gen(batches):
+        cnt: dict = {}
+        for pdf in batches:
+            for tok, c in pdf["tok"].value_counts().items():
+                cnt[tok] = cnt.get(tok, 0) + int(c)
+            if len(cnt) > kk:
+                vals = sorted(cnt.values(), reverse=True)
+                sub = vals[kk]
+                cnt = {t: c - sub for t, c in cnt.items() if c > sub}
+        yield pd.DataFrame({"tok": list(cnt), "est": list(cnt.values())})
+
+    return toks.select("tok").mapInPandas(gen, "tok string, est long")
+
+
+def misra_gries_candidates(docs_df: DataFrame, k: int,
+                           text_col: str = "text") -> DataFrame:
+    """Merged Misra-Gries summary — the DETERMINISTIC heavy-hitter
+    sketch (vs the probabilistic CMS above): every token with true
+    frequency > N/(k+1) is guaranteed present after the merge
+    (pigeonhole; Agarwal et al., "Mergeable Summaries", PODS'12 —
+    merge by adding summaries, then subtract the (k+1)-th largest
+    merged weight).
+
+    Per-partition summaries (<= k rows each) merge through a tiny hash
+    agg; the final decrement runs over <= partitions * k rows (the
+    global window is over that bounded set, not the corpus). Output
+    size <= k regardless of corpus size — the entire point.
+
+    Returns (tok, est): lower-bound estimates, est <= true frequency,
+    true - est <= N/(k+1).
+    """
+    kk = int(k)
+    merged = (
+        _mg_summaries(_tokens(docs_df, text_col), kk)
+        .groupBy("tok").agg(F.sum("est").alias("est"))
+    )
+    ranked = merged.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("est"), "tok")))
+    sub = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == kk + 1, F.col("est"))), F.lit(0)
+        ).alias("sub"))
+    return (
+        ranked.crossJoin(F.broadcast(sub))
+        .where(F.col("est") > F.col("sub"))
+        .select("tok",
+                (F.col("est") - F.col("sub")).cast("long").alias("est"))
+    )
+
+
+def heavy_hitters(docs_df: DataFrame, k: int,
+                  text_col: str = "text") -> DataFrame:
+    """EXACT heavy hitters via the classic two-pass sketch pattern:
+    pass 1 builds the merged Misra-Gries candidate set (bounded
+    superset of every token with freq > N/(k+1)); pass 2 re-scans the
+    corpus counting ONLY candidates (broadcast hash join — the
+    candidate dim is <= k rows) and keeps those with
+    count * (k+1) > N, the exact integer form of freq > N/(k+1).
+
+    This is how a 100 TB job finds exact hot keys without aggregating
+    the full Heaps-law vocabulary: the second pass shuffles only
+    candidate tokens (bounded), everything else dies map-side at the
+    broadcast probe. The MG guarantee makes the result EXACTLY equal
+    to the direct filter — gated against a DuckDB oracle that computes
+    it the direct way, so the gate proves the pigeonhole bound, not
+    just the plumbing.
+
+    Returns (tok, n) for every token with n * (k+1) > N (N = total
+    token count, including tokens never near the summary).
+    """
+    toks = _tokens(docs_df, text_col).localCheckpoint(eager=False)
+    merged = (
+        _mg_summaries(toks, int(k))
+        .groupBy("tok").agg(F.sum("est").alias("est"))
+    )
+    ranked = merged.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("est"), "tok")))
+    sub = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == int(k) + 1, F.col("est"))),
+            F.lit(0),
+        ).alias("sub"))
+    cand = (
+        ranked.crossJoin(F.broadcast(sub))
+        .where(F.col("est") > F.col("sub")).select("tok")
+    )
+    total = toks.agg(F.count("*").alias("n_total"))
+    counts = (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok").agg(F.count("*").cast("long").alias("n"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("n") * (int(k) + 1) > F.col("n_total"))
+        .select("tok", "n")
+    )

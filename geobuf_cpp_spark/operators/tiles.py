@@ -240,3 +240,65 @@ def tile_pyramid(points_df, z_base: int, z_min: int,
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def adaptive_quadtree(points_df, cap: int, max_z: int, root_pow: int = 16,
+                      x_col: str = "ix", y_col: str = "iy"):
+    """Adaptive quadtree leaf decomposition: split every tile that holds
+    more than ``cap`` points, down to ``max_z`` — the data-dependent
+    tiling behind vector-tile serving and spatial load balancing (a
+    uniform zoom either over-splits empty ocean or under-splits cities;
+    the reference's fixed-precision grid has no answer to skew).
+
+    Leaf rule, per occupied cell at level z (cell width 2^(root_pow-z)):
+    a cell is a leaf iff its ancestor chain says the split stopped
+    there — (z == 0 OR parent_count > cap) AND (count <= cap OR
+    z == max_z). Counts are non-increasing down the chain, so exactly
+    one cell per point's chain matches: leaves PARTITION the points
+    (sum of leaf counts == N, pytest-asserted).
+
+    Plan: one scan explodes each point to its (max_z + 1) ancestor
+    cells; one hash agg counts every (z, cx, cy); a self equi-join on
+    the parent key ((z-1, cx div 2, cy div 2)) attaches parent counts.
+    Shuffle O((max_z+1) * points) on small int keys, then O(occupied
+    cells) — never a per-level pass over the corpus, and no driver
+    iteration: the whole recursion is one join because "split further"
+    depends only on (count, parent count). Coordinates must be
+    non-negative lattice ints < 2^root_pow.
+
+    Returns (z, cx, cy, n_points) for each leaf.
+    """
+    zs = int(max_z)
+    counts = (
+        points_df.select(
+            F.col(x_col).cast("long").alias("px"),
+            F.col(y_col).cast("long").alias("py"),
+        )
+        .select(
+            "px", "py",
+            F.explode(F.sequence(F.lit(0), F.lit(zs))).alias("z"),
+        )
+        .groupBy(
+            "z",
+            F.expr(f"shiftright(px, {int(root_pow)} - z)").alias("cx"),
+            F.expr(f"shiftright(py, {int(root_pow)} - z)").alias("cy"),
+        )
+        .agg(F.count("*").cast("long").alias("n_points"))
+        .localCheckpoint(eager=False)
+    )
+    parents = counts.select(
+        (F.col("z") + 1).alias("pz"),
+        F.col("cx").alias("pcx"), F.col("cy").alias("pcy"),
+        F.col("n_points").alias("parent_n"),
+    )
+    joined = counts.join(
+        parents,
+        (F.col("z") == F.col("pz"))
+        & (F.expr("cx div 2") == F.col("pcx"))
+        & (F.expr("cy div 2") == F.col("pcy")),
+        "left",
+    ).select("z", "cx", "cy", "n_points", "parent_n")
+    return joined.where(
+        ((F.col("z") == 0) | (F.col("parent_n") > cap))
+        & ((F.col("n_points") <= cap) | (F.col("z") == zs))
+    ).select("z", "cx", "cy", "n_points")

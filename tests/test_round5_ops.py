@@ -1678,3 +1678,120 @@ def test_inverted_index_postings_sorted_and_pruned(spark):
     # numeric sort (1,2,10), per-doc dedup of the double 'a', empty
     # token from the double space dropped, hapax 'c' pruned
     assert got == {"a": (3, "1,2,10"), "b": (2, "1,10")}
+
+
+def test_rect_union_area_overlaps_and_gaps(spark):
+    """Union area of overlapping + disjoint + nested boxes == the
+    brute-force lattice count; per-slab rows carry exact coverage."""
+    from geobuf_cpp_spark.operators.spatial_stats import rect_union_area
+
+    boxes = [
+        (1, 0, 0, 10, 10),        # base
+        (2, 5, 5, 15, 12),        # overlaps 1
+        (3, 20, 0, 25, 4),        # disjoint
+        (4, 1, 1, 3, 3),          # nested inside 1
+        (5, -7, -5, -2, -1),      # negative quadrant
+    ]
+    df = spark.createDataFrame(
+        boxes, "admin_id long, lon0 long, lat0 long, lon1 long, lat1 long")
+    rows = rect_union_area(df, block=8).collect()
+    total = sum(r.area for r in rows)
+    # brute force over unit lattice cells
+    brute = sum(
+        1
+        for x in range(-10, 30)
+        for y in range(-10, 15)
+        if any(x0 <= x < x1 and y0 <= y < y1
+               for _, x0, y0, x1, y1 in boxes)
+    )
+    assert total == brute
+    # every slab's covered length <= slab count of any y-range
+    for r in rows:
+        assert 0 < r.covered and r.area == (r.slab_x1 - r.slab_x0) * r.covered
+
+
+def test_adaptive_quadtree_leaves_partition_points(spark):
+    """Leaves are disjoint, cover every point, and obey the cap except
+    at forced max depth."""
+    from geobuf_cpp_spark.operators.tiles import adaptive_quadtree
+
+    # clustered + sparse points: dense blob at origin, scatter elsewhere
+    pts = [(i, i % 40, (i * 7) % 40) for i in range(400)]
+    pts += [(1000 + i, 30000 + (i * 13) % 5000, 10000 + (i * 29) % 5000)
+            for i in range(100)]
+    df = spark.createDataFrame(pts, "point_id long, ix long, iy long")
+    leaves = adaptive_quadtree(df, cap=32, max_z=6).collect()
+    assert sum(x.n_points for x in leaves) == len(pts)
+    # cap respected except forced leaves at max depth
+    for x in leaves:
+        assert x.n_points <= 32 or x.z == 6
+    # leaves are disjoint: no leaf is an ancestor of another
+    cells = {(x.z, x.cx, x.cy) for x in leaves}
+    for z, cx, cy in cells:
+        for za in range(z):
+            assert (za, cx >> (z - za), cy >> (z - za)) not in cells
+
+
+def test_heavy_hitters_two_pass_exact(spark):
+    """Two-pass MG == direct exact heavy set, at two parallelism
+    levels (the merge guarantee is what makes them equal)."""
+    from collections import Counter
+    from geobuf_cpp_spark.operators.sketches import heavy_hitters
+
+    words = []
+    for i in range(500):
+        words.append("hot" if i % 3 == 0 else f"w{i % 97}")
+    docs = [(i, " ".join(words[i * 50:(i + 1) * 50])) for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cnt = Counter(words)
+    n = len(words)
+    k = 7
+    expect = {(w, c) for w, c in cnt.items() if c * (k + 1) > n}
+    for parts in (1, 8):
+        got = {(x.tok, x.n)
+               for x in heavy_hitters(df.repartition(parts), k).collect()}
+        assert got == expect and ("hot", cnt["hot"]) in got
+
+
+def test_misra_gries_candidates_bound_and_superset(spark):
+    """Merged MG summary: size <= k, underestimates, and contains every
+    token above the N/(k+1) threshold."""
+    from collections import Counter
+    from geobuf_cpp_spark.operators.sketches import misra_gries_candidates
+
+    words = [f"t{i % 13}" for i in range(400)] + ["mega"] * 200
+    docs = [(i, " ".join(words[i * 60:(i + 1) * 60])) for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    k = 5
+    got = {x.tok: x.est for x in
+           misra_gries_candidates(df.repartition(4), k).collect()}
+    assert len(got) <= k
+    cnt = Counter(w for _, t in docs for w in t.split(" ") if w)
+    n = sum(cnt.values())
+    for tok, est in got.items():
+        assert est <= cnt[tok]
+    for tok, c in cnt.items():
+        if c * (k + 1) > n:
+            assert tok in got, f"heavy token {tok} missing"
+
+
+def test_shingle_containment_catches_partial_copy(spark):
+    """A short doc pasted into a long one: low Jaccard, high
+    containment — the asymmetric detector fires, Jaccard's would not."""
+    from geobuf_cpp_spark.operators.dedup import (
+        ngram_jaccard_pairs, shingle_containment_pairs)
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"x{i}" for i in range(60))
+    docs = [(1, quote), (2, filler + " " + quote),
+            (3, "unrelated words only here today")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {(x.id_a, x.id_b): (x.i, x.n_a, x.n_b)
+             for x in shingle_containment_pairs(df, 4, 5).collect()}
+    assert (1, 2) in pairs
+    i, n_a, n_b = pairs[(1, 2)]
+    assert i == n_a == 4  # all 4 shingles of the quote appear in doc 2
+    # the symmetric Jaccard at 0.5 misses the same pair
+    jac = {(x.id_a, x.id_b)
+           for x in ngram_jaccard_pairs(df, 0.5).collect()}
+    assert (1, 2) not in jac

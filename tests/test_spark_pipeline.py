@@ -747,6 +747,7 @@ def test_whole_surface_plan_hygiene(spark):
         "ripley_k",                  # broadcast single-row totals
         "ams_f2",                    # 1-row est x 1-row exact combine
         "admin_neighbors",           # 25-box dimension self-join
+        "heavy_hitters",             # broadcast 1-row threshold scalars
     }
     # declared Arrow-batched Python kernels (codec, geometry, ANN, media)
     python_ok = {
@@ -754,7 +755,7 @@ def test_whole_surface_plan_hygiene(spark):
         "geom_centroid",
         "geobuf_files", "geobuf_roundtrip", "geobuf_roundtrip_3d",
         "geobuf_size_stats", "geohash_assign", "hilbert_index",
-        "hilbert_ranges", "traj_diameter",
+        "hilbert_ranges", "traj_diameter", "heavy_hitters",
         "incremental_neardup", "ivf_pruned", "ivfpq_topk",
         "lsh_neardup", "media_features",
         "media_stats", "minhash_neardup", "pip_boxes_agg", "wav_stats",
