@@ -3182,6 +3182,95 @@ def _containment_sql() -> str:
     )
 
 
+PPS_N = 100           # systematic PPS sample size
+
+
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic PPS sample of documents weighted by
+    n_chars, via the two-level distributed prefix sum
+    (operators/curation.pps_systematic_sample); the oracle computes the
+    same multiplicities with a single global window cumsum."""
+    from geobuf_cpp_spark.operators.curation import pps_systematic_sample
+
+    _prep(spark, sf_dir, "documents")
+    return pps_systematic_sample(
+        spark.table("documents"), PPS_N, "n_chars")
+
+
+def _pps_sample_sql() -> str:
+    n = PPS_N
+    return (
+        "WITH w AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS wt "
+        "FROM documents WHERE n_chars > 0), "
+        "c AS (SELECT id, wt, sum(wt) OVER (ORDER BY id "
+        "ROWS UNBOUNDED PRECEDING) AS c FROM w), "
+        "t AS (SELECT CAST(sum(wt) AS BIGINT) AS W FROM w) "
+        f"SELECT id AS doc_id, wt AS weight, "
+        f"CAST((c * {n}) // W - ((c - wt) * {n}) // W AS BIGINT) AS mult "
+        f"FROM c, t WHERE (c * {n}) // W - ((c - wt) * {n}) // W >= 1"
+    )
+
+
+JUMP_VMAX = 5         # lattice units per second, exact rational 5/1
+
+
+def q_gps_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Teleportation cleaning pass over the ping stream: consecutive
+    pairs with implied speed > JUMP_VMAX, cross-multiplied in BIGINT
+    (operators/trajectory.gps_jumps) — no sqrt, no floats."""
+    from geobuf_cpp_spark.operators.trajectory import gps_jumps
+
+    _prep(spark, sf_dir, "events")
+    return gps_jumps(spark.sql(P.IPINGS_SELECT), JUMP_VMAX)
+
+
+def _gps_jumps_sql() -> str:
+    v2 = JUMP_VMAX * JUMP_VMAX
+    return (
+        f"WITH p AS ({P.IPINGS_SELECT}), "
+        "q AS (SELECT user_id, event_id, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS e, ix, iy FROM p), "
+        "l AS (SELECT user_id, event_id AS seq, e, ix, iy, "
+        "lag(e) OVER w AS pe, lag(ix) OVER w AS px, "
+        "lag(iy) OVER w AS py FROM q "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id)) "
+        "SELECT user_id, seq, CAST(e - pe AS BIGINT) AS dt, "
+        "CAST((ix - px) * (ix - px) + (iy - py) * (iy - py) AS BIGINT) "
+        "AS d2 FROM l WHERE pe IS NOT NULL AND "
+        "(ix - px) * (ix - px) + (iy - py) * (iy - py) "
+        f"> {v2} * (e - pe) * (e - pe)"
+    )
+
+
+def q_geofence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence enter/exit transition stream: per-user region changes
+    over the admin boxes (broadcast PIP + min-resolution + one lag
+    window, operators/trajectory.geofence_events); outside-all-boxes
+    is the explicit -1 state, first ping always transitions from -2."""
+    from geobuf_cpp_spark.operators.trajectory import geofence_events
+
+    _prep(spark, sf_dir, "events", "nation")
+    return geofence_events(
+        spark.sql(P.IPINGS_SELECT), spark.sql(P.IBOXES_SELECT))
+
+
+def _geofence_events_sql() -> str:
+    return (
+        f"WITH p AS ({P.IPINGS_SELECT}), b AS ({P.IBOXES_SELECT}), "
+        "q AS (SELECT user_id, event_id, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS e, ix, iy FROM p), "
+        "r AS (SELECT q.user_id, q.event_id AS seq, q.e, "
+        "CAST(COALESCE(min(b.admin_id), -1) AS BIGINT) AS region "
+        "FROM q LEFT JOIN b ON q.ix >= b.lon0 AND q.ix < b.lon1 "
+        "AND q.iy >= b.lat0 AND q.iy < b.lat1 GROUP BY 1, 2, 3), "
+        "l AS (SELECT user_id, seq, e, region, "
+        "CAST(COALESCE(lag(region) OVER (PARTITION BY user_id "
+        "ORDER BY e, seq), -2) AS BIGINT) AS prev_region FROM r) "
+        "SELECT user_id, seq, e, region, prev_region FROM l "
+        "WHERE region <> prev_region"
+    )
+
+
 # 1-degree bands: at sf0.01 the ~45k-cell grid stays sub-percolation
 # (dense-cell fraction « 0.59), so components are small and the DuckDB
 # recursive-closure oracle (quadratic in component size) stays cheap;
@@ -3609,6 +3698,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_tiles": q_adaptive_tiles,
         "heavy_hitters": q_heavy_hitters,
         "containment": q_containment,
+        "pps_sample": q_pps_sample,
+        "gps_jumps": q_gps_jumps,
+        "geofence_events": q_geofence_events,
         "cusum_change": q_cusum_change,
         "snapshot_evolve": q_snapshot_evolve,
         "self_crossings": q_self_crossings,
@@ -5438,6 +5530,9 @@ def oracle_sql() -> dict[str, str]:
         "adaptive_tiles": _adaptive_tiles_sql(),
         "heavy_hitters": _heavy_hitters_sql(),
         "containment": _containment_sql(),
+        "pps_sample": _pps_sample_sql(),
+        "gps_jumps": _gps_jumps_sql(),
+        "geofence_events": _geofence_events_sql(),
         "admin_neighbors": (
             f"WITH b AS ({P.IBOXES_SELECT}) "
             "SELECT a.admin_id AS id_a, c.admin_id AS id_b, "

@@ -254,3 +254,74 @@ def robots_filter(urls_df: DataFrame, rules_df: DataFrame) -> DataFrame:
         F.coalesce("matched_prefix", F.lit("")).alias("matched_prefix"),
         F.coalesce("allowed", F.lit(1)).cast("int").alias("allowed"),
     )
+
+
+def pps_systematic_sample(df: DataFrame, n: int, weight_col: str,
+                          id_col: str = "doc_id",
+                          bucket_width: int = 256) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling — the
+    deterministic mixture-builder's tool: pick ~n documents where a
+    document's selection count is proportional to its weight (chars,
+    tokens, quality mass), with ZERO randomness and exact integer
+    arithmetic.
+
+    Classic systematic PPS over the id-ordered weight line: with total
+    weight W and selection step W/n, item i (cumulative range
+    [c_i - w_i, c_i)) is selected once per multiple of W/n inside its
+    range — multiplicity floor(c_i * n / W) - floor((c_i - w_i) * n / W),
+    all BIGINT (no division by the rational step anywhere).
+
+    The prefix sum is the interesting part at scale: a global window
+    would serialize on one partition, so this runs the two-level scan —
+    bucket ids by id div bucket_width, per-bucket totals (tiny), ONE
+    bounded window over the bucket directory for bucket offsets, then
+    the within-bucket running sum as a window PARTITIONed by bucket.
+    Every corpus-sized stage is parallel; the only global order is over
+    the bounded bucket directory (same concession as the union-area
+    slab directory).
+
+    Returns (id, weight, mult) for items with mult >= 1; sum(mult) == n
+    exactly when W divides the grid, and n or n+1-ish otherwise — the
+    invariant sum(mult) == n holds whenever all weights < W/n (no item
+    spans two grid points) and is pytest-checked for that regime.
+    """
+    from pyspark.sql import Window
+
+    nn = int(n)
+    w = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(weight_col).cast("long").alias("wt"),
+        )
+        .where(F.col("wt") > 0)
+        .withColumn("bkt", F.expr(f"id div {int(bucket_width)}"))
+    )
+    btot = w.groupBy("bkt").agg(F.sum("wt").alias("bw"))
+    # bounded directory: one window over <= (max_id / bucket_width) rows
+    boff = btot.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("bw").over(
+                Window.orderBy("bkt")
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    tot = btot.agg(F.sum("bw").alias("W"))
+    inner = Window.partitionBy("bkt").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = (
+        w.join(F.broadcast(boff.select("bkt", "off")), "bkt")
+        .withColumn("c", F.col("off") + F.sum("wt").over(inner))
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "mult",
+            (F.expr(f"(c * {nn}) div W")
+             - F.expr(f"((c - wt) * {nn}) div W")).cast("long"),
+        )
+        .where(F.col("mult") >= 1)
+        .select(F.col("id").alias(id_col),
+                F.col("wt").cast("long").alias("weight"), "mult")
+    )

@@ -347,3 +347,113 @@ def traj_diameter(pings: DataFrame, entity_col: str = "user_id",
         .applyInPandas(per_entity, "entity long, n_pings long, diam2 long")
         .withColumnRenamed("entity", entity_col)
     )
+
+
+def gps_jumps(pings: DataFrame, vmax_num: int, vmax_den: int = 1,
+              entity_col: str = "user_id", ts_col: str = "ts",
+              x_col: str = "ix", y_col: str = "iy",
+              seq_col: str = "event_id") -> DataFrame:
+    """Teleportation detection — the first cleaning pass every GPS /
+    geotagged-web corpus needs: flag consecutive ping pairs whose
+    implied speed exceeds vmax, i.e. dx^2 + dy^2 > (vmax * dt)^2.
+
+    The comparison runs fully cross-multiplied in BIGINT with a
+    rational vmax = vmax_num / vmax_den (lattice units per second):
+
+        (dx^2 + dy^2) * vmax_den^2  >  vmax_num^2 * dt^2
+
+    — no sqrt, no floats, bit-identical across engines. dt uses
+    floor()ed epoch seconds (the cross-engine discipline of
+    colocation). Zero-dt pairs with any displacement are always jumps
+    (infinite speed); zero-dt zero-displacement pairs are not.
+
+    Plan: one lag() window per entity ordered by (ts, seq) — the
+    shuffle is the entity repartition a trajectory pipeline already
+    pays once and shares across gap/dwell/speed passes. Per-row O(1).
+
+    Returns (entity, seq, dt, d2) per flagged pair, seq = the later
+    ping's sequence id.
+    """
+    from pyspark.sql import Window
+
+    vn, vd = int(vmax_num), int(vmax_den)
+    w = Window.partitionBy("entity").orderBy("e", "seq")
+    base = pings.select(
+        F.col(entity_col).alias("entity"),
+        F.col(seq_col).alias("seq"),
+        F.floor(F.unix_timestamp(ts_col).cast("double")).cast("long")
+        .alias("e"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    lagged = base.select(
+        "entity", "seq", "e", "x", "y",
+        F.lag("e").over(w).alias("pe"),
+        F.lag("x").over(w).alias("px"),
+        F.lag("y").over(w).alias("py"),
+    ).where(F.col("pe").isNotNull())
+    d2 = (F.col("x") - F.col("px")) ** 2 + (F.col("y") - F.col("py")) ** 2
+    dt = F.col("e") - F.col("pe")
+    return (
+        lagged.withColumn("dt", dt.cast("long"))
+        .withColumn("d2", d2.cast("long"))
+        .where(F.col("d2") * (vd * vd) > (vn * vn) * F.col("dt")
+               * F.col("dt"))
+        .select(F.col("entity").alias(entity_col), "seq", "dt", "d2")
+    )
+
+
+def geofence_events(pings: DataFrame, boxes: DataFrame,
+                    entity_col: str = "user_id", ts_col: str = "ts",
+                    x_col: str = "ix", y_col: str = "iy",
+                    seq_col: str = "event_id") -> DataFrame:
+    """Geofence transition stream: per entity, the pings where the
+    containing admin region CHANGED since the previous ping — the
+    enter/exit event feed behind location-based alerting, visit
+    attribution, and region-level session cuts.
+
+    Region resolution is the broadcast PIP the pip gates use (boxes is
+    a dimension: lon0/lat0/lon1/lat1 half-open boxes); overlapping
+    boxes resolve to min(admin_id) so the assignment is a function.
+    Outside-every-box is region -1, a real state (leaving all fences
+    IS an exit event). The transition test is one lag() per entity over
+    (ts, seq); the first ping of every entity is an unconditional
+    entry event (prev state "nowhere" = -2 sentinel never equals any
+    region).
+
+    Plan: broadcast range-predicate join (25-box dim — the declared
+    BNLJ pairing of the pip family) + min() agg + one entity window.
+    Shuffles: one groupBy and one window, both on the entity key.
+
+    Returns (entity, seq, e, region, prev_region) per transition.
+    """
+    from pyspark.sql import Window
+
+    base = pings.select(
+        F.col(entity_col).alias("entity"),
+        F.col(seq_col).alias("seq"),
+        F.floor(F.unix_timestamp(ts_col).cast("double")).cast("long")
+        .alias("e"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    hit = (
+        base.join(
+            F.broadcast(boxes),
+            (F.col("x") >= F.col("lon0")) & (F.col("x") < F.col("lon1"))
+            & (F.col("y") >= F.col("lat0")) & (F.col("y") < F.col("lat1")),
+            "left",
+        )
+        .groupBy("entity", "seq", "e")
+        .agg(F.coalesce(F.min("admin_id"), F.lit(-1)).cast("long")
+             .alias("region"))
+    )
+    w = Window.partitionBy("entity").orderBy("e", "seq")
+    return (
+        hit.withColumn(
+            "prev_region",
+            F.coalesce(F.lag("region").over(w), F.lit(-2)).cast("long"))
+        .where(F.col("region") != F.col("prev_region"))
+        .select(F.col("entity").alias(entity_col), "seq", "e",
+                "region", "prev_region")
+    )

@@ -1795,3 +1795,72 @@ def test_shingle_containment_catches_partial_copy(spark):
     jac = {(x.id_a, x.id_b)
            for x in ngram_jaccard_pairs(df, 0.5).collect()}
     assert (1, 2) not in jac
+
+
+def test_pps_sample_multiplicity_and_two_level_scan(spark):
+    """sum(mult) == n when no weight spans a grid step; heavy item gets
+    multiplicity > 1; result invariant to input partitioning (the
+    two-level prefix sum is order-deterministic)."""
+    from geobuf_cpp_spark.operators.curation import pps_systematic_sample
+
+    rows = [(i, 10) for i in range(100)]          # W=1000, step=10 @ n=100
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = pps_systematic_sample(df, 20, "n_chars", bucket_width=16).collect()
+    assert sum(x.mult for x in got) == 20
+    assert all(x.mult == 1 for x in got)
+
+    heavy = [(0, 500)] + [(i, 5) for i in range(1, 101)]  # W=1000, n=10
+    hdf = spark.createDataFrame(heavy, "doc_id long, n_chars long")
+    for parts in (1, 7):
+        hs = {x.doc_id: x.mult for x in pps_systematic_sample(
+            hdf.repartition(parts), 10, "n_chars", bucket_width=8
+        ).collect()}
+        assert hs[0] == 5          # half the mass -> half the picks
+        assert sum(hs.values()) == 10
+
+
+def test_gps_jumps_exact_threshold(spark):
+    """Boundary cases: speed exactly vmax is NOT a jump; zero-dt with
+    displacement IS; zero-dt zero-move is not."""
+    from pyspark.sql import functions as F
+    from geobuf_cpp_spark.operators.trajectory import gps_jumps
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", 0, 0),
+        (2, 1, "2024-01-01 00:00:10", 30, 40),   # d=50, dt=10, v=5 == vmax
+        (3, 1, "2024-01-01 00:00:20", 90, 120),  # d=100, dt=10, v=10 > 5
+        (4, 1, "2024-01-01 00:00:20", 91, 120),  # dt=0, moved: jump
+        (5, 1, "2024-01-01 00:00:20", 91, 120),  # dt=0, same spot: not
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, ix long, iy long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {x.seq: (x.dt, x.d2) for x in gps_jumps(df, 5).collect()}
+    assert set(got) == {3, 4}
+    assert got[3] == (10, 60 * 60 + 80 * 80)
+    assert got[4] == (0, 1)
+
+
+def test_geofence_events_enter_exit_overlap(spark):
+    """First ping enters from -2; leaving all boxes emits region -1;
+    overlapping boxes resolve to min id; no event without a change."""
+    from pyspark.sql import functions as F
+    from geobuf_cpp_spark.operators.trajectory import geofence_events
+
+    boxes = spark.createDataFrame(
+        [(1, 0, 0, 10, 10), (2, 5, 5, 20, 20)],
+        "admin_id long, lon0 long, lat0 long, lon1 long, lat1 long")
+    rows = [
+        (1, 7, "2024-01-01 00:00:00", 2, 2),    # enter 1
+        (2, 7, "2024-01-01 00:00:01", 3, 3),    # still 1: no event
+        (3, 7, "2024-01-01 00:00:02", 7, 7),    # overlap -> min = 1: none
+        (4, 7, "2024-01-01 00:00:03", 15, 15),  # box 2 only: enter 2
+        (5, 7, "2024-01-01 00:00:04", 99, 99),  # outside: enter -1
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, ix long, iy long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = [(x.seq, x.region, x.prev_region)
+           for x in sorted(geofence_events(df, boxes).collect(),
+                           key=lambda r: r.seq)]
+    assert got == [(1, 1, -2), (4, 2, 1), (5, -1, 2)]

@@ -748,6 +748,8 @@ def test_whole_surface_plan_hygiene(spark):
         "ams_f2",                    # 1-row est x 1-row exact combine
         "admin_neighbors",           # 25-box dimension self-join
         "heavy_hitters",             # broadcast 1-row threshold scalars
+        "geofence_events",           # 25-box broadcast PIP dimension
+        "pps_sample",                # broadcast 1-row total weight
     }
     # declared Arrow-batched Python kernels (codec, geometry, ANN, media)
     python_ok = {
