@@ -3601,14 +3601,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- block 1: never driver-signed through r4 (43) -------------------
         "ngram_jaccard": q_ngram_jaccard,
-        "ann_topk": q_ann_topk,
-        "ann_ivf": q_ann_ivf,
+        "colocation": q_colocation,
+        "union_area": q_union_area,
         "pq_ann_topk": q_pq_ann_topk,
         "lsh_neardup": q_lsh_neardup,
         "ivf_pruned": q_ivf_pruned,
         "ivfpq_topk": q_ivfpq_topk,
-        "media_stats": q_media_stats,
-        "media_features": q_media_features,
+        "adaptive_tiles": q_adaptive_tiles,
+        "heavy_hitters": q_heavy_hitters,
         "range_join": q_range_join,
         "range_join_wrap": q_range_join_wrap,
         "segment_crossings": q_segment_crossings,
@@ -3690,13 +3690,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "admin_neighbors": q_admin_neighbors,
         "grid_cluster_geo": wrap(q_grid_cluster_geo),
         "hilbert_ranges": q_hilbert_ranges,
-        "colocation": q_colocation,
+        "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
         "traj_diameter": q_traj_diameter,
         "kde_heat": q_kde_heat,
         "postings_lists": q_postings_lists,
-        "union_area": q_union_area,
-        "adaptive_tiles": q_adaptive_tiles,
-        "heavy_hitters": q_heavy_hitters,
+        "media_stats": q_media_stats,
+        "media_features": q_media_features,
         "containment": q_containment,
         "pps_sample": q_pps_sample,
         "gps_jumps": q_gps_jumps,
