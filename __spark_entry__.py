@@ -3271,6 +3271,64 @@ def _geofence_events_sql() -> str:
     )
 
 
+RRF_K = 60
+RRF_SCALE = 142813628717760   # lcm(61..70): every 1/(60+r) exact
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: dense cosine top-10 (self-excluded) fused with
+    the lexical token-overlap top-10 by exact-integer reciprocal-rank
+    fusion (operators/ann.rrf_fuse + operators/textstats.
+    token_overlap_topk) — the RAG-stack combiner, gated end to end."""
+    from pyspark.sql import Window
+    from geobuf_cpp_spark.operators.ann import cosine_topk, rrf_fuse
+    from geobuf_cpp_spark.operators.textstats import token_overlap_topk
+
+    _prep(spark, sf_dir, "documents")
+    emb, qp = _ann_queries(spark, sf_dir)
+    sem = cosine_topk(emb, qp, k=11).where(
+        F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy("rank")
+    sem = sem.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= 10)
+    lex = token_overlap_topk(spark.table("documents"), 20, 10)
+    return rrf_fuse(sem, lex, 10, RRF_K, RRF_SCALE, max_rank=10)
+
+
+def _hybrid_rrf_sql() -> str:
+    s, kc = RRF_SCALE, RRF_K
+    return (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qv "
+        "FROM embeddings WHERE vec_id < 20), "
+        "sem AS (SELECT query_id, vec_id, r FROM ("
+        "SELECT q.query_id, e.vec_id, ROW_NUMBER() OVER "
+        "(PARTITION BY q.query_id ORDER BY "
+        "list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id ASC) "
+        "AS r FROM q CROSS JOIN embeddings e "
+        "WHERE e.vec_id <> q.query_id) t WHERE r <= 10), "
+        "ds AS (SELECT DISTINCT doc_id AS d, t.tok FROM documents, "
+        "unnest(string_split(text, ' ')) AS t(tok) WHERE t.tok <> ''), "
+        "lexovl AS (SELECT a.d AS query_id, b.d AS vec_id, count(*) AS "
+        "shared FROM ds a JOIN ds b ON a.tok = b.tok AND b.d <> a.d "
+        "WHERE a.d < 20 GROUP BY 1, 2), "
+        "lex AS (SELECT query_id, vec_id, r FROM ("
+        "SELECT query_id, vec_id, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY shared DESC, vec_id ASC) AS r "
+        "FROM lexovl) t WHERE r <= 10), "
+        "f AS (SELECT COALESCE(se.query_id, l.query_id) AS query_id, "
+        "COALESCE(se.vec_id, l.vec_id) AS vec_id, "
+        f"COALESCE({s} // ({kc} + se.r), 0) "
+        f"+ COALESCE({s} // ({kc} + l.r), 0) AS rrf_score "
+        "FROM sem se FULL OUTER JOIN lex l "
+        "ON se.query_id = l.query_id AND se.vec_id = l.vec_id) "
+        "SELECT query_id, CAST(rk AS INTEGER) AS rank, vec_id, "
+        "CAST(rrf_score AS BIGINT) AS rrf_score FROM "
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY rrf_score DESC, vec_id ASC) AS rk FROM f) t "
+        "WHERE rk <= 10"
+    )
+
+
 # 1-degree bands: at sf0.01 the ~45k-cell grid stays sub-percolation
 # (dense-cell fraction « 0.59), so components are small and the DuckDB
 # recursive-closure oracle (quadratic in component size) stays cheap;
@@ -3701,6 +3759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pps_sample": q_pps_sample,
         "gps_jumps": q_gps_jumps,
         "geofence_events": q_geofence_events,
+        "hybrid_rrf": q_hybrid_rrf,
         "cusum_change": q_cusum_change,
         "snapshot_evolve": q_snapshot_evolve,
         "self_crossings": q_self_crossings,
@@ -5533,6 +5592,7 @@ def oracle_sql() -> dict[str, str]:
         "pps_sample": _pps_sample_sql(),
         "gps_jumps": _gps_jumps_sql(),
         "geofence_events": _geofence_events_sql(),
+        "hybrid_rrf": _hybrid_rrf_sql(),
         "admin_neighbors": (
             f"WITH b AS ({P.IBOXES_SELECT}) "
             "SELECT a.admin_id AS id_a, c.admin_id AS id_b, "

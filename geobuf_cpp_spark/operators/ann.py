@@ -762,3 +762,52 @@ def kmeans_lite(emb_df, k: int = 8, rounds: int = 2,
     return upd.select(
         F.col("cid").alias("cluster_id"),
         F.col("dim").cast("int").alias("dim"), "n", "qsum")
+
+
+def rrf_fuse(rank_a, rank_b, k_out: int = 10, k_const: int = 60,
+             scale: int | None = None, max_rank: int = 20):
+    """Reciprocal-rank fusion of two retrieval rankings — the standard
+    hybrid-search combiner (Cormack et al., SIGIR'09): fused score
+    sum_i 1/(K + rank_i), items absent from a list contribute 0.
+
+    Exact-integer form: with ranks in 1..k and K fixed, every
+    denominator lies in {K+1 .. K+k}; multiplying through by
+    scale = lcm(K+1 .. K+k) turns each reciprocal into an exact BIGINT
+    (scale div (K+r)) — the fused ordering is EXACTLY the rational RRF
+    ordering, no float summation anywhere, so both engines agree
+    bit-for-bit.
+
+    Inputs are (query_id, rank, vec_id) frames. Plan: one full outer
+    equi-join on (query_id, vec_id) — both sides are top-k lists, so
+    the join is O(queries * k), then a per-query window over <= 2k
+    rows. Corpus-scale cost lives in the upstream rankers, not here.
+
+    Returns (query_id, rank, vec_id, rrf_score) with rank <= k_out by
+    (score DESC, vec_id ASC).
+    """
+    import math
+
+    dens = [k_const + r for r in range(1, int(max_rank) + 1)]
+    if scale is None:
+        scale = math.lcm(*dens)
+    assert all(scale % d == 0 for d in dens), \
+        "scale must be a common multiple of every K+rank denominator"
+    a = rank_a.select("query_id", F.col("rank").alias("ra"), "vec_id")
+    b = rank_b.select("query_id", F.col("rank").alias("rb"), "vec_id")
+    fused = (
+        a.join(b, ["query_id", "vec_id"], "full_outer")
+        .withColumn(
+            "rrf_score",
+            (F.coalesce(F.expr(f"{scale} div ({k_const} + ra)"), F.lit(0))
+             + F.coalesce(F.expr(f"{scale} div ({k_const} + rb)"),
+                          F.lit(0))).cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("vec_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_out)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                "vec_id", "rrf_score")
+    )

@@ -509,3 +509,49 @@ def inverted_index(docs_df, id_col: str = "doc_id",
         )
         .filter(F.col("df") >= int(min_df))
     )
+
+
+def token_overlap_topk(docs_df, n_queries: int, k: int = 10,
+                       id_col: str = "doc_id", text_col: str = "text"):
+    """Lexical retrieval ranking: for each of the first ``n_queries``
+    documents (as queries), rank all OTHER documents by the count of
+    shared DISTINCT tokens — the sparse/lexical half of a hybrid
+    retrieval stack (the dense half is ann.cosine_topk; rrf_fuse
+    combines them).
+
+    All-JVM inverted-index plan: distinct (doc, token) pairs once, the
+    query slice re-joined through the token key (the same structure
+    ngram_jaccard builds over shingles), one count agg, one per-query
+    window. Overlap counts are exact ints; ties break on doc id, so
+    the ranking is deterministic in any engine. Documents sharing no
+    token with a query are absent (score 0) — RRF treats absence as 0
+    contribution, which is the standard contract.
+
+    Returns (query_id, rank, vec_id) — vec_id named to match the
+    dense-ranking schema for fusion.
+    """
+    from pyspark.sql import Window
+
+    ds = (
+        docs_df.select(
+            F.col(id_col).alias("d"),
+            F.explode(F.split(text_col, " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    qs = ds.filter(F.col("d") < n_queries).select(
+        F.col("d").alias("query_id"), "tok")
+    overlap = (
+        qs.join(ds, "tok")
+        .filter(F.col("d") != F.col("query_id"))
+        .groupBy("query_id", F.col("d").alias("vec_id"))
+        .agg(F.count("*").alias("shared"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("shared"), F.asc("vec_id"))
+    return (
+        overlap.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                "vec_id")
+    )

@@ -1864,3 +1864,55 @@ def test_geofence_events_enter_exit_overlap(spark):
            for x in sorted(geofence_events(df, boxes).collect(),
                            key=lambda r: r.seq)]
     assert got == [(1, 1, -2), (4, 2, 1), (5, -1, 2)]
+
+
+def test_rrf_fuse_exact_integer_ordering(spark):
+    """Fused ordering == rational RRF ordering on a hand case where the
+    two systems disagree; scale constant is the true lcm; absent items
+    contribute 0."""
+    import math
+    from fractions import Fraction
+    import __spark_entry__ as entry
+    from geobuf_cpp_spark.operators.ann import rrf_fuse
+
+    assert entry.RRF_SCALE == math.lcm(*range(61, 71))
+
+    a = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 11), (0, 3, 12)],
+        "query_id long, rank int, vec_id long")
+    b = spark.createDataFrame(
+        [(0, 1, 12), (0, 2, 13), (0, 3, 10)],
+        "query_id long, rank int, vec_id long")
+    got = [(x.vec_id, x.rrf_score)
+           for x in rrf_fuse(a, b, 10, 60, max_rank=3).collect()]
+    # rational reference
+    K = 60
+    ra = {10: 1, 11: 2, 12: 3}
+    rb = {12: 1, 13: 2, 10: 3}
+    ref = {}
+    for v in {10, 11, 12, 13}:
+        s = Fraction(0)
+        if v in ra:
+            s += Fraction(1, K + ra[v])
+        if v in rb:
+            s += Fraction(1, K + rb[v])
+        ref[v] = s
+    order = sorted(ref, key=lambda v: (-ref[v], v))
+    assert [v for v, _ in got] == order
+    # direct exactness check: score == scale_used * rational
+    used = math.lcm(61, 62, 63)
+    for v, sc in got:
+        assert sc == used * ref[v]
+
+
+def test_token_overlap_topk_ranking(spark):
+    from geobuf_cpp_spark.operators.textstats import token_overlap_topk
+
+    docs = [(0, "a b c d"), (1, "a b c x"), (2, "a y z w"),
+            (3, "q r s t"), (4, "a b q q")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for x in token_overlap_topk(df, 1, 10).collect():
+        got[x.vec_id] = x.rank
+    # overlaps with doc0: d1=3, d4=2, d2=1, d3=0(absent)
+    assert got == {1: 1, 4: 2, 2: 3}

@@ -763,6 +763,7 @@ def test_whole_surface_plan_hygiene(spark):
         "media_stats", "minhash_neardup", "pip_boxes_agg", "wav_stats",
         "pip_boxes_join", "pip_concave", "pip_holes", "pip_large",
         "pq_ann_topk", "quadkey_assign", "simhash_neardup", "simplify",
+        "hybrid_rrf",
         "star_centroid",
     }
     py_markers = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
