@@ -562,3 +562,55 @@ def test_cell_hotspot_stream_matches_batch(spark, tmp_path):
     assert len(got) == len(expect) and len(got) > 0
     for c in ("n_pings", "max_event_id"):
         assert (got[c].to_numpy() == expect[c].to_numpy()).all(), c
+
+
+def test_geofence_stream_matches_batch(spark, tmp_path):
+    """Stateful streaming geofence transitions == the batch twin when
+    per-user arrival is chronological across micro-batches."""
+    from geobuf_cpp_spark.streaming.geofence_stream import (
+        geofence_transitions_stream)
+    from geobuf_cpp_spark.operators.trajectory import geofence_events
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    lo, hi = events.selectExpr(
+        "percentile_approx(unix_timestamp(ts), 0.33)",
+        "percentile_approx(unix_timestamp(ts), 0.66)").first()
+    src = str(tmp_path / "gsrc")
+    # time-sliced arrivals: per-user order preserved across batches
+    events.filter(F.unix_timestamp("ts") < lo).write.parquet(
+        os.path.join(src, "a"))
+    events.filter(
+        (F.unix_timestamp("ts") >= lo) & (F.unix_timestamp("ts") < hi)
+    ).write.parquet(os.path.join(src, "b"))
+    events.filter(F.unix_timestamp("ts") >= hi).write.parquet(
+        os.path.join(src, "c"))
+
+    boxes_rows = [(i, i * 89 % 300 * 100 - 18000 + 0,
+                   i * 53 % 150 * 100 - 8500,
+                   i * 89 % 300 * 100 - 18000 + 1200,
+                   i * 53 % 150 * 100 - 8500 + 900) for i in range(25)]
+    boxes_df = spark.createDataFrame(
+        boxes_rows,
+        "admin_id long, lon0 long, lat0 long, lon1 long, lat1 long")
+
+    stream = read_event_stream(spark, src + "/*", max_files_per_trigger=1)
+    pings = stream.withColumn(
+        "ix", F.expr("(event_id * 7919) % 36000")
+    ).withColumn("iy", F.expr("(event_id * 9973) % 17000"))
+    q = run_to_memory(
+        geofence_transitions_stream(pings, boxes_rows), "geo_trans",
+        str(tmp_path / "gckpt"), output_mode="append")
+    try:
+        got = {tuple(r) for r in
+               spark.table("geo_trans").toPandas().itertuples(index=False)}
+    finally:
+        q.stop()
+
+    batch_pings = events.selectExpr(
+        "event_id", "user_id", "ts",
+        "(event_id * 7919) % 36000 AS ix",
+        "(event_id * 9973) % 17000 AS iy")
+    expect = {(r.user_id, r.seq, r.e, r.region, r.prev_region)
+              for r in geofence_events(batch_pings, boxes_df).collect()}
+    assert len(got) > 10
+    assert got == expect
