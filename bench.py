@@ -110,9 +110,12 @@ def main() -> None:
         # and the steady-state number is the cluster-relevant one
         # (per-executor fixed costs amortize on a long job)
         reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+        verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1"
         for name, fn in entrymod.queries().items():
             if only and name not in only:
                 continue
+            if verbose:
+                print(f"[bench] {name}", file=sys.stderr, flush=True)
             best = None
             for _ in range(max(reps, 1)):
                 t0 = time.time()

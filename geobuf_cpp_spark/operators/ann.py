@@ -25,6 +25,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+from ..plans.iterate import loop_checkpoint
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -755,10 +756,10 @@ def kmeans_lite(emb_df, k: int = 8, rounds: int = 2,
                 F.sum("qv").cast("long").alias("qsum"),
             )
         )
-        cent = upd.select(
+        cent = loop_checkpoint(upd.select(
             "cid", "dim",
             (F.expr(f"(qsum + n * {scale}) div n") - scale).alias("cd"),
-        ).localCheckpoint(eager=False)
+        ))
     return upd.select(
         F.col("cid").alias("cluster_id"),
         F.col("dim").cast("int").alias("dim"), "n", "qsum")

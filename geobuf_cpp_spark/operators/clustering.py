@@ -176,6 +176,38 @@ def grid_cluster(points_df: DataFrame, res: int, min_pts: int,
 GEO_CELL_BASE = 1_000_000   # cell_id = band * BASE + cx (cx < 36000)
 
 
+def _driver_union_find_pairs(node_ids, pairs):
+    """Bounded driver union-find over an explicit edge list.
+
+    Same contract as ``_driver_union_find`` (path-halving, unions keep
+    the min id as root because ids are processed sorted), but takes
+    arbitrary (id_a, id_b) pairs instead of deriving grid adjacency —
+    the component engine for bounded graphs whose adjacency rule is
+    computed distributed (geodetic band overlap, crossing graphs).
+    Returns [(id, min-id-of-component)] for every node.
+    """
+    import numpy as np
+
+    ids = np.sort(np.asarray(node_ids, dtype=np.int64))
+    parent = np.arange(len(ids))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    pos_a = np.searchsorted(ids, np.asarray([a for a, _ in pairs],
+                                            dtype=np.int64))
+    pos_b = np.searchsorted(ids, np.asarray([b for _, b in pairs],
+                                            dtype=np.int64))
+    for a, b in zip(pos_a, pos_b):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return [(int(ids[i]), int(ids[find(i)])) for i in range(len(ids))]
+
+
 def grid_cluster_geo(points_df: DataFrame, radius_cdeg: int,
                      min_pts: int) -> DataFrame:
     """Geodetic DBSCAN-lite: density clustering on the SPHERE's honest
@@ -242,6 +274,27 @@ def grid_cluster_geo(points_df: DataFrame, radius_cdeg: int,
         .select("id_a", "id_b")
     )
     edges = same.unionByName(up).selectExpr("id_a", "id_b")
+    # Adaptive component strategy, same contract as the planar sibling:
+    # the dense-cell table is bounded by the GRID (sum over bands of
+    # 36000 cdeg / w_band — a geometry constant, never the corpus), so
+    # up to the planar UF cap the components run as a bounded driver
+    # union-find over the COLLECTED edge list (the adjacency itself
+    # stays a distributed join above). Beyond the cap fall back to the
+    # distributed min-label fixpoint — correct but linear-round-prone
+    # on near-percolation grids (observed ~1 band/round label crawl at
+    # sf0.1: the banded interval graph defeats pointer-jumping's
+    # log-diameter bound in practice, which is why the bounded path is
+    # the default here).
+    n_dense = dense.count()
+    if n_dense <= GRID_UF_MAX_CELLS:
+        node_ids = [r["cell_id"] for r in
+                    dense.select("cell_id").collect()]
+        pair_rows = [(r["id_a"], r["id_b"]) for r in edges.collect()]
+        labels = spark.createDataFrame(
+            _driver_union_find_pairs(node_ids, pair_rows),
+            "cell_id long, cluster_id long")
+        return dense.join(F.broadcast(labels), "cell_id").select(
+            "band", "cx", "n_points", "cluster_id")
     labels = dedup_clusters(nodes, edges)
     return dense.join(
         labels.withColumnRenamed("doc_id", "cell_id"), "cell_id"

@@ -273,12 +273,14 @@ def pps_systematic_sample(df: DataFrame, n: int, weight_col: str,
 
     The prefix sum is the interesting part at scale: a global window
     would serialize on one partition, so this runs the two-level scan —
-    bucket ids by id div bucket_width, per-bucket totals (tiny), ONE
-    bounded window over the bucket directory for bucket offsets, then
-    the within-bucket running sum as a window PARTITIONed by bucket.
-    Every corpus-sized stage is parallel; the only global order is over
-    the bounded bucket directory (same concession as the union-area
-    slab directory).
+    bucket ids by id div bucket_width, per-bucket totals, ONE window
+    over the bucket directory for bucket offsets, then the within-bucket
+    running sum as a window PARTITIONed by bucket. Every corpus-sized
+    stage is parallel; the directory window sees n_ids / bucket_width
+    rows, so size bucket_width ~ sqrt(n) (e.g. 10^6 at 10^12 ids) and
+    BOTH levels stay ~10^6 rows — two-level suffices at any realistic
+    scale. The offsets join is a plain equi-join on the bucket key (no
+    forced broadcast; AQE picks hash vs merge by directory size).
 
     Returns (id, weight, mult) for items with mult >= 1; sum(mult) == n
     exactly when W divides the grid, and n or n+1-ish otherwise — the
@@ -311,7 +313,7 @@ def pps_systematic_sample(df: DataFrame, n: int, weight_col: str,
     inner = Window.partitionBy("bkt").orderBy("id").rowsBetween(
         Window.unboundedPreceding, 0)
     cum = (
-        w.join(F.broadcast(boff.select("bkt", "off")), "bkt")
+        w.join(boff.select("bkt", "off"), "bkt")
         .withColumn("c", F.col("off") + F.sum("wt").over(inner))
     )
     return (

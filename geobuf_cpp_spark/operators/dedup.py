@@ -29,6 +29,8 @@ import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..plans.iterate import loop_checkpoint
+
 MERSENNE_P = (1 << 61) - 1
 N_PERM = 64
 N_BANDS = 16  # x 4 rows per band
@@ -334,10 +336,13 @@ def dedup_clusters(docs_df, pairs_df, id_col: str = "doc_id"):
     a round per link. Each round is two JVM joins + one aggregate; the
     DRIVER only runs the convergence loop (bounded by log(diameter),
     never by corpus size — the same shape GraphX/Pregel uses). Every
-    round materializes via ``localCheckpoint`` to truncate lineage: the
-    loop body references ``labels`` twice, so without truncation the
-    logical plan doubles per round and the driver OOMs building plan
-    trees long before data is a problem. (On a real cluster with
+    round materializes via ``plans.iterate.loop_checkpoint`` — a lazy
+    localCheckpoint that ALSO resets the checkpoint-inherited size
+    statistics: the loop body references ``labels`` twice, so without
+    plan truncation the logical tree doubles per round, and without the
+    stats reset the inherited sizeInBytes estimates multiply per round
+    until Catalyst's stats visitor grinds million-digit BigInteger
+    products (see plans/iterate.py for the measured failure curve). (On a real cluster with
     executor churn, swap in reliable ``checkpoint()`` — same contract,
     see plans/manifest.py for the durable variant.) Returns
     (doc_id, cluster_id) for every document; singletons label themselves;
@@ -394,10 +399,9 @@ def dedup_clusters(docs_df, pairs_df, id_col: str = "doc_id"):
         hop = stepped.select(
             F.col("id").alias("lbl"), F.col("lbl").alias("lbl2")
         )
-        new_labels = (
+        new_labels = loop_checkpoint(
             stepped.join(hop, "lbl", "left")
             .select("id", F.coalesce("lbl2", "lbl").alias("lbl"))
-            .localCheckpoint(eager=False)
         )
         cur_sum = new_labels.agg(
             F.sum(F.col("lbl").cast("decimal(38,0)"))

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.iterate import loop_checkpoint
+
 
 def _oriented(edges_df: DataFrame) -> DataFrame:
     """Orient undirected (id_a, id_b) edges by the (degree, id) total
@@ -131,7 +133,7 @@ def pagerank(edges_df: DataFrame, nodes_df: DataFrame, n_iter: int = 5,
             .groupBy("node")
             .agg(F.sum("c").alias("inc"))
         )
-        ranks = (
+        ranks = loop_checkpoint(
             nodes_df.join(inc, "node", "left")
             .select(
                 "node",
@@ -139,7 +141,6 @@ def pagerank(edges_df: DataFrame, nodes_df: DataFrame, n_iter: int = 5,
                  + F.expr(f"coalesce(inc, 0) * {damp_pct} div 100"))
                 .cast("long").alias("pr"),
             )
-            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -179,16 +180,15 @@ def bfs_hops(edges_df: DataFrame, sources_df: DataFrame,
         eager=False)
     frontier = dist
     for r in range(1, rounds + 1):
-        nxt = (
+        nxt = loop_checkpoint(
             frontier.join(edges, frontier.id == edges.src)
             .select(F.col("dst").alias("id")).distinct()
             .join(dist, "id", "left_anti")
             .select("id", F.lit(r).cast("long").alias("hops"))
-            .localCheckpoint(eager=False)
         )
         if nxt.isEmpty():
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=False)
+        dist = loop_checkpoint(dist.unionByName(nxt))
         frontier = nxt
     return dist
 
@@ -219,10 +219,9 @@ def kcore(edges_df: DataFrame, k: int, rounds: int) -> DataFrame:
             e.groupBy("src").agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= k).select("src")
         )
-        e = (
+        e = loop_checkpoint(
             e.join(keep, "src", "left_semi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=False)
         )
     return (
         e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))

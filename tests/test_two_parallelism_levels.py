@@ -91,3 +91,61 @@ def test_shuffle_operators_same_at_n_and_4n():
         rs.append(json.loads(lines[-1][len("RESULT "):]))
     assert rs[0] == rs[1]
     assert rs[0]["kept"] > 0 and rs[0]["cms_n"] > 100
+
+
+JOB_SPATIAL = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+from geobuf_cpp_spark.session import get_spark
+import pyspark.sql.functions as F
+
+cpus = int(sys.argv[1])
+spark = get_spark(f"sp{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+sf = "/root/testdata/sf0.001"
+events = spark.read.parquet(f"{sf}/events.parquet")
+pings = events.selectExpr("event_id", "user_id", "ts",
+                          "(event_id * 7919) % 36000 AS ix",
+                          "(event_id * 9973) % 17000 AS iy")
+docs = spark.read.parquet(f"{sf}/documents.parquet")
+orders = spark.read.parquet(f"{sf}/orders.parquet")
+pts = orders.selectExpr("o_orderkey AS point_id",
+                        "(o_orderkey * 7919) % 36000 AS ix",
+                        "(o_orderkey * 9973) % 17000 AS iy")
+
+from geobuf_cpp_spark.operators.colocation import colocation_pairs
+from geobuf_cpp_spark.operators.sketches import heavy_hitters
+from geobuf_cpp_spark.operators.tiles import adaptive_quadtree
+
+co = sorted((int(r["user_a"]), int(r["user_b"]), int(r["n_contacts"]))
+            for r in colocation_pairs(pings, 1000, 7200).collect())
+hh = sorted((r["tok"], int(r["n"])) for r in heavy_hitters(docs, 31).collect())
+qt = sorted((int(r["z"]), int(r["cx"]), int(r["cy"]), int(r["n_points"]))
+            for r in adaptive_quadtree(pts, 64, 8).collect())
+print("RESULT " + json.dumps({"co_n": len(co), "co_head": co[:5],
+                               "hh": hh[:10], "hh_n": len(hh),
+                               "qt_n": len(qt), "qt_head": qt[:5],
+                               "qt_sum": sum(x[3] for x in qt)}))
+spark.stop()
+"""
+
+
+def test_spatial_and_sketch_round5_ops_same_at_n_and_4n():
+    """Session-3 shuffle paths are parallelism-invariant: the space-time
+    blocked co-location join, the two-pass Misra-Gries heavy hitters
+    (whose PASS-1 candidate summaries are partition-dependent by design
+    — the exact recount must erase that), and the quadtree leaf
+    decomposition all produce identical results at local[2] and
+    local[8]."""
+    rs = []
+    for cpus in ("2", "8"):
+        out = subprocess.run(
+            [sys.executable, "-c", JOB_SPATIAL, cpus],
+            capture_output=True, text=True, timeout=400, cwd="/root/repo")
+        lines = [l for l in out.stdout.splitlines()
+                 if l.startswith("RESULT ")]
+        assert lines, out.stderr[-2000:]
+        rs.append(json.loads(lines[-1][len("RESULT "):]))
+    assert rs[0] == rs[1]
+    assert rs[0]["hh_n"] > 10 and rs[0]["qt_n"] > 10
+    assert rs[0]["qt_sum"] == 1500   # leaves partition the 1500 points
