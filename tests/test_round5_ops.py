@@ -1916,3 +1916,37 @@ def test_token_overlap_topk_ranking(spark):
         got[x.vec_id] = x.rank
     # overlaps with doc0: d1=3, d4=2, d2=1, d3=0(absent)
     assert got == {1: 1, 4: 2, 2: 3}
+
+
+def test_loop_checkpoint_resets_inherited_stats(spark):
+    """Plain localCheckpoint inherits the checkpointed plan's estimated
+    stats, whose digit count DOUBLES per loop round (the Catalyst
+    BigInteger grind that hung grid_cluster_geo); loop_checkpoint must
+    hold the digit count constant while preserving the data."""
+    from pyspark.sql import functions as F
+    from geobuf_cpp_spark.plans.iterate import loop_checkpoint
+
+    def digits(df):
+        return len(str(df._jdf.queryExecution().analyzed()
+                       .stats().sizeInBytes()))
+
+    lab = loop_checkpoint(spark.range(20).withColumn("lbl", F.col("id")))
+    plain = lab
+    plain_digits, reset_digits = [], []
+    for _ in range(4):
+        def body(frame):
+            a = frame.select("id", "lbl")
+            j = a.join(
+                a.withColumnRenamed("id", "id2")
+                .withColumnRenamed("lbl", "lbl2"),
+                a.lbl == F.col("lbl2"), "left")
+            return j.select("id", F.coalesce("lbl2", "lbl").alias("lbl"))
+
+        plain = body(plain).localCheckpoint(eager=False)
+        lab = loop_checkpoint(body(lab))
+        plain_digits.append(digits(plain))
+        reset_digits.append(digits(lab))
+    assert plain_digits[-1] > 2 * plain_digits[0]   # the blowup exists
+    assert len(set(reset_digits)) == 1               # ...and is fixed
+    assert lab.count() == 20
+    assert sorted(r.lbl for r in lab.collect()) == list(range(20))
