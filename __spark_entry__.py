@@ -3329,6 +3329,116 @@ def _hybrid_rrf_sql() -> str:
     )
 
 
+PATH_MIN_SESSIONS = 2
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top behavioral paths: per-session ordered event-type sequences
+    counted across sessions (operators/cohorts.session_paths) — path
+    strings built order-deterministically via array_sort over (ts, seq)
+    structs, never collect_list order."""
+    from geobuf_cpp_spark.operators.cohorts import session_paths
+
+    _prep(spark, sf_dir, "events")
+    return session_paths(spark.table("events"), int(SESSION_GAP_S),
+                         PATH_MIN_SESSIONS)
+
+
+def _session_paths_sql() -> str:
+    g = int(SESSION_GAP_S)
+    return (
+        "WITH q AS (SELECT user_id AS entity, event_id AS seq, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS e, event_type AS step "
+        "FROM events), "
+        "f AS (SELECT entity, seq, e, step, "
+        f"CASE WHEN e - lag(e) OVER w > {g} THEN 1 ELSE 0 END AS ns "
+        "FROM q WINDOW w AS (PARTITION BY entity ORDER BY e, seq)), "
+        "s AS (SELECT entity, seq, e, step, sum(ns) OVER "
+        "(PARTITION BY entity ORDER BY e, seq ROWS UNBOUNDED PRECEDING) "
+        "AS sess FROM f), "
+        "p AS (SELECT entity, sess, "
+        "string_agg(step, '>' ORDER BY e, seq) AS path FROM s "
+        "GROUP BY 1, 2) "
+        "SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p "
+        f"GROUP BY path HAVING count(*) >= {PATH_MIN_SESSIONS}"
+    )
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source leading-digit distribution of document lengths — the
+    Benford/digit-frequency data-quality scan that flags synthetic or
+    truncated sources (a source whose lengths all start with one digit
+    was generated, not crawled). Pure JVM string ops."""
+    _prep(spark, sf_dir, "documents")
+    return (
+        spark.table("documents")
+        .where(F.col("n_chars") > 0)
+        .groupBy(
+            "source",
+            F.substring(F.col("n_chars").cast("string"), 1, 1)
+            .alias("digit"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def _benford_digits_sql() -> str:
+    return (
+        "SELECT source, substr(CAST(n_chars AS VARCHAR), 1, 1) AS digit, "
+        "CAST(count(*) AS BIGINT) AS n FROM documents "
+        "WHERE n_chars > 0 GROUP BY 1, 2"
+    )
+
+
+def q_chi2_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency parts for event_type x day-of-week
+    association — per-cell exact integers (obs, row/col totals, N) plus
+    the chi-square contribution as num (DECIMAL(38,0) digit string —
+    (obs*N - rt*ct)^2 exceeds BIGINT) over den = rt*ct*N; the caller
+    sums num/den. The independence test every event-quality dashboard
+    runs, with zero float drift between engines."""
+    _prep(spark, sf_dir, "events")
+    ev = spark.table("events").select(
+        "event_type", F.dayofweek("ts").alias("dow"))
+    obs = ev.groupBy("event_type", "dow").agg(
+        F.count("*").cast("long").alias("obs"))
+    rt = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("rt"))
+    ct = ev.groupBy("dow").agg(F.count("*").cast("long").alias("ct"))
+    n = ev.agg(F.count("*").cast("long").alias("n"))
+    diff = (F.col("obs") * F.col("n")
+            - F.col("rt") * F.col("ct")).cast("decimal(19,0)")
+    return (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type", "dow", "obs", "rt", "ct", "n",
+            (diff * diff).cast("decimal(38,0)").cast("string")
+            .alias("num"),
+            (F.col("rt") * F.col("ct") * F.col("n")).cast("long")
+            .alias("den"),
+        )
+    )
+
+
+def _chi2_parts_sql() -> str:
+    return (
+        "WITH e AS (SELECT event_type, dayofweek(ts) + 1 AS dow "
+        "FROM events), "
+        "obs AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS obs "
+        "FROM e GROUP BY 1, 2), "
+        "rt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS rt FROM e "
+        "GROUP BY 1), "
+        "ct AS (SELECT dow, CAST(count(*) AS BIGINT) AS ct FROM e "
+        "GROUP BY 1), "
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e) "
+        "SELECT obs.event_type, obs.dow, obs.obs, rt.rt, ct.ct, n.n, "
+        "CAST(CAST(obs.obs * n.n - rt.rt * ct.ct AS HUGEINT) "
+        "* (obs.obs * n.n - rt.rt * ct.ct) AS VARCHAR) AS num, "
+        "CAST(rt.rt * ct.ct * n.n AS BIGINT) AS den "
+        "FROM obs JOIN rt USING (event_type) JOIN ct USING (dow), n"
+    )
+
+
 # 1-degree bands: at sf0.01 the ~45k-cell grid stays sub-percolation
 # (dense-cell fraction « 0.59), so components are small and the DuckDB
 # recursive-closure oracle (quadratic in component size) stays cheap;
@@ -3760,6 +3870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gps_jumps": q_gps_jumps,
         "geofence_events": q_geofence_events,
         "hybrid_rrf": q_hybrid_rrf,
+        "session_paths": q_session_paths,
+        "benford_digits": q_benford_digits,
+        "chi2_parts": q_chi2_parts,
         "cusum_change": q_cusum_change,
         "snapshot_evolve": q_snapshot_evolve,
         "self_crossings": q_self_crossings,
@@ -5593,6 +5706,9 @@ def oracle_sql() -> dict[str, str]:
         "gps_jumps": _gps_jumps_sql(),
         "geofence_events": _geofence_events_sql(),
         "hybrid_rrf": _hybrid_rrf_sql(),
+        "session_paths": _session_paths_sql(),
+        "benford_digits": _benford_digits_sql(),
+        "chi2_parts": _chi2_parts_sql(),
         "admin_neighbors": (
             f"WITH b AS ({P.IBOXES_SELECT}) "
             "SELECT a.admin_id AS id_a, c.admin_id AS id_b, "

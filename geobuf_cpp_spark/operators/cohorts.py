@@ -136,3 +136,68 @@ def cusum_changepoint(events_df: DataFrame,
         (-F.col("m.nh")).cast("long").alias("peak_hour"),
         F.col("m.sv").cast("long").alias("peak_s"),
     )
+
+
+def session_paths(events_df: DataFrame, gap_seconds: int,
+                  min_sessions: int = 2,
+                  entity_col: str = "user_id", ts_col: str = "ts",
+                  seq_col: str = "event_id",
+                  step_col: str = "event_type") -> DataFrame:
+    """Top behavioral paths: the ordered event-type SEQUENCE of each
+    gap-timeout session, counted across sessions — the product-analytics
+    "what do users actually do" query (funnels assert a path; this
+    discovers them).
+
+    Sessionization is the standard gaps-and-islands cut (lag + running
+    sum of gap flags per entity — identical windows in any engine); the
+    path string is built order-deterministically: collect the session's
+    (epoch, seq, step) structs in one hash agg, array_sort (lexicographic
+    on the struct = (ts, seq) order), then project the steps — no
+    reliance on collect_list ordering, which Spark does not guarantee.
+
+    Shuffles: the one entity-keyed window shuffle every trajectory pass
+    shares, then a session hash agg and a path hash agg. Path strings
+    are bounded by session length; ``min_sessions`` prunes the long tail
+    of singleton paths (at corpus scale the path distribution is
+    Zipfian; the tail is noise).
+
+    Returns (path, n_sessions) with n_sessions >= min_sessions.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("entity").orderBy("e", "seq")
+    base = events_df.select(
+        F.col(entity_col).alias("entity"),
+        F.col(seq_col).alias("seq"),
+        F.floor(F.unix_timestamp(ts_col).cast("double")).cast("long")
+        .alias("e"),
+        F.col(step_col).alias("step"),
+    )
+    flagged = base.withColumn(
+        "new_sess",
+        F.when(
+            F.col("e") - F.lag("e").over(w) > int(gap_seconds), 1
+        ).otherwise(0),
+    ).withColumn(
+        "sess",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = (
+        flagged.groupBy("entity", "sess")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("e", "seq", "step"))),
+                    lambda x: x["step"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .filter(F.col("n_sessions") >= int(min_sessions))
+    )

@@ -1950,3 +1950,28 @@ def test_loop_checkpoint_resets_inherited_stats(spark):
     assert len(set(reset_digits)) == 1               # ...and is fixed
     assert lab.count() == 20
     assert sorted(r.lbl for r in lab.collect()) == list(range(20))
+
+
+def test_session_paths_order_and_gap(spark):
+    """Path strings follow (ts, seq) order within a session; gap cuts
+    sessions; min_sessions prunes singletons."""
+    from pyspark.sql import functions as F
+    from geobuf_cpp_spark.operators.cohorts import session_paths
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "view"),
+        (2, 1, "2024-01-01 00:00:30", "click"),
+        (3, 1, "2024-01-01 09:00:00", "view"),   # new session (gap > 1h)
+        (4, 1, "2024-01-01 09:00:10", "click"),
+        (5, 2, "2024-01-01 00:00:05", "view"),
+        (6, 2, "2024-01-01 00:00:06", "click"),
+        (7, 2, "2024-01-01 00:00:06", "buy"),    # same ts: seq breaks tie
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {x.path: x.n_sessions
+           for x in session_paths(df, 3600, 1).collect()}
+    assert got == {"view>click": 2, "view>click>buy": 1}
+    pruned = {x.path for x in session_paths(df, 3600, 2).collect()}
+    assert pruned == {"view>click"}

@@ -750,6 +750,7 @@ def test_whole_surface_plan_hygiene(spark):
         "heavy_hitters",             # broadcast 1-row threshold scalars
         "geofence_events",           # 25-box broadcast PIP dimension
         "pps_sample",                # broadcast 1-row total weight
+        "chi2_parts",                # broadcast 1-row grand total
     }
     # declared Arrow-batched Python kernels (codec, geometry, ANN, media)
     python_ok = {
