@@ -3439,6 +3439,65 @@ def _chi2_parts_sql() -> str:
     )
 
 
+TRIM_PCT = 10
+
+
+def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language trimmed stats: drop floor(n*10%) rows by rank off
+    each end, report exact integer survivor sum/count (operators/
+    grouped_stats.trimmed_stats) — the robust-mean parts, tie-invariant
+    because the cut is by COUNT (value multiset identical under any
+    equal-value ordering)."""
+    from geobuf_cpp_spark.operators.grouped_stats import trimmed_stats
+
+    _prep(spark, sf_dir, "documents")
+    return trimmed_stats(
+        spark.table("documents"), "lang", "n_chars", TRIM_PCT)
+
+
+def _trimmed_stats_sql() -> str:
+    t = TRIM_PCT
+    return (
+        "WITH b AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v "
+        "FROM documents), "
+        "r AS (SELECT g, v, row_number() OVER "
+        "(PARTITION BY g ORDER BY v) AS rk, "
+        "count(*) OVER (PARTITION BY g) AS n FROM b) "
+        "SELECT g AS lang, CAST(max(n) AS BIGINT) AS n_rows, "
+        "CAST(count(*) AS BIGINT) AS n_kept, "
+        "CAST(sum(v) AS BIGINT) AS trimmed_sum FROM r "
+        f"WHERE rk > (n * {t}) // 100 AND rk <= n - (n * {t}) // 100 "
+        "GROUP BY g"
+    )
+
+
+KANON_CELL = 1000
+KANON_K = 3
+
+
+def q_kanon_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymous mobility release: (cell, day) visit counts with
+    cells under KANON_K distinct users suppressed (operators/
+    grouped_stats.kanon_cells) — exact distinct because the suppression
+    decision is a privacy property, not a statistic."""
+    from geobuf_cpp_spark.operators.grouped_stats import kanon_cells
+
+    _prep(spark, sf_dir, "events")
+    return kanon_cells(spark.sql(P.IPINGS_SELECT), KANON_CELL, KANON_K)
+
+
+def _kanon_cells_sql() -> str:
+    c, k = KANON_CELL, KANON_K
+    return (
+        f"WITH p AS ({P.IPINGS_SELECT}) "
+        f"SELECT ix // {c} AS cx, iy // {c} AS cy, "
+        "strftime(ts, '%Y-%m-%d') AS day, "
+        "CAST(count(*) AS BIGINT) AS n_pings, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_entities "
+        f"FROM p GROUP BY 1, 2, 3 HAVING count(DISTINCT user_id) >= {k}"
+    )
+
+
 # 1-degree bands: at sf0.01 the ~45k-cell grid stays sub-percolation
 # (dense-cell fraction « 0.59), so components are small and the DuckDB
 # recursive-closure oracle (quadratic in component size) stays cheap;
@@ -3873,6 +3932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": q_session_paths,
         "benford_digits": q_benford_digits,
         "chi2_parts": q_chi2_parts,
+        "trimmed_stats": q_trimmed_stats,
+        "kanon_cells": q_kanon_cells,
         "cusum_change": q_cusum_change,
         "snapshot_evolve": q_snapshot_evolve,
         "self_crossings": q_self_crossings,
@@ -5709,6 +5770,8 @@ def oracle_sql() -> dict[str, str]:
         "session_paths": _session_paths_sql(),
         "benford_digits": _benford_digits_sql(),
         "chi2_parts": _chi2_parts_sql(),
+        "trimmed_stats": _trimmed_stats_sql(),
+        "kanon_cells": _kanon_cells_sql(),
         "admin_neighbors": (
             f"WITH b AS ({P.IBOXES_SELECT}) "
             "SELECT a.admin_id AS id_a, c.admin_id AS id_b, "

@@ -85,3 +85,81 @@ def mad_outliers(df: DataFrame, group_col: str, value_col: str,
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+def trimmed_stats(df: DataFrame, group_col: str, value_col: str,
+                  trim_pct: int = 10) -> DataFrame:
+    """Per-group trimmed statistics: drop the bottom and top
+    ``trim_pct`` percent of rows BY RANK (floor(n * pct / 100) rows off
+    each end — a count, so the cut is exact and engine-portable, unlike
+    float percentile thresholds), then report the surviving rows' exact
+    integer sum and count. The robust-mean building block (the float
+    division trimmed_sum / trimmed_n stays with the caller — the same
+    exact-parts discipline as mad_outliers' integer MAD).
+
+    Ranking is (value, and a stable arbitrary but DETERMINISTIC
+    tie-break on the value's row_number within the group ordered by
+    value only) — since trimming cuts by COUNT, ties straddling the cut
+    admit multiple valid row choices, but every choice keeps the same
+    VALUE multiset of survivors, so sum and count are tie-invariant and
+    the oracle agrees no matter how each engine orders equal values.
+
+    One window shuffle on the group key + one hash agg; rank windows
+    are per-group (parallel across groups). Returns
+    (group, n_rows, n_kept, trimmed_sum).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("v")
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    ranked = (
+        base.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("g")))
+    )
+    cut = F.expr(f"(n * {int(trim_pct)}) div 100")
+    return (
+        ranked.where((F.col("rk") > cut) & (F.col("rk") <= F.col("n") - cut))
+        .groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.max("n").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("v").cast("long").alias("trimmed_sum"),
+        )
+    )
+
+
+def kanon_cells(pings: DataFrame, cell: int, k: int,
+                entity_col: str = "user_id", ts_col: str = "ts",
+                x_col: str = "ix", y_col: str = "iy") -> DataFrame:
+    """k-anonymous mobility release: per (cell, day) visit counts with
+    cells seen by fewer than ``k`` DISTINCT entities suppressed — the
+    minimum privacy bar for publishing aggregate mobility (a cell-day
+    with 2 visitors re-identifies them; suppression is the standard
+    k-anonymity guard every mobility-data release applies before the
+    aggregate leaves the enclave).
+
+    Exact distinct (not approximate) because the suppression decision
+    is a correctness property: HLL's +-2% would leak cells at the
+    boundary. One groupBy shuffle on (cell-x, cell-y, day); the
+    distinct rides the same aggregation.
+
+    Returns (cx, cy, day, n_pings, n_entities) only where
+    n_entities >= k; day is an ISO yyyy-MM-dd string (engine-portable —
+    date-typed columns round-trip differently across engines).
+    """
+    c = int(cell)
+    return (
+        pings.groupBy(
+            F.expr(f"{x_col} div {c}").alias("cx"),
+            F.expr(f"{y_col} div {c}").alias("cy"),
+            F.date_format(ts_col, "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pings"),
+            F.countDistinct(entity_col).cast("long").alias("n_entities"),
+        )
+        .filter(F.col("n_entities") >= int(k))
+    )

@@ -1975,3 +1975,36 @@ def test_session_paths_order_and_gap(spark):
     assert got == {"view>click": 2, "view>click>buy": 1}
     pruned = {x.path for x in session_paths(df, 3600, 2).collect()}
     assert pruned == {"view>click"}
+
+
+def test_trimmed_stats_tie_invariance(spark):
+    """Cut is by count: equal values straddling the cut keep the same
+    survivor multiset at any partitioning."""
+    from geobuf_cpp_spark.operators.grouped_stats import trimmed_stats
+
+    vals = [5, 5, 5, 1, 9, 5, 5, 5, 2, 8]   # n=10, trim 10% -> drop 1+1
+    rows = [(i, "g", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, lang string, n_chars long")
+    for parts in (1, 4):
+        got = trimmed_stats(df.repartition(parts), "lang", "n_chars").first()
+        # dropped: one min (1) and one max (9); survivors sum = 2+8+6*5
+        assert (got.n_rows, got.n_kept, got.trimmed_sum) == (10, 8, 40)
+
+
+def test_kanon_cells_suppression(spark):
+    from pyspark.sql import functions as F
+    from geobuf_cpp_spark.operators.grouped_stats import kanon_cells
+
+    rows = [
+        (1, 1, "2024-01-01 01:00:00", 10, 10),
+        (2, 2, "2024-01-01 02:00:00", 12, 11),   # same cell, 2nd user
+        (3, 1, "2024-01-01 03:00:00", 11, 10),   # same cell again
+        (4, 3, "2024-01-01 01:00:00", 500, 10),  # lone user cell: suppress
+        (5, 1, "2024-01-02 01:00:00", 10, 10),   # next day: suppressed
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, ix long, iy long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = [(x.cx, x.cy, x.day, x.n_pings, x.n_entities)
+           for x in kanon_cells(df, 100, 2).collect()]
+    assert got == [(0, 0, "2024-01-01", 3, 2)]
