@@ -287,54 +287,11 @@ def traj_diameter(pings: DataFrame, entity_col: str = "user_id",
     """
     import pandas as pd
 
-    def _hull_diam2(xs: list[int], ys: list[int]) -> int:
-        pts = sorted(set(zip(xs, ys)))
-        if len(pts) == 1:
-            return 0
-
-        def half(seq):
-            h: list[tuple[int, int]] = []
-            for p in seq:
-                while len(h) >= 2 and (
-                    (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
-                    - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
-                ) <= 0:
-                    h.pop()
-                h.append(p)
-            return h
-
-        lower, upper = half(pts), half(reversed(pts))
-        hull = lower[:-1] + upper[:-1]
-        if len(hull) == 2:
-            (ax, ay), (bx, by) = hull
-            return (ax - bx) ** 2 + (ay - by) ** 2
-
-        # rotating calipers over the CCW hull
-        m = len(hull)
-        best, j = 0, 1
-        for i in range(m):
-            ni = (i + 1) % m
-            ex, ey = hull[ni][0] - hull[i][0], hull[ni][1] - hull[i][1]
-            while True:
-                nj = (j + 1) % m
-                adv = ex * (hull[nj][1] - hull[j][1]) \
-                    - ey * (hull[nj][0] - hull[j][0])
-                if adv > 0:
-                    j = nj
-                else:
-                    break
-            for q in (hull[j], hull[(j + 1) % m]):
-                for p in (hull[i], hull[ni]):
-                    d2 = (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
-                    if d2 > best:
-                        best = d2
-        return best
-
     def per_entity(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "entity": [pdf["entity"].iloc[0]],
             "n_pings": [len(pdf)],
-            "diam2": [_hull_diam2(pdf["x"].tolist(), pdf["y"].tolist())],
+            "diam2": [hull_diam2(pdf["x"].tolist(), pdf["y"].tolist())],
         })
 
     prepared = pings.select(
@@ -347,6 +304,56 @@ def traj_diameter(pings: DataFrame, entity_col: str = "user_id",
         .applyInPandas(per_entity, "entity long, n_pings long, diam2 long")
         .withColumnRenamed("entity", entity_col)
     )
+
+
+def hull_diam2(xs: list[int], ys: list[int]) -> int:
+    """Exact squared diameter of an integer point multiset: Andrew
+    monotone-chain hull + rotating calipers, pure-int arithmetic —
+    the kernel behind ``traj_diameter``, exposed for direct
+    property-testing against the O(k^2) brute force."""
+    pts = sorted(set(zip(xs, ys)))
+    if len(pts) == 1:
+        return 0
+
+    def half(seq):
+        h: list[tuple[int, int]] = []
+        for p in seq:
+            while len(h) >= 2 and (
+                (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+            ) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower, upper = half(pts), half(reversed(pts))
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) == 2:
+        (ax, ay), (bx, by) = hull
+        return (ax - bx) ** 2 + (ay - by) ** 2
+
+    # rotating calipers over the CCW hull
+    m = len(hull)
+    best, j = 0, 1
+    for i in range(m):
+        ni = (i + 1) % m
+        ex, ey = hull[ni][0] - hull[i][0], hull[ni][1] - hull[i][1]
+        while True:
+            nj = (j + 1) % m
+            adv = ex * (hull[nj][1] - hull[j][1]) \
+                - ey * (hull[nj][0] - hull[j][0])
+            if adv > 0:
+                j = nj
+            else:
+                break
+        for q in (hull[j], hull[(j + 1) % m]):
+            for p in (hull[i], hull[ni]):
+                d2 = (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+                if d2 > best:
+                    best = d2
+    return best
+
+
 
 
 def gps_jumps(pings: DataFrame, vmax_num: int, vmax_den: int = 1,

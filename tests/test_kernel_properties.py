@@ -241,3 +241,68 @@ def test_hex_candidates_sql_argmin_matches_brute_force(x, y):
             if best is None or cand < best:
                 best = cand
     assert tuple(got) == best, (x, y)
+
+
+coords = st.integers(min_value=-500, max_value=500)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.tuples(coords, coords), min_size=1, max_size=40))
+def test_hull_calipers_diameter_matches_bruteforce(pts):
+    """Rotating-calipers squared diameter == O(k^2) all-pairs max for
+    any integer point multiset (duplicates, collinear runs,
+    singletons)."""
+    from geobuf_cpp_spark.operators.trajectory import hull_diam2
+
+    got = hull_diam2([p[0] for p in pts], [p[1] for p in pts])
+    brute = max(
+        ((a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+         for a in pts for b in pts),
+        default=0,
+    )
+    assert got == brute
+
+
+boxes_strategy = st.lists(
+    st.tuples(coords, coords, st.integers(1, 60), st.integers(1, 60)),
+    min_size=1, max_size=12,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(boxes_strategy)
+def test_union_find_pairs_matches_networkx_free_closure(bxs):
+    """Driver union-find labels == a reference BFS closure on a random
+    interval-overlap graph built from the boxes' x-projections."""
+    from geobuf_cpp_spark.operators.clustering import (
+        _driver_union_find_pairs)
+
+    ids = list(range(len(bxs)))
+    ivs = [(x, x + w) for x, _, w, _ in bxs]
+    pairs = [
+        (a, b)
+        for a in ids for b in ids
+        if a < b and ivs[a][0] < ivs[b][1] and ivs[b][0] < ivs[a][1]
+    ]
+    got = dict(_driver_union_find_pairs(ids, pairs))
+    # reference: BFS components
+    adj = {i: set() for i in ids}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    seen: dict[int, int] = {}
+    for root in ids:
+        if root in seen:
+            continue
+        comp, stack = [], [root]
+        while stack:
+            v = stack.pop()
+            if v in seen:
+                continue
+            seen[v] = -1
+            comp.append(v)
+            stack.extend(adj[v])
+        lbl = min(comp)
+        for v in comp:
+            seen[v] = lbl
+    assert got == seen
