@@ -3498,6 +3498,36 @@ def _kanon_cells_sql() -> str:
     )
 
 
+BPE_TOP_N = 50
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-character pair frequencies (the first BPE
+    merge round's statistic — tokenizer training's distributable core,
+    operators/textstats.bpe_pair_counts); top-50 with lexicographic
+    tie-break."""
+    from geobuf_cpp_spark.operators.textstats import bpe_pair_counts
+
+    _prep(spark, sf_dir, "documents")
+    return bpe_pair_counts(spark.table("documents"), BPE_TOP_N)
+
+
+def _bpe_pairs_sql() -> str:
+    return (
+        "WITH wds AS (SELECT unnest(string_split(text, ' ')) AS w "
+        "FROM documents), "
+        "p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair FROM "
+        "(SELECT w, unnest(generate_series(1, len(w) - 1)) AS i "
+        "FROM wds WHERE len(w) >= 2) t), "
+        "c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p "
+        "GROUP BY pair) "
+        "SELECT CAST(rank AS INT) AS rank, pair, n FROM "
+        "(SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) "
+        "AS rank FROM c) t "
+        f"WHERE rank <= {BPE_TOP_N}"
+    )
+
+
 # 1-degree bands: at sf0.01 the ~45k-cell grid stays sub-percolation
 # (dense-cell fraction « 0.59), so components are small and the DuckDB
 # recursive-closure oracle (quadratic in component size) stays cheap;
@@ -3934,6 +3964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_parts": q_chi2_parts,
         "trimmed_stats": q_trimmed_stats,
         "kanon_cells": q_kanon_cells,
+        "bpe_pairs": q_bpe_pairs,
         "cusum_change": q_cusum_change,
         "snapshot_evolve": q_snapshot_evolve,
         "self_crossings": q_self_crossings,
@@ -5772,6 +5803,7 @@ def oracle_sql() -> dict[str, str]:
         "chi2_parts": _chi2_parts_sql(),
         "trimmed_stats": _trimmed_stats_sql(),
         "kanon_cells": _kanon_cells_sql(),
+        "bpe_pairs": _bpe_pairs_sql(),
         "admin_neighbors": (
             f"WITH b AS ({P.IBOXES_SELECT}) "
             "SELECT a.admin_id AS id_a, c.admin_id AS id_b, "

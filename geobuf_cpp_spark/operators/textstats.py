@@ -555,3 +555,42 @@ def token_overlap_topk(docs_df, n_queries: int, k: int = 10,
         .select("query_id", F.col("rank").cast("int").alias("rank"),
                 "vec_id")
     )
+
+
+def bpe_pair_counts(docs_df, top_n: int = 50,
+                    text_col: str = "text"):
+    """The distributable core of BPE tokenizer training: corpus-wide
+    adjacent-symbol pair frequencies (the statistic each BPE merge
+    round maximizes). At 100 TB this count IS tokenizer training's
+    bottleneck — the merge selection on top of it touches only the
+    bounded pair table.
+
+    First-iteration form (symbols = characters inside
+    whitespace-delimited words, no cross-word pairs — the standard BPE
+    word-boundary constraint): every word occurrence contributes its
+    length-1 adjacent pairs, so frequent words weight their pairs
+    naturally. One explode chain (word -> position) evaluated JVM-side
+    with substring, one hash agg keyed by the 2-char pair — map-side
+    combinable, shuffle bounded by the pair vocabulary (<= alphabet^2),
+    never the corpus.
+
+    Returns the ``top_n`` pairs as (rank, pair, n) with ties broken
+    lexicographically — deterministic in any engine.
+    """
+    from pyspark.sql import Window
+
+    words = docs_df.select(
+        F.explode(F.split(text_col, " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        "w",
+    ).select(F.expr("substring(w, i, 2)").alias("pair"))
+    counts = pairs.groupBy("pair").agg(
+        F.count("*").cast("long").alias("n"))
+    w = Window.orderBy(F.desc("n"), "pair")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(top_n))
+        .select(F.col("rank").cast("int").alias("rank"), "pair", "n")
+    )

@@ -2008,3 +2008,14 @@ def test_kanon_cells_suppression(spark):
     got = [(x.cx, x.cy, x.day, x.n_pings, x.n_entities)
            for x in kanon_cells(df, 100, 2).collect()]
     assert got == [(0, 0, "2024-01-01", 3, 2)]
+
+
+def test_bpe_pair_counts_hand_case(spark):
+    from geobuf_cpp_spark.operators.textstats import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "aaab ab x"), (2, "ab")], "doc_id long, text string")
+    got = [(x.rank, x.pair, x.n) for x in
+           bpe_pair_counts(docs, 10).collect()]
+    # pairs: aaab -> aa,aa,ab ; ab -> ab ; x skipped ; ab -> ab
+    assert got == [(1, "ab", 3), (2, "aa", 2)]
