@@ -3528,6 +3528,32 @@ def _bpe_pairs_sql() -> str:
     )
 
 
+TEMP_SCALE = 10**6
+
+
+def q_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced (alpha=1/2) mixture weights per source:
+    w_num = floor(scale * sqrt(n_docs)) via the exact-isqrt kernel
+    (operators/curation.temperature_weights) — the multilingual/
+    multi-source sampling fix, in exact integer parts."""
+    from geobuf_cpp_spark.operators.curation import temperature_weights
+
+    _prep(spark, sf_dir, "documents")
+    return temperature_weights(spark.table("documents"), "source",
+                               TEMP_SCALE)
+
+
+def _temperature_weights_sql() -> str:
+    from geobuf_cpp_spark.operators.trajectory import sql_isqrt_exact
+
+    expr = sql_isqrt_exact(f"n_docs * {TEMP_SCALE} * {TEMP_SCALE}")
+    return (
+        "WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM documents GROUP BY source) "
+        f"SELECT source, n_docs, CAST({expr} AS BIGINT) AS w_num FROM c"
+    )
+
+
 # 1-degree bands: at sf0.01 the ~45k-cell grid stays sub-percolation
 # (dense-cell fraction « 0.59), so components are small and the DuckDB
 # recursive-closure oracle (quadratic in component size) stays cheap;
@@ -3965,6 +3991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_stats": q_trimmed_stats,
         "kanon_cells": q_kanon_cells,
         "bpe_pairs": q_bpe_pairs,
+        "temperature_weights": q_temperature_weights,
         "cusum_change": q_cusum_change,
         "snapshot_evolve": q_snapshot_evolve,
         "self_crossings": q_self_crossings,
@@ -5804,6 +5831,7 @@ def oracle_sql() -> dict[str, str]:
         "trimmed_stats": _trimmed_stats_sql(),
         "kanon_cells": _kanon_cells_sql(),
         "bpe_pairs": _bpe_pairs_sql(),
+        "temperature_weights": _temperature_weights_sql(),
         "admin_neighbors": (
             f"WITH b AS ({P.IBOXES_SELECT}) "
             "SELECT a.admin_id AS id_a, c.admin_id AS id_b, "

@@ -327,3 +327,35 @@ def pps_systematic_sample(df: DataFrame, n: int, weight_col: str,
         .select(F.col("id").alias(id_col),
                 F.col("wt").cast("long").alias("weight"), "mult")
     )
+
+
+def temperature_weights(docs_df: DataFrame, group_col: str = "source",
+                        scale: int = 10**6) -> DataFrame:
+    """Temperature-balanced mixture weights (alpha = 1/2): sampling
+    weight proportional to sqrt(group size) — the standard fix for
+    head-language/domain dominance in multilingual or multi-source
+    training mixes (raw proportional sampling starves the tail;
+    uniform over-trains it; sqrt is the canonical compromise, the
+    alpha = 0.5 point of the temperature family).
+
+    Exact integer parts: w_num = floor(sqrt(n * scale^2))
+    = floor(scale * sqrt(n)) via the exact-isqrt SQL kernel
+    (`operators/trajectory.sql_isqrt_exact` — a double seed pinned by
+    two integer corrections, identical in Spark and DuckDB). The float
+    normalization w_num / sum(w_num) stays with the caller, per the
+    exact-parts discipline. One tiny group aggregate; the corpus pays
+    one scan.
+
+    Returns (group, n_docs, w_num) — w_num exact, n*scale^2 < 2^63
+    bounds n < ~9.2e6 at the default scale; lower ``scale`` for larger
+    group counts (the docstring bound is asserted).
+    """
+    from .trajectory import sql_isqrt_exact
+
+    counts = docs_df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("n_docs"))
+    expr = sql_isqrt_exact(f"n_docs * {int(scale)} * {int(scale)}")
+    return counts.select(
+        F.col("grp").alias(group_col), "n_docs",
+        F.expr(expr).cast("long").alias("w_num"),
+    )

@@ -2019,3 +2019,19 @@ def test_bpe_pair_counts_hand_case(spark):
            bpe_pair_counts(docs, 10).collect()]
     # pairs: aaab -> aa,aa,ab ; ab -> ab ; x skipped ; ab -> ab
     assert got == [(1, "ab", 3), (2, "aa", 2)]
+
+
+def test_temperature_weights_exact_sqrt(spark):
+    import math
+    from geobuf_cpp_spark.operators.curation import temperature_weights
+
+    docs = [(i, "s%d" % (i % 3)) for i in range(70)]
+    df = spark.createDataFrame(docs, "doc_id long, source string")
+    got = {x.source: (x.n_docs, x.w_num)
+           for x in temperature_weights(df, "source", 1000).collect()}
+    for s, (n, w) in got.items():
+        assert w == math.isqrt(n * 1000 * 1000)
+    # sqrt compresses the head: ratio of weights < ratio of counts
+    ns = sorted(v[0] for v in got.values())
+    ws = sorted(v[1] for v in got.values())
+    assert ws[-1] / ws[0] < ns[-1] / ns[0] or ns[-1] == ns[0]
