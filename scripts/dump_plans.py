@@ -400,6 +400,46 @@ def main() -> None:
         E.q_label_centroids(spark, SF_DIR),
         [r"HashAggregate \(", r"Generate", r"partial_"],
     )
+    section(
+        "colocation — space-time blocked equi-join, no distinct",
+        "The probe side explodes to <= 8 half-aware blocks (JVM "
+        "Generate), meets the build side's home block in ONE hash "
+        "exchange on (bx, by, bt), and the exact Chebyshev + time "
+        "filter runs map-side in WholeStageCodegen. No "
+        "CartesianProduct, no dedup shuffle.",
+        E.q_colocation(spark, SF_DIR),
+        [r"Generate", r"Exchange hashpartitioning", r"WholeStageCodegen",
+         r"SortMergeJoin|ShuffledHashJoin"],
+    )
+    section(
+        "heavy_hitters — bounded candidates, broadcast recount",
+        "Pass 1's Misra-Gries summaries are Arrow-batched per "
+        "partition; the merged candidate table (<= k rows) BROADCASTS "
+        "into the exact recount join, so the vocabulary never "
+        "aggregates and the second scan shuffles only candidates.",
+        E.q_heavy_hitters(spark, SF_DIR),
+        [r"MapInPandas", r"BroadcastHashJoin", r"HashAggregate \("],
+    )
+    section(
+        "union_area — slab sweep as equi-join + partitioned windows",
+        "Slab<->rect matching is an equi-join on the x-block key "
+        "(no BNLJ/cartesian); the per-slab interval union runs as "
+        "windows PARTITIONed by slab (hashpartitioning on sx), so "
+        "slabs sweep in parallel.",
+        E.q_union_area(spark, SF_DIR),
+        [r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+         r"Window", r"hashpartitioning\(sx"],
+    )
+    section(
+        "adaptive_tiles — quadtree recursion as ONE join",
+        "Points explode to all (max_z+1) ancestor cells (Generate), "
+        "one hash aggregate counts every cell, and the split-or-leaf "
+        "decision is a single parent-key equi-join + filter — no "
+        "driver iteration, no per-level passes.",
+        E.q_adaptive_tiles(spark, SF_DIR),
+        [r"Generate", r"HashAggregate \(",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+    )
     aqe_skew_section(spark)
     spark.stop()
 
