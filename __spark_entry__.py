@@ -3554,6 +3554,57 @@ def _temperature_weights_sql() -> str:
     )
 
 
+CTT_CELL = 6000    # coarse cell, centidegrees
+CTT_K = 3          # top terms per cell
+CTT_MIN_DF = 3     # ignore hapax/rare terms
+
+
+def q_cell_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-text fusion: top-k terms per geographic cell — 'what is this
+    place about', the regional-topic rollup a geotagged web corpus
+    serves. Documents anchor to cells through the corpus's deterministic
+    key-derived coordinates (the same derivation the point tables use);
+    term counting is the one-scan explode + hash agg; the per-cell
+    top-k is a rank window WindowGroupLimit keeps map-side partial."""
+    _prep(spark, sf_dir, "documents")
+    toks = (
+        spark.table("documents")
+        .selectExpr(
+            f"(doc_id * 7919) % 36000 div {CTT_CELL} AS cx",
+            f"(doc_id * 9973) % 17000 div {CTT_CELL} AS cy",
+            "explode(split(text, ' ')) AS term",
+        )
+        .where("term <> ''")
+    )
+    from pyspark.sql import Window
+
+    counts = toks.groupBy("cx", "cy", "term").agg(
+        F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("cx", "cy").orderBy(F.desc("n"), "term")
+    return (
+        counts.where(F.col("n") >= CTT_MIN_DF)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= CTT_K)
+        .select("cx", "cy", F.col("rank").cast("int").alias("rank"),
+                "term", "n")
+    )
+
+
+def _cell_top_terms_sql() -> str:
+    return (
+        "WITH t AS (SELECT (doc_id * 7919) % 36000 // "
+        f"{CTT_CELL} AS cx, "
+        f"(doc_id * 9973) % 17000 // {CTT_CELL} AS cy, "
+        "unnest(string_split(text, ' ')) AS term FROM documents), "
+        "c AS (SELECT cx, cy, term, CAST(count(*) AS BIGINT) AS n "
+        "FROM t WHERE term <> '' GROUP BY 1, 2, 3) "
+        "SELECT cx, cy, CAST(rank AS INT) AS rank, term, n FROM "
+        "(SELECT cx, cy, term, n, row_number() OVER "
+        "(PARTITION BY cx, cy ORDER BY n DESC, term) AS rank "
+        f"FROM c WHERE n >= {CTT_MIN_DF}) r WHERE rank <= {CTT_K}"
+    )
+
+
 # 1-degree bands: at sf0.01 the ~45k-cell grid stays sub-percolation
 # (dense-cell fraction « 0.59), so components are small and the DuckDB
 # recursive-closure oracle (quadratic in component size) stays cheap;
@@ -3992,6 +4043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kanon_cells": q_kanon_cells,
         "bpe_pairs": q_bpe_pairs,
         "temperature_weights": q_temperature_weights,
+        "cell_top_terms": q_cell_top_terms,
         "cusum_change": q_cusum_change,
         "snapshot_evolve": q_snapshot_evolve,
         "self_crossings": q_self_crossings,
@@ -5832,6 +5884,7 @@ def oracle_sql() -> dict[str, str]:
         "kanon_cells": _kanon_cells_sql(),
         "bpe_pairs": _bpe_pairs_sql(),
         "temperature_weights": _temperature_weights_sql(),
+        "cell_top_terms": _cell_top_terms_sql(),
         "admin_neighbors": (
             f"WITH b AS ({P.IBOXES_SELECT}) "
             "SELECT a.admin_id AS id_a, c.admin_id AS id_b, "
