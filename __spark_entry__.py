@@ -3605,6 +3605,61 @@ def _cell_top_terms_sql() -> str:
     )
 
 
+DRIFT_TOP = 25
+
+
+def q_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: per-term frequency shift between two
+    epochs (deterministic doc_id-parity split standing in for
+    old/new crawl halves). Per term: counts in both halves and the
+    absolute change; top-25 movers with lexicographic tie-break — the
+    vocabulary-drift alarm a rolling-crawl pipeline watches. One token
+    scan, one term-keyed hash agg with conditional sums (no join of
+    two aggregates)."""
+    from pyspark.sql import Window
+
+    _prep(spark, sf_dir, "documents")
+    toks = (
+        spark.table("documents")
+        .selectExpr("doc_id % 2 AS epoch",
+                    "explode(split(text, ' ')) AS term")
+        .where("term <> ''")
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("epoch") == 0, 1).otherwise(0))
+        .cast("long").alias("n_old"),
+        F.sum(F.when(F.col("epoch") == 1, 1).otherwise(0))
+        .cast("long").alias("n_new"),
+    )
+    w = Window.orderBy(
+        F.desc(F.abs(F.col("n_new") - F.col("n_old"))), "term")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= DRIFT_TOP)
+        .select(F.col("rank").cast("int").alias("rank"), "term",
+                "n_old", "n_new",
+                F.abs(F.col("n_new") - F.col("n_old")).cast("long")
+                .alias("shift"))
+    )
+
+
+def _term_drift_sql() -> str:
+    return (
+        "WITH t AS (SELECT doc_id % 2 AS epoch, "
+        "unnest(string_split(text, ' ')) AS term FROM documents), "
+        "c AS (SELECT term, "
+        "CAST(sum(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_old, "
+        "CAST(sum(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_new FROM t WHERE term <> '' GROUP BY term) "
+        "SELECT CAST(rank AS INT) AS rank, term, n_old, n_new, "
+        "CAST(abs(n_new - n_old) AS BIGINT) AS shift FROM "
+        "(SELECT term, n_old, n_new, row_number() OVER "
+        "(ORDER BY abs(n_new - n_old) DESC, term) AS rank FROM c) r "
+        f"WHERE rank <= {DRIFT_TOP}"
+    )
+
+
 # 1-degree bands: at sf0.01 the ~45k-cell grid stays sub-percolation
 # (dense-cell fraction « 0.59), so components are small and the DuckDB
 # recursive-closure oracle (quadratic in component size) stays cheap;
@@ -4044,6 +4099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "temperature_weights": q_temperature_weights,
         "cell_top_terms": q_cell_top_terms,
+        "term_drift": q_term_drift,
         "cusum_change": q_cusum_change,
         "snapshot_evolve": q_snapshot_evolve,
         "self_crossings": q_self_crossings,
@@ -5885,6 +5941,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pairs": _bpe_pairs_sql(),
         "temperature_weights": _temperature_weights_sql(),
         "cell_top_terms": _cell_top_terms_sql(),
+        "term_drift": _term_drift_sql(),
         "admin_neighbors": (
             f"WITH b AS ({P.IBOXES_SELECT}) "
             "SELECT a.admin_id AS id_a, c.admin_id AS id_b, "
