@@ -3660,6 +3660,38 @@ def _term_drift_sql() -> str:
     )
 
 
+def q_polyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Google-polyline trajectory export — the second wire
+    codec (zigzag + 5-bit ASCII chunk armor), encoded by shared SQL
+    text in both engines so the STRING itself is oracle-checked
+    (operators/trajectory.polyline_encode; the chunk formula is also
+    pytest-pinned against the canonical python algorithm)."""
+    from geobuf_cpp_spark.operators.trajectory import polyline_encode
+
+    _prep(spark, sf_dir, "events")
+    return polyline_encode(spark.sql(P.IPINGS_SELECT))
+
+
+def _polyline_sql() -> str:
+    from geobuf_cpp_spark.operators.trajectory import sql_polyline_chunks
+
+    return (
+        f"WITH p AS ({P.IPINGS_SELECT}), "
+        "q AS (SELECT user_id AS entity, event_id AS seq, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS e, ix, iy FROM p), "
+        "d AS (SELECT entity, seq, e, "
+        "ix - COALESCE(lag(ix) OVER w, 0) AS dx, "
+        "iy - COALESCE(lag(iy) OVER w, 0) AS dy FROM q "
+        "WINDOW w AS (PARTITION BY entity ORDER BY e, seq)), "
+        "s AS (SELECT entity, seq, e, "
+        f"{sql_polyline_chunks('dx')} || {sql_polyline_chunks('dy')} "
+        "AS s FROM d) "
+        "SELECT entity AS user_id, CAST(count(*) AS BIGINT) AS n_pings, "
+        "string_agg(s, '' ORDER BY e, seq) AS polyline "
+        "FROM s GROUP BY entity"
+    )
+
+
 # 1-degree bands: at sf0.01 the ~45k-cell grid stays sub-percolation
 # (dense-cell fraction « 0.59), so components are small and the DuckDB
 # recursive-closure oracle (quadratic in component size) stays cheap;
@@ -4100,6 +4132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_weights": q_temperature_weights,
         "cell_top_terms": q_cell_top_terms,
         "term_drift": q_term_drift,
+        "polyline": q_polyline,
         "cusum_change": q_cusum_change,
         "snapshot_evolve": q_snapshot_evolve,
         "self_crossings": q_self_crossings,
@@ -5942,6 +5975,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_weights": _temperature_weights_sql(),
         "cell_top_terms": _cell_top_terms_sql(),
         "term_drift": _term_drift_sql(),
+        "polyline": _polyline_sql(),
         "admin_neighbors": (
             f"WITH b AS ({P.IBOXES_SELECT}) "
             "SELECT a.admin_id AS id_a, c.admin_id AS id_b, "

@@ -464,3 +464,90 @@ def geofence_events(pings: DataFrame, boxes: DataFrame,
         .select(F.col("entity").alias(entity_col), "seq", "e",
                 "region", "prev_region")
     )
+
+
+def sql_polyline_chunks(v: str) -> str:
+    """Google encoded-polyline encoding of ONE signed integer value as
+    portable SQL text (the second wire codec in the engine, after
+    Geobuf — same zigzag heart, ASCII chunk armor instead of varint
+    bytes): zigzag to v2 = 2v (or -2v-1 for negatives), split into
+    5-bit little-endian groups, OR every non-final group with 0x20,
+    add 63, emit as characters.
+
+    Pure integer CASE arithmetic + chr(): evaluates identically in
+    Spark SQL and DuckDB (the engine's one-formula-three-engines
+    discipline), so the polyline STRING itself is oracle-checkable.
+    Supports |v| < 2^24 (5 groups) — lattice-coordinate deltas are
+    bounded far below that; the bound is asserted by the encoder's
+    final ELSE NULL arm, which would fail the gate loudly rather than
+    truncate silently.
+    """
+    v2 = f"(CASE WHEN ({v}) < 0 THEN -2 * ({v}) - 1 ELSE 2 * ({v}) END)"
+    def grp(g: int, last: bool) -> str:
+        c = f"((({v2}) >> {5 * g}) & 31)"
+        body = f"{c} + 63" if last else f"({c} | 32) + 63"
+        return f"chr(CAST({body} AS INT))"
+    def enc(n: int) -> str:
+        return " || ".join(grp(g, g == n - 1) for g in range(n))
+    return (
+        f"(CASE WHEN {v2} < 32 THEN {enc(1)} "
+        f"WHEN {v2} < 1024 THEN {enc(2)} "
+        f"WHEN {v2} < 32768 THEN {enc(3)} "
+        f"WHEN {v2} < 1048576 THEN {enc(4)} "
+        f"WHEN {v2} < 33554432 THEN {enc(5)} "
+        "ELSE NULL END)"
+    )
+
+
+def polyline_encode(pings: DataFrame, entity_col: str = "user_id",
+                    ts_col: str = "ts", seq_col: str = "event_id",
+                    x_col: str = "ix", y_col: str = "iy") -> DataFrame:
+    """Per-entity Google-polyline trajectory encoding over lattice
+    coordinates: deltas against the previous ping in (ts, seq) order,
+    each delta armored by ``sql_polyline_chunks``, concatenated
+    order-deterministically (array_sort over (e, seq, chunk) structs —
+    never collect_list order).
+
+    One entity-keyed window shuffle (the shared trajectory shuffle) +
+    one hash agg. Polyline length is bounded by track length; the
+    format is the interchange every web map consumes, so this is the
+    serving-side export of the trajectory store.
+
+    Returns (entity, n_pings, polyline).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("entity").orderBy("e", "seq")
+    base = pings.select(
+        F.col(entity_col).alias("entity"),
+        F.col(seq_col).alias("seq"),
+        F.floor(F.unix_timestamp(ts_col).cast("double")).cast("long")
+        .alias("e"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    deltas = base.select(
+        "entity", "seq", "e",
+        (F.col("x") - F.coalesce(F.lag("x").over(w), F.lit(0)))
+        .alias("dx"),
+        (F.col("y") - F.coalesce(F.lag("y").over(w), F.lit(0)))
+        .alias("dy"),
+    )
+    chunk = F.concat(F.expr(sql_polyline_chunks("dx")),
+                     F.expr(sql_polyline_chunks("dy")))
+    return (
+        deltas.withColumn("s", chunk)
+        .groupBy("entity")
+        .agg(
+            F.count("*").cast("long").alias("n_pings"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("e", "seq", "s"))),
+                    lambda r: r["s"],
+                ),
+                "",
+            ).alias("polyline"),
+        )
+        .withColumnRenamed("entity", entity_col)
+    )

@@ -2035,3 +2035,79 @@ def test_temperature_weights_exact_sqrt(spark):
     ns = sorted(v[0] for v in got.values())
     ws = sorted(v[1] for v in got.values())
     assert ws[-1] / ws[0] < ns[-1] / ns[0] or ns[-1] == ns[0]
+
+
+def test_cell_top_terms_and_term_drift_deterministic(spark):
+    """The two rank-window gates are partition-count invariant (global
+    windows over bounded count tables; ties broken lexicographically)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    base_t = [tuple(r) for r in sorted(
+        entry.q_cell_top_terms(spark, sf).collect())]
+    base_d = [tuple(r) for r in sorted(
+        entry.q_term_drift(spark, sf).collect())]
+    assert len(base_t) > 10 and len(base_d) == entry.DRIFT_TOP
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        again_t = [tuple(r) for r in sorted(
+            entry.q_cell_top_terms(spark, sf).collect())]
+        again_d = [tuple(r) for r in sorted(
+            entry.q_term_drift(spark, sf).collect())]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert again_t == base_t and again_d == base_d
+
+
+def test_polyline_encode_matches_canonical_algorithm(spark):
+    """Spark-side polyline string == the canonical reference encoder
+    (independent python implementation), and decodes back to the exact
+    input track."""
+    from pyspark.sql import functions as F
+    from geobuf_cpp_spark.operators.trajectory import polyline_encode
+
+    def ref_enc_value(v):
+        v2 = ~(v << 1) if v < 0 else v << 1
+        out = ""
+        while v2 >= 0x20:
+            out += chr((0x20 | (v2 & 0x1F)) + 63)
+            v2 >>= 5
+        return out + chr(v2 + 63)
+
+    def ref_decode(s):
+        vals, i = [], 0
+        while i < len(s):
+            shift = result = 0
+            while True:
+                b = ord(s[i]) - 63
+                i += 1
+                result |= (b & 0x1F) << shift
+                shift += 5
+                if b < 0x20:
+                    break
+            vals.append(~(result >> 1) if result & 1 else result >> 1)
+        return vals
+
+    track = [(1, 7, "2024-01-01 00:00:00", 100, -200),
+             (2, 7, "2024-01-01 00:00:01", 105, -190),
+             (3, 7, "2024-01-01 00:00:02", 90, -190),
+             (4, 7, "2024-01-01 00:00:03", 17999, 8000)]
+    df = spark.createDataFrame(
+        track, "event_id long, user_id long, ts string, ix long, iy long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = polyline_encode(df).first()
+    # reference: encode deltas (first point absolute)
+    ref = ""
+    px = py = 0
+    for _, _, _, x, y in track:
+        ref += ref_enc_value(x - px) + ref_enc_value(y - py)
+        px, py = x, y
+    assert got.polyline == ref and got.n_pings == 4
+    # decode round-trip reproduces the track exactly
+    flat = ref_decode(got.polyline)
+    pts, cx, cy = [], 0, 0
+    for dx, dy in zip(flat[0::2], flat[1::2]):
+        cx, cy = cx + dx, cy + dy
+        pts.append((cx, cy))
+    assert pts == [(x, y) for _, _, _, x, y in track]
