@@ -70,7 +70,27 @@ def encode_varints(vals: np.ndarray) -> bytes:
 
 
 def decode_varints(buf: bytes | memoryview) -> np.ndarray:
-    """Decode a packed-varint payload into a uint64 array (vectorized)."""
+    """Decode a packed-varint payload into a uint64 array (vectorized).
+
+    Small payloads (single Points dominate web corpora — a coords field
+    is 2 varints) take a scalar path: the numpy kernel's masked-gather
+    setup costs ~35us per call regardless of n, while the scalar loop
+    is well under 1us per byte — the same size cutover
+    ``pack_sint64_array`` applies on the encode side.
+    """
+    if len(buf) <= 32:
+        out = []
+        v = 0
+        shift = 0
+        for byte in bytes(buf):
+            v |= (byte & 0x7F) << shift
+            if byte & 0x80:
+                shift += 7
+            else:
+                out.append(v & 0xFFFFFFFFFFFFFFFF)
+                v = 0
+                shift = 0
+        return np.array(out, dtype=np.uint64)
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
@@ -113,6 +133,21 @@ def pack_sint64_array(vals: np.ndarray) -> bytes:
 
 
 def unpack_sint64_array(buf: bytes | memoryview) -> np.ndarray:
+    if len(buf) <= 32:
+        out = []
+        v = 0
+        shift = 0
+        for byte in bytes(buf):
+            v |= (byte & 0x7F) << shift
+            if byte & 0x80:
+                shift += 7
+            else:
+                z = v & 0xFFFFFFFFFFFFFFFF
+                s = (z >> 1) ^ -(z & 1)  # zigzag -> signed, exact
+                out.append(s)
+                v = 0
+                shift = 0
+        return np.array(out, dtype=np.int64)
     return zigzag_decode(decode_varints(buf))
 
 

@@ -263,11 +263,50 @@ def minhash_lsh_pairs(docs_df, id_col: str = "doc_id", text_col: str = "text",
                     rows.append((int(id_a), int(id_b), float(j)))
             yield pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
 
-    return joined.mapInPandas(verify, "id_a long, id_b long, jaccard double")
+    # force=True: the verify stage inherits the candidate join's
+    # exchange, which AQE coalesces by BYTES — a few MB of pair texts
+    # collapse to one task, serializing the per-pair shingle hashing.
+    # Python verify cost per row dwarfs one round-robin re-shuffle of
+    # the (already candidate-pruned) pair rows, so fan out explicitly.
+    from ..plans.partitioning import spread
+
+    return spread(joined, force=True).mapInPandas(
+        verify, "id_a long, id_b long, jaccard double")
+
+
+def shingle_sets(docs_df, w: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """The DISTINCT (doc_id, shingle) inverted index — the shared input
+    of every exact-shingle operator here (``ngram_jaccard_pairs``,
+    ``prefix_jaccard_pairs``, ``shingle_containment_pairs``). Built as
+    split -> shingle index explode -> DISTINCT, all-JVM; at scale this
+    is the structure a dedup pipeline materializes ONCE and feeds to
+    each verify/candidate tier, so callers may persist the result and
+    pass it back via the operators' ``ds=`` parameter instead of
+    paying the tokenize+explode+distinct scan per operator.
+
+    Shingle indexing is 1-based over a literal-space split (empty
+    tokens kept), mirroring the SQL oracle token-for-token; documents
+    with fewer than ``w`` tokens contribute no shingles.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = docs_df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    ).filter(F.size("toks") >= w)
+    idx = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (w - 1))).alias("i"),
+    )
+    shingle = F.concat_ws(
+        " ", *[F.element_at("toks", F.col("i") + F.lit(k)) for k in range(w)]
+    )
+    return idx.select("doc_id", shingle.alias("shingle")).distinct()
 
 
 def ngram_jaccard_pairs(docs_df, threshold: float = 0.5, w: int = 3,
-                        id_col: str = "doc_id", text_col: str = "text"):
+                        id_col: str = "doc_id", text_col: str = "text",
+                        ds=None):
     """EXACT n-gram (w-word shingle) Jaccard near-dup pairs — all-JVM.
 
     Pure DataFrame composition, no Python stage anywhere: split -> shingle
@@ -284,21 +323,12 @@ def ngram_jaccard_pairs(docs_df, threshold: float = 0.5, w: int = 3,
 
     Shingle indexing is 1-based over a literal-space split (empty tokens
     kept), mirroring the SQL oracle token-for-token; documents with fewer
-    than ``w`` tokens contribute no shingles.
+    than ``w`` tokens contribute no shingles. ``ds``: optionally pass a
+    prebuilt (persisted) ``shingle_sets`` index to share its scan with
+    sibling operators.
     """
-    toks = F.split(F.col(text_col), " ")
-    base = docs_df.select(
-        F.col(id_col).alias("doc_id"), toks.alias("toks")
-    ).filter(F.size("toks") >= w)
-    idx = base.select(
-        "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(1), F.size("toks") - (w - 1))).alias("i"),
-    )
-    shingle = F.concat_ws(
-        " ", *[F.element_at("toks", F.col("i") + F.lit(k)) for k in range(w)]
-    )
-    ds = idx.select("doc_id", shingle.alias("shingle")).distinct()
+    if ds is None:
+        ds = shingle_sets(docs_df, w, id_col, text_col)
     sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
     left = ds.select(F.col("doc_id").alias("id_a"), "shingle")
     right = ds.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -742,7 +772,8 @@ def cdc_chunk_dedup(docs_df, boundary_mod: int = 8,
 
 
 def prefix_jaccard_pairs(docs_df, threshold: float = 0.5, w: int = 3,
-                         id_col: str = "doc_id", text_col: str = "text"):
+                         id_col: str = "doc_id", text_col: str = "text",
+                         ds=None):
     """EXACT w-shingle Jaccard pairs via the AllPairs/PPJoin prefix
     filter — the at-scale plan for the `ngram_jaccard_pairs` contract
     (identical output, same oracle).
@@ -765,25 +796,13 @@ def prefix_jaccard_pairs(docs_df, threshold: float = 0.5, w: int = 3,
     Per-doc prefix selection is a doc-keyed window (never global: the
     frequency order is carried as the (df, shingle) struct itself, so
     no global rank table and no single-partition sort exists anywhere
-    in the plan). The shingle set is built once and lazily checkpointed;
-    it feeds the frequency table, the prefixes, and the verify join.
+    in the plan). The shingle set is built once and lazily checkpointed
+    (or passed prebuilt via ``ds``); it feeds the frequency table, the
+    prefixes, and the verify join.
     """
-    toks = F.split(F.col(text_col), " ")
-    base = docs_df.select(
-        F.col(id_col).alias("doc_id"), toks.alias("toks")
-    ).filter(F.size("toks") >= w)
-    idx = base.select(
-        "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(1), F.size("toks") - (w - 1))).alias("i"),
-    )
-    shingle = F.concat_ws(
-        " ", *[F.element_at("toks", F.col("i") + F.lit(k)) for k in range(w)]
-    )
-    ds = (
-        idx.select("doc_id", shingle.alias("shingle")).distinct()
-        .localCheckpoint(eager=False)
-    )
+    if ds is None:
+        ds = shingle_sets(docs_df, w, id_col, text_col).localCheckpoint(
+            eager=False)
     freq = ds.groupBy("shingle").agg(F.count("*").alias("df"))
     sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
     ranked = (
@@ -830,7 +849,7 @@ def prefix_jaccard_pairs(docs_df, threshold: float = 0.5, w: int = 3,
 
 def shingle_containment_pairs(docs_df, thr_num: int = 4, thr_den: int = 5,
                               w: int = 3, id_col: str = "doc_id",
-                              text_col: str = "text"):
+                              text_col: str = "text", ds=None):
     """EXACT shingle-containment pairs — the ASYMMETRIC near-dup
     detector Jaccard misses: a short document pasted into a long one
     has tiny Jaccard (the union is dominated by the long doc) but
@@ -852,19 +871,8 @@ def shingle_containment_pairs(docs_df, thr_num: int = 4, thr_den: int = 5,
     Returns (id_a, id_b, i, n_a, n_b): id_a < id_b, i = shared
     distinct shingles, n_* = distinct-shingle set sizes.
     """
-    toks = F.split(F.col(text_col), " ")
-    base = docs_df.select(
-        F.col(id_col).alias("doc_id"), toks.alias("toks")
-    ).filter(F.size("toks") >= w)
-    idx = base.select(
-        "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(1), F.size("toks") - (w - 1))).alias("i"),
-    )
-    shingle = F.concat_ws(
-        " ", *[F.element_at("toks", F.col("i") + F.lit(k)) for k in range(w)]
-    )
-    ds = idx.select("doc_id", shingle.alias("shingle")).distinct()
+    if ds is None:
+        ds = shingle_sets(docs_df, w, id_col, text_col)
     sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         ds.select(F.col("doc_id").alias("id_a"), "shingle")

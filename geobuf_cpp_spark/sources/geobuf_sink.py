@@ -77,8 +77,13 @@ def write_geobuf_files(features_df, out_dir: str, res: int = 8,
             }
         )
 
+    from ..plans.partitioning import spread_groups
+
     return (
-        with_prefix.select("cell_prefix", "geom", "properties")
+        spread_groups(
+            with_prefix.select("cell_prefix", "geom", "properties"),
+            "cell_prefix",
+        )
         .groupBy("cell_prefix")
         .applyInPandas(write_group, MANIFEST_SCHEMA)
     )
