@@ -227,7 +227,23 @@ QUERIES_CTE = f"qs AS ({P.QUERIES_SELECT})"
 def _prep(spark: SparkSession, sf_dir: str, *tables: str) -> None:
     ship_package(spark)
     for t in tables:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        # Test tables are written as ONE parquet row group, so a scan is
+        # ONE task and the query's whole map side serializes on a single
+        # core before its first exchange. For the text corpus that map
+        # side is always heavy (token explodes, shingle windows, md5 /
+        # regex per token), so spread() round-robins it to cluster width
+        # — ONLY when the scan's split count is below parallelism, i.e.
+        # a no-op at production scale where splits >> cores (guide §2.5,
+        # "repartition immediately after an unsplittable input"). The
+        # relational tables keep their layout: their queries are cheap
+        # scan+aggs where an extra exchange costs more than the one-core
+        # scan (measured both ways at sf0.1); operators with heavy
+        # per-row work over them call spread() at their own input.
+        # Paid per query per rep — nothing is cached across queries.
+        if t == "documents":
+            df = spread(df)
+        df.createOrReplaceTempView(t)
 
 
 # Sibling gates share their expensive derived inputs (the CMS matrix, the

@@ -729,39 +729,56 @@ def cdc_chunk_dedup(docs_df, boundary_mod: int = 8,
     joined words) appears in >= 2 distinct documents. Expected chunk
     length = boundary_mod words; all exact integers.
 
-    Plan: one corpus scan -> posexplode -> per-doc ordered prefix-sum
-    window (doc-keyed, spillable) assigning chunk indexes -> one
-    (doc, chunk) hash agg rebuilding chunk text deterministically
-    (sort_array over (pos, word) structs — collect_list alone is
-    order-unstable) -> a chunk-hash agg for cross-doc counts joined
-    back. Keys always include the doc id or the chunk hash: corpus
-    growth adds reducers, not skew.
+    Plan: chunk boundaries are a LOCAL property of each document's own
+    words, so the chunk hashes are computed per row with array
+    higher-order functions (boundary-position filter -> slice -> md5) —
+    no word-level explode, no doc-keyed window, no collect_list
+    reassembly (the previous shape shuffled the corpus' full word
+    stream through a prefix-sum window and rebuilt every chunk from
+    sorted structs). The only remaining shuffles are the two the
+    contract actually requires: the chunk-hash agg for cross-doc
+    counts and the per-doc re-agg. Keys always include the doc id or
+    the chunk hash: corpus growth adds reducers, not skew.
     """
-    from geobuf_cpp_spark.operators.sketches import md5_low64
-
+    m = int(boundary_mod)
     toks = f"filter(split(trim({text_col}), ' '), t -> t <> '')"
-    words = docs_df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.expr(toks)).alias("pos", "word"),
+    if 256 % m == 0:
+        # mod of a power-of-two divisor of 256 only needs the LOW byte
+        # of the little-endian uint64 (hex pair 17) — 2^8 = 0 mod m
+        def flag(w: str) -> str:
+            return (f"CAST(conv(substring(md5(cast({w} AS binary)), 17, 2), "
+                    f"16, 10) AS INT) % {m} = 0")
+    else:
+        def flag(w: str) -> str:
+            rev = "concat(" + ", ".join(
+                f"substring(md5(cast({w} AS binary)), {p}, 2)"
+                for p in (31, 29, 27, 25, 23, 21, 19, 17)) + ")"
+            return f"CAST(conv({rev}, 16, 10) AS DECIMAL(20,0)) % {m} = 0"
+
+    # boundary word positions (1-based); chunk k spans
+    # (bp[k-1]+1 .. bp[k]), plus the trailing run after the last
+    # boundary (dropped when empty: start > end)
+    chunk_hashes = (
+        "transform(filter(arrays_zip("
+        "  concat(array(1), transform(bp, p -> p + 1)), "
+        "  concat(bp, array(size(t)))), x -> x['0'] <= x['1']), "
+        "x -> md5(array_join(slice(t, x['0'], x['1'] - x['0'] + 1), ' ')))"
     )
-    flags = words.withColumn(
-        "b",
-        F.when(md5_low64(F.col("word")) % boundary_mod == 0, 1).otherwise(0),
+    ch = (
+        docs_df.select(F.col(id_col).alias("doc_id"),
+                       F.expr(toks).alias("t"))
+        .filter(F.size("t") >= 1)
+        .select(
+            "doc_id", "t",
+            F.expr(f"filter(sequence(1, size(t)), "
+                   f"i -> {flag('element_at(t, i)')})").alias("bp"),
+        )
+        .select("doc_id", F.explode(F.expr(chunk_hashes)).alias("h"))
     )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, -1)
-    chunks = (
-        flags.withColumn(
-            "chunk_idx", F.coalesce(F.sum("b").over(w), F.lit(0)))
-        .groupBy("doc_id", "chunk_idx")
-        .agg(F.expr(
-            "md5(array_join(transform(sort_array(collect_list("
-            "struct(pos, word))), s -> s.word), ' '))").alias("h"))
-    )
-    cross = chunks.groupBy("h").agg(
+    cross = ch.groupBy("h").agg(
         F.countDistinct("doc_id").alias("nd"))
     return (
-        chunks.join(cross, "h")
+        ch.join(cross, "h")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_chunks"),
