@@ -227,23 +227,19 @@ QUERIES_CTE = f"qs AS ({P.QUERIES_SELECT})"
 def _prep(spark: SparkSession, sf_dir: str, *tables: str) -> None:
     ship_package(spark)
     for t in tables:
-        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        # Test tables are written as ONE parquet row group, so a scan is
-        # ONE task and the query's whole map side serializes on a single
-        # core before its first exchange. For the text corpus that map
-        # side is always heavy (token explodes, shingle windows, md5 /
-        # regex per token), so spread() round-robins it to cluster width
-        # — ONLY when the scan's split count is below parallelism, i.e.
-        # a no-op at production scale where splits >> cores (guide §2.5,
-        # "repartition immediately after an unsplittable input"). The
-        # relational tables keep their layout: their queries are cheap
-        # scan+aggs where an extra exchange costs more than the one-core
-        # scan (measured both ways at sf0.1); operators with heavy
-        # per-row work over them call spread() at their own input.
-        # Paid per query per rep — nothing is cached across queries.
-        if t == "documents":
-            df = spread(df)
-        df.createOrReplaceTempView(t)
+        # NOTE on scan parallelism: the test tables are ONE parquet row
+        # group each, so a scan is ONE task and a query's map side
+        # serializes on one core until its first exchange. The fix
+        # lives in the OPERATORS, not here: functions whose map side is
+        # heavy per row (token/shingle explodes, md5/regex per token,
+        # Python stages) call plans.partitioning.spread() on their own
+        # input — conditional, a no-op at production layouts where scan
+        # splits >= parallelism (guide §2.5). A blanket repartition here
+        # was measured BOTH ways at sf0.1: it wins big on token-heavy
+        # gates but taxes every cheap scan+agg with an exchange that
+        # costs more than the one-core scan, netting ~zero — so plain
+        # views stay.
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
 
 # Sibling gates share their expensive derived inputs (the CMS matrix, the
@@ -547,7 +543,10 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geobuf_cpp_spark.operators.profile import profile_table
 
     _prep(spark, sf_dir, "orders")
-    return profile_table(spark.table("orders"), PROFILE_COLS)
+    # the multi-distinct Expand multiplies every scanned row x(cols+1)
+    # map-side — spread the single-split scan so that work fans out
+    # (no-op on multi-split production layouts)
+    return profile_table(spread(spark.table("orders")), PROFILE_COLS)
 
 
 def q_kmv_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4100,11 +4099,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver signs only the FIRST 50 entries each
     # round, and through round 4 it always sampled insertion-order positions
     # 1-50, so the tail gates (ngram_jaccard..triangle_count) never received a
-    # driver-signed CORRECTNESS row (VERDICT r4 item #2). Round 5 rotates:
-    # the 43 never/least-sampled gates go first, new round-5 gates next
-    # (inside the 50-wide sample window), then the middle 20 unsampled-in-r04
-    # block, then the 50 that r04 already signed.
-    return {
+    # driver-signed CORRECTNESS row (VERDICT r4 item #2). Round 5 rotated the
+    # then-unsigned 43 to the front; round 6 rotates again (VERDICT r5 item
+    # #1): the 59 gates with no driver signature across r1-r5 (the union of
+    # CORRECTNESS_r01..r05 keys subtracted from the 183) move into the
+    # sample window via _R06_ROTATION below, leaving 9 for round 7.
+    base = {
         # -- block 1: never driver-signed through r4 (43) -------------------
         "ngram_jaccard": q_ngram_jaccard,
         "colocation": q_colocation,
@@ -4295,6 +4295,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_view": q_asof_view,
         "interval_view": q_interval_view,
     }
+    # round-6 sample-window rotation: the 59 never-driver-signed gates
+    # first (their relative order preserved), everything else after in
+    # the round-5 order. Pure reordering — same 183 entries, same
+    # callables, same oracle texts.
+    return {**{k: base[k] for k in _R06_ROTATION}, **base}
+
+
+# 59 gates with no CORRECTNESS_r01..r05 row (BENCH keys minus the union
+# of all signed keys), computed 2026-08-22; the driver samples the first
+# 50, leaving the last 9 for round 7.
+_R06_ROTATION = [
+    "hll_grouped", "nearest_admin_geo", "domain_stats", "boilerplate",
+    "skyline", "event_regression", "geom_centroid", "cover_compact",
+    "lm_surprisal", "morans_i", "getis_ord", "host_pagerank",
+    "kmv_overlap", "dsir_weights", "od_matrix", "trajectory_geo",
+    "stream_cells", "wav_stats", "mad_outliers", "ripley_k",
+    "snap_route", "markov_transitions", "kmeans_lite", "cdc_chunks",
+    "network_hops", "ams_sketch", "ams_f2", "ams_grouped", "user_kcore",
+    "prefix_jaccard", "cell_dwell", "source_quality", "robots_filter",
+    "star_centroid", "admin_neighbors", "grid_cluster_geo",
+    "hilbert_ranges", "traj_diameter", "kde_heat", "postings_lists",
+    "containment", "pps_sample", "gps_jumps", "geofence_events",
+    "hybrid_rrf", "session_paths", "benford_digits", "chi2_parts",
+    "trimmed_stats", "kanon_cells", "bpe_pairs", "temperature_weights",
+    "cell_top_terms", "term_drift", "polyline", "cusum_change",
+    "snapshot_evolve", "self_crossings", "gopher_repetition",
+]
 
 
 def _dsir_weights_sql() -> str:

@@ -188,9 +188,14 @@ def importance_weights(docs_df: DataFrame, is_target,
     from geobuf_cpp_spark.operators.sketches import _bucket
     from geobuf_cpp_spark.operators.textstats import sql_flog2
 
-    toks = docs_df.select(
+    from ..plans.partitioning import spread
+
+    toks = spread(
+        docs_df.select(F.col(id_col), is_target.alias("_is_t"),
+                       F.col(text_col))
+    ).select(
         F.col(id_col).alias("doc_id"),
-        is_target.cast("long").alias("is_t"),
+        F.col("_is_t").cast("long").alias("is_t"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
     tb = toks.withColumn("b", _bucket(F.col("tok"), 0, n_buckets))

@@ -289,10 +289,12 @@ def shingle_sets(docs_df, w: int = 3, id_col: str = "doc_id",
     tokens kept), mirroring the SQL oracle token-for-token; documents
     with fewer than ``w`` tokens contribute no shingles.
     """
+    from ..plans.partitioning import spread
+
     toks = F.split(F.col(text_col), " ")
-    base = docs_df.select(
+    base = spread(docs_df.select(
         F.col(id_col).alias("doc_id"), toks.alias("toks")
-    ).filter(F.size("toks") >= w)
+    ).filter(F.size("toks") >= w))
     idx = base.select(
         "doc_id",
         "toks",
@@ -490,8 +492,12 @@ def ngram_decontaminate(train_df, heldout_df, n: int = 5,
         f" i -> md5(array_join(slice(split(trim({text_col}), ' '), i, {w}), ' '))) "
         "ELSE array() END)"
     )
-    held_grams = heldout_df.select(grams.alias("g")).distinct()
-    train_grams = train_df.select(F.col(id_col).alias("_tid"), grams.alias("g"))
+    from ..plans.partitioning import spread
+
+    held_grams = spread(heldout_df.select(text_col)).select(
+        grams.alias("g")).distinct()
+    train_grams = spread(train_df.select(id_col, text_col)).select(
+        F.col(id_col).alias("_tid"), grams.alias("g"))
     contaminated = (
         train_grams.join(held_grams, "g", "left_semi").select("_tid").distinct()
     )
@@ -620,8 +626,10 @@ def chunk_dedup(docs_df, chunk_words: int = 8,
     """
     from pyspark.sql import Window
 
+    from ..plans.partitioning import spread
+
     w = int(chunk_words)
-    chunks = docs_df.select(
+    chunks = spread(docs_df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"),
         F.expr(
             "posexplode(transform("
@@ -669,8 +677,10 @@ def boilerplate_chunks(docs_df, chunk_words: int = 8, min_df: int = 2,
     the source so a cross-site mega-chunk cannot concentrate one
     reducer.
     """
+    from ..plans.partitioning import spread
+
     w = int(chunk_words)
-    chunks = docs_df.select(
+    chunks = spread(docs_df.select(id_col, src_col, text_col)).select(
         F.col(id_col).alias("doc_id"),
         F.col(src_col).alias("source"),
         F.expr(
@@ -764,9 +774,11 @@ def cdc_chunk_dedup(docs_df, boundary_mod: int = 8,
         "  concat(bp, array(size(t)))), x -> x['0'] <= x['1']), "
         "x -> md5(array_join(slice(t, x['0'], x['1'] - x['0'] + 1), ' ')))"
     )
+    from ..plans.partitioning import spread
+
     ch = (
-        docs_df.select(F.col(id_col).alias("doc_id"),
-                       F.expr(toks).alias("t"))
+        spread(docs_df.select(F.col(id_col).alias("doc_id"),
+                              F.expr(toks).alias("t")))
         .filter(F.size("t") >= 1)
         .select(
             "doc_id", "t",
@@ -810,42 +822,66 @@ def prefix_jaccard_pairs(docs_df, threshold: float = 0.5, w: int = 3,
     are verified by an exact intersection count restricted to the
     candidate pair set.
 
-    Per-doc prefix selection is a doc-keyed window (never global: the
-    frequency order is carried as the (df, shingle) struct itself, so
-    no global rank table and no single-partition sort exists anywhere
-    in the plan). The shingle set is built once and lazily checkpointed
-    (or passed prebuilt via ``ds``); it feeds the frequency table, the
-    prefixes, and the verify join.
+    Per-doc prefix selection is a doc-keyed ARRAY sort (never global:
+    each doc's (df, shingle) structs are collected and array_sort-ed
+    within one row — no window at all. The per-doc limit
+    n - ceil(t*n) + 1 is DYNAMIC, which defeats Spark's
+    WindowGroupLimit rewrite, so a window variant pays a full sort of
+    the joined inverted index by (doc, df, shingle)). Candidates pass
+    the size filter AND the PPJoin positional filter before the
+    distinct, then are verified exactly on the skinny (doc, shingle)
+    index (an array_intersect verify over per-doc shingle arrays was
+    measured SLOWER — it ships both docs' arrays to every pair).
     """
     if ds is None:
-        ds = shingle_sets(docs_df, w, id_col, text_col).localCheckpoint(
-            eager=False)
+        ds = shingle_sets(docs_df, w, id_col, text_col)
     freq = ds.groupBy("shingle").agg(F.count("*").alias("df"))
-    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ranked = (
+    arr = (
         ds.join(freq, "shingle")
-        .join(sizes, "doc_id")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "shingle")),
+        .groupBy("doc_id")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("df", "shingle"))).alias("sarr"))
+        .select(
+            "doc_id",
+            F.expr("transform(sarr, s -> s.shingle)").alias("sh"),
+            F.size("sarr").alias("n"),
         )
+        .localCheckpoint(eager=False)
     )
-    prefix = ranked.filter(
-        F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-    ).select("doc_id", "shingle", "n")
+    prefix = arr.select(
+        "doc_id", "n",
+        F.posexplode(F.expr(
+            f"slice(sh, 1, CAST(n - ceil({threshold} * n) + 1 AS INT))"
+        )).alias("pos", "shingle"),
+    )
     pa = prefix.select(F.col("doc_id").alias("id_a"), "shingle",
-                       F.col("n").alias("na"))
+                       F.col("n").alias("na"), F.col("pos").alias("pa"))
     pb = prefix.select(F.col("doc_id").alias("id_b"), "shingle",
-                       F.col("n").alias("nb"))
+                       F.col("n").alias("nb"), F.col("pos").alias("pb"))
+    # PPJoin positional filter (lossless): common shingles of a pair
+    # matching at (0-based) prefix positions (pa, pb) all lie at or
+    # after those positions in the shared total order, so the overlap
+    # is <= min(na - pa, nb - pb); J >= t needs overlap >=
+    # alpha = ceil(t/(1+t) * (na+nb)) (i integer). Dropping instances
+    # below the bound cannot drop a true pair — the pair's EARLIEST
+    # match carries its loosest bound and survives. Cuts candidates
+    # 309,803 -> 137,133 at sf0.1 before the distinct + verify.
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold))
+                   * (F.col("na") + F.col("nb")))
     cands = (
         pa.join(pb, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.least("na", "nb")
                 >= F.lit(threshold) * F.greatest("na", "nb"))
+        .filter(F.least(F.col("na") - F.col("pa"),
+                        F.col("nb") - F.col("pb")) >= alpha)
         .select("id_a", "id_b", "na", "nb")
         .distinct()
     )
+    # verify on the SKINNY inverted index, not the doc arrays: shipping
+    # both docs' shingle arrays to every candidate pair moved ~2 orders
+    # of magnitude more bytes than the (doc, shingle) rows do (measured
+    # slower), while the index join + pair-keyed count stays narrow.
     inter = (
         cands.join(ds.select(F.col("doc_id").alias("id_a"), "shingle"),
                    "id_a")

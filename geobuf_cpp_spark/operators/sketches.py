@@ -68,8 +68,13 @@ def _bucket(tok: Column, row: int, width: int) -> Column:
 
 
 def _tokens(docs_df: DataFrame, text_col: str) -> DataFrame:
+    # spread before the explode: every sketch pays md5/conv/regex per
+    # TOKEN map-side, so a single-split corpus scan would serialize the
+    # whole build on one core (no-op once scan splits >= parallelism)
+    from ..plans.partitioning import spread
+
     return (
-        docs_df.select(
+        spread(docs_df.select(F.col(text_col))).select(
             F.explode(F.split(F.col(text_col), " ")).alias("tok")
         ).filter(F.col("tok") != "")
     )
@@ -252,7 +257,9 @@ def kmv_sketch_grouped(docs_df: DataFrame, group_col: str = "lang",
     per-group WindowGroupLimit (partitioned window -> map-side partial
     limit before the shuffle; no global ordering anywhere).
     """
-    toks = docs_df.select(
+    from ..plans.partitioning import spread
+
+    toks = spread(docs_df.select(group_col, text_col)).select(
         F.col(group_col).alias("grp"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
@@ -398,7 +405,9 @@ def hll_registers_grouped(docs_df: DataFrame, group_col: str = "lang",
     size.
     """
     assert b == 8, "bucket split is the fixed byte-8 contract"
-    toks = docs_df.select(
+    from ..plans.partitioning import spread
+
+    toks = spread(docs_df.select(group_col, text_col)).select(
         F.col(group_col).alias("grp"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
@@ -560,8 +569,10 @@ def ams_sketch_grouped(docs_df: DataFrame, group_col: str = "source",
     aggregate (map-side partials, exchange bounded by groups), the
     unpivot is a per-row ``stack``.
     """
+    from ..plans.partitioning import spread
+
     toks = (
-        docs_df.select(
+        spread(docs_df.select(group_col, text_col)).select(
             group_col,
             F.explode(F.split(F.col(text_col), " ")).alias("tok"),
         ).filter(F.col("tok") != "")

@@ -436,9 +436,11 @@ def ngram_repetition(docs_df, sizes: tuple = (2, 3),
         "dup_occurrences: BIGINT, dup_distinct: BIGINT>>))"
         for n in sizes
     )
+    from ..plans.partitioning import spread
+
     return (
-        docs_df.select(F.col(id_col).alias("doc_id"),
-                       F.expr(toks).alias("t"))
+        spread(docs_df.select(F.col(id_col).alias("doc_id"),
+                              F.expr(toks).alias("t")))
         .select(
             "doc_id",
             F.expr(f"inline(filter(array({branches}), x -> x IS NOT NULL))"),

@@ -52,6 +52,10 @@ def spread(df: DataFrame, multiple: int = 1, force: bool = False,
     ``n_splits`` lets callers that already know the scan layout skip the
     probe entirely.
     """
+    # streaming frames: no .rdd probe is possible and micro-batch
+    # parallelism is the source's own concern — pass through untouched
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism * multiple
     if not force:
         if n_splits is None:

@@ -71,7 +71,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[n] runs EVERY executor thread inside the driver JVM, so
+        # the driver heap is the whole cluster's execution+storage
+        # memory: 8g across 32 concurrent tasks (~250MB each) showed
+        # late-suite GC degradation (untouched queries 1.5-2.5x slower
+        # at suite position >100; a 32g run restored them). Sized for
+        # the measurement host (128 GiB), overridable per deployment —
+        # a real cluster submit sizes executors instead (guide §5).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         # progress bars flood stdout/stderr and have corrupted the driver's
         # one-line bench JSON capture (round 3: BENCH parsed=null) — off.
