@@ -2604,18 +2604,27 @@ def q_user_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.date_trunc("day", "ts").alias("d"))
         .distinct()
     )
+    # one bounded scalar agg (driver-side, like the CC convergence
+    # check): the corpus' day span decides how many 64-day chunks a
+    # user mask needs — with ONE chunk (any <= 64-day telemetry
+    # window, whatever the user count) the pair aggregation below
+    # degenerates to a projection and its shuffle is skipped outright.
+    lo_hi = ud.agg(F.min("d").alias("d0"), F.max("d").alias("d1")).first()
+    d0 = lo_hi["d0"]
+    span_days = (
+        0 if d0 is None else (lo_hi["d1"] - d0).days
+    )
+    one_chunk = span_days < 64
     # users that can possibly reach KCORE_MIN_DAYS shared days
     active = (
         ud.groupBy("user_id").agg(F.count("*").alias("nd"))
         .filter(F.col("nd") >= KCORE_MIN_DAYS).select("user_id")
     )
-    day0 = ud.agg(F.min("d").alias("d0"))
     masks = (
         ud.join(F.broadcast(active), "user_id")
-        .crossJoin(F.broadcast(day0))
         .select(
             "user_id",
-            F.datediff(F.col("d"), F.col("d0")).alias("rel"),
+            F.datediff(F.col("d"), F.lit(d0)).alias("rel"),
         )
         .select(
             "user_id",
@@ -2630,15 +2639,23 @@ def q_user_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("mask").alias("mask_a"))
     mb = masks.select(F.col("user_id").alias("id_b"), "chunk",
                       F.col("mask").alias("mask_b"))
-    edges = (
-        ma.join(F.broadcast(mb), "chunk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b"))))
-             .alias("days"))
-        .filter(F.col("days") >= KCORE_MIN_DAYS)
-        .select("id_a", "id_b")
-    )
+    pairs = ma.join(F.broadcast(mb), "chunk").filter(
+        F.col("id_a") < F.col("id_b"))
+    if one_chunk:
+        # every pair meets in exactly one row: no (id_a, id_b) shuffle
+        edges = pairs.filter(
+            F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
+            >= KCORE_MIN_DAYS
+        ).select("id_a", "id_b")
+    else:
+        edges = (
+            pairs.groupBy("id_a", "id_b")
+            .agg(F.sum(F.bit_count(
+                F.col("mask_a").bitwiseAND(F.col("mask_b"))))
+                .alias("days"))
+            .filter(F.col("days") >= KCORE_MIN_DAYS)
+            .select("id_a", "id_b")
+        )
     return kcore(edges, KCORE_K, KCORE_ROUNDS).withColumnRenamed(
         "node", "user_id")
 

@@ -59,14 +59,15 @@ def main() -> None:
         fn = qs[name]
         spark.sparkContext.setJobDescription(name)
         best = None
-        for _ in range(max(reps, 1)):
+        for _ in range(max(reps, 0)):  # --reps 0: plan dump only
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"{name}: {best:.3f}s", file=sys.stderr, flush=True)
+        if best is not None:
+            timings[name] = round(best, 3)
+            print(f"{name}: {best:.3f}s", file=sys.stderr, flush=True)
         if explain_dir:
             import io
             from contextlib import redirect_stdout

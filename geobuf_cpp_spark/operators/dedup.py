@@ -690,11 +690,14 @@ def boilerplate_chunks(docs_df, chunk_words: int = 8, min_df: int = 2,
             "))"
         ).alias("chunk_idx", "chunk"),
     ).filter(F.col("chunk") != "")
+    # the hashed chunk stream feeds BOTH the df aggregate and the
+    # join-back scan: lazily checkpoint it so the split+chunk+md5 pass
+    # over the corpus runs once, not once per consumer
     hashed = chunks.select(
         "doc_id", "source",
         F.md5(F.col("chunk")).alias("h"),
         F.size(F.split(F.col("chunk"), " ")).cast("long").alias("n_words"),
-    )
+    ).localCheckpoint(eager=False)
     df_stats = hashed.groupBy("source", "h").agg(
         F.countDistinct("doc_id").alias("df")
     )

@@ -354,7 +354,9 @@ def lm_surprisal(docs_df, id_col: str = "doc_id", text_col: str = "text"):
     from pyspark.sql import Window
 
     toks = f"filter(split(trim({text_col}), ' '), t -> t <> '')"
-    pairs = docs_df.select(
+    from ..plans.partitioning import spread
+
+    pairs = spread(docs_df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"),
         F.expr(
             f"explode(zip_with("
@@ -363,6 +365,10 @@ def lm_surprisal(docs_df, id_col: str = "doc_id", text_col: str = "text"):
             "(a, b) -> struct(a AS w1, b AS w2)))"
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
+    # NOTE: the per-(doc, bigram) pre-agg feeds both the global LM
+    # counts and the final join, but ReuseExchange already shares its
+    # shuffle — an explicit localCheckpoint was measured SLOWER (block
+    # materialization beats the reused exchange read it replaces).
     d = pairs.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("k"))
     g = d.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
     gw = g.withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
