@@ -1776,13 +1776,18 @@ def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DISTINCT (doc, shingle) inverted index (session memo): four
     gates consume it — ngram_jaccard / prefix_jaccard / containment /
     dedup_clusters — one tokenize+explode+distinct corpus scan instead
-    of four (the sketch-family sharing discipline)."""
-    from geobuf_cpp_spark.operators.dedup import shingle_sets
+    of four (the sketch-family sharing discipline). Dictionary-encoded
+    (`shingle_sid_sets`): the shingle key is a dense INT id in
+    (df, shingle) order — a bijection, so intersection counts and set
+    sizes are untouched, while every downstream join shuffles 4-byte
+    ints instead of ~25-byte strings and the prefix filter reads its
+    rarest-first order straight off the id (guide §2.3)."""
+    from geobuf_cpp_spark.operators.dedup import shingle_sid_sets
 
     _prep(spark, sf_dir, "documents")
     return _shared_df(
         spark, sf_dir, "shingles",
-        lambda: shingle_sets(spark.table("documents")), how="ckpt")
+        lambda: shingle_sid_sets(spark.table("documents")), how="ckpt")
 
 
 def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

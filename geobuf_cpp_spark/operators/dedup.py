@@ -306,6 +306,56 @@ def shingle_sets(docs_df, w: int = 3, id_col: str = "doc_id",
     return idx.select("doc_id", shingle.alias("shingle")).distinct()
 
 
+def shingle_sid_sets(docs_df, w: int = 3, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """Dictionary-encoded ``shingle_sets``: the same DISTINCT
+    (doc_id, shingle) index with every shingle string replaced by a
+    dense INT id assigned in ascending (global doc-frequency, shingle)
+    order. The mapping is a bijection, so every set operator downstream
+    (equi-join intersection counts, set sizes) is unchanged, and it is
+    order-isomorphic to the (df, shingle) total order the AllPairs
+    prefix filter sorts by, so ``prefix_jaccard_pairs`` can order by
+    the id alone — the join/shuffle key narrows from a ~25-byte shingle
+    string to 4 bytes (guide §2.3 "narrower types"), which shrinks
+    every exchange in the family's joins.
+
+    Id assignment is the scalable two-pass zipWithIndex shape: range-
+    partition the dictionary by the sort key, rank within partitions,
+    add per-partition offsets. The only driver-side step collects one
+    row count PER PARTITION (bounded by the shuffle-partition count,
+    never by dictionary size). Range-boundary sampling variance cannot
+    change the ids: partitions tile the (df, shingle) order, so
+    offset + within-partition rank is the exact global dense rank
+    wherever the boundaries fall.
+    """
+    spark = docs_df.sparkSession
+    ds = shingle_sets(docs_df, w, id_col, text_col).localCheckpoint(
+        eager=False)
+    freq = ds.groupBy("shingle").agg(F.count("*").alias("df"))
+    nparts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    ranked = (
+        freq.repartitionByRange(nparts, "df", "shingle")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("pid").orderBy("df", "shingle")),
+        )
+        .localCheckpoint(eager=False)
+    )
+    counts = ranked.groupBy("pid").agg(F.count("*").alias("c")).collect()
+    off, acc = {}, 0
+    for row in sorted(counts, key=lambda r: r["pid"]):
+        off[row["pid"]] = acc
+        acc += row["c"]
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in off.items()], "pid int, off long")
+    sid = ranked.join(F.broadcast(off_df), "pid").select(
+        "shingle", (F.col("off") + F.col("r")).cast("int").alias("sid"))
+    return ds.join(sid, "shingle").select(
+        "doc_id", F.col("sid").alias("shingle"))
+
+
 def ngram_jaccard_pairs(docs_df, threshold: float = 0.5, w: int = 3,
                         id_col: str = "doc_id", text_col: str = "text",
                         ds=None):
@@ -838,19 +888,31 @@ def prefix_jaccard_pairs(docs_df, threshold: float = 0.5, w: int = 3,
     """
     if ds is None:
         ds = shingle_sets(docs_df, w, id_col, text_col)
-    freq = ds.groupBy("shingle").agg(F.count("*").alias("df"))
-    arr = (
-        ds.join(freq, "shingle")
-        .groupBy("doc_id")
-        .agg(F.array_sort(
-            F.collect_list(F.struct("df", "shingle"))).alias("sarr"))
-        .select(
-            "doc_id",
-            F.expr("transform(sarr, s -> s.shingle)").alias("sh"),
-            F.size("sarr").alias("n"),
+    if dict(ds.dtypes).get("shingle") in ("int", "bigint"):
+        # dictionary-encoded index (shingle_sid_sets): ids are already
+        # dense ranks of the (df, shingle) order, so the per-doc sort
+        # IS the rarest-first prefix order — the freq join and the
+        # struct sort both disappear.
+        arr = (
+            ds.groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list("shingle")).alias("sh"))
+            .select("doc_id", "sh", F.size("sh").alias("n"))
+            .localCheckpoint(eager=False)
         )
-        .localCheckpoint(eager=False)
-    )
+    else:
+        freq = ds.groupBy("shingle").agg(F.count("*").alias("df"))
+        arr = (
+            ds.join(freq, "shingle")
+            .groupBy("doc_id")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("df", "shingle"))).alias("sarr"))
+            .select(
+                "doc_id",
+                F.expr("transform(sarr, s -> s.shingle)").alias("sh"),
+                F.size("sarr").alias("n"),
+            )
+            .localCheckpoint(eager=False)
+        )
     prefix = arr.select(
         "doc_id", "n",
         F.posexplode(F.expr(
