@@ -471,8 +471,13 @@ def source_quality_ci(docs_df, id_col: str = "doc_id",
     integer sqrt (operators/trajectory.sql_isqrt_exact), every operand
     positive, so Spark `div` == DuckDB `//` and the parts hash-gate
     bit-for-bit; the final float division stays with the caller (the
-    tfidf_topk discipline). scale^2 * (x*(n-x)+n) stays < 2^63 for
-    n <= 10^7 docs per source at the default scale.
+    tfidf_topk discipline). The product scale^2 * (x*(n-x)+n) is
+    computed in DECIMAL(38,0) — as BIGINT it wraps silently (non-ANSI)
+    at n ~ 6.1e5 docs/source for scale=1e4, where DuckDB would error —
+    so only the POST-division value must fit in 64 bits: exact for
+    n <= ~3e11 docs per source at the default scale, and past that the
+    integral divide overflows to NULL (loud downstream) instead of
+    wrapping to garbage.
 
     Plan: the doc-keyed keep flags join their source labels, then ONE
     source-keyed aggregate; the CI arithmetic is a scalar projection on
@@ -488,8 +493,9 @@ def source_quality_ci(docs_df, id_col: str = "doc_id",
         .agg(F.count("*").cast("long").alias("n_docs"),
              F.sum("keep").cast("long").alias("n_keep"))
     )
-    arg = (f"(cast({scale} as bigint) * {scale} * "
-           f"(n_keep * (n_docs - n_keep) + n_docs)) div n_docs")
+    arg = (f"((cast({scale} as decimal(38,0)) * {scale}) * "
+           f"(cast(n_keep as decimal(38,0)) * (n_docs - n_keep) + n_docs))"
+           f" div n_docs")
     root = sql_isqrt_exact(arg)
     return g.selectExpr(
         source_col, "n_docs", "n_keep",

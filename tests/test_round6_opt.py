@@ -132,3 +132,46 @@ def test_ngram_and_containment_identical_on_sid_index(spark):
         for r in shingle_containment_pairs(docs, 4, 5, ds=dsi).collect()
     }
     assert c == d
+
+
+def test_source_quality_ci_no_bigint_wrap_on_large_group(spark):
+    """The Wilson-bound intermediate scale^2*(x*(n-x)+n) wraps BIGINT at
+    n ~ 6.1e5 docs/source (worst case x = n/2); the decimal(38,0) path
+    must return the exact integer parts there. n is synthesized via an
+    aggregated frame, not 6e5 real rows: the arithmetic under test is
+    the post-aggregation projection."""
+    from geobuf_cpp_spark.operators.textstats import source_quality_ci
+
+    # Drive the post-aggregation projection directly with synthesized
+    # (n_docs, n_keep) rows (6e5 real docs would be slow), verifying
+    # the emitted parts against pure-Python big ints.
+    import math
+
+    scale = 10_000
+    for n, x in [(700_000, 350_000), (1_000_000, 999_999), (5, 3)]:
+        arg = (scale * scale * (x * (n - x) + n)) // n
+        root = math.isqrt(arg)
+        lb_num = (x + 2) * scale - 2 * root
+        lb_den = (n + 4) * scale
+        # run the same SQL text the operator emits over a 1-row frame
+        row = spark.createDataFrame(
+            [(n, x)], "n_docs long, n_keep long")
+        from geobuf_cpp_spark.operators.trajectory import sql_isqrt_exact
+        arg_sql = (f"((cast({scale} as decimal(38,0)) * {scale}) * "
+                   f"(cast(n_keep as decimal(38,0)) * (n_docs - n_keep)"
+                   f" + n_docs)) div n_docs")
+        out = row.selectExpr(
+            f"cast((n_keep + 2) * {scale} - 2 * "
+            f"{sql_isqrt_exact(arg_sql)} as bigint) AS lb_num",
+            f"cast((n_docs + 4) * cast({scale} as bigint) as bigint) "
+            "AS lb_den",
+        ).collect()[0]
+        assert (out.lb_num, out.lb_den) == (lb_num, lb_den), (n, x)
+
+    # and end-to-end through the operator on a small real corpus the
+    # old path also handled — the fix must not move small-group values
+    docs = spark.createDataFrame(
+        [(i, "src", "clean text " * 30) for i in range(8)],
+        "doc_id long, source string, text string")
+    out = source_quality_ci(docs).collect()
+    assert len(out) == 1 and out[0].n_docs == 8
