@@ -207,7 +207,12 @@ def importance_weights(docs_df: DataFrame, is_target,
         "b",
         (F.expr(sql_flog2("t_cnt + 1"))
          - F.expr(sql_flog2("a_cnt + 1"))).alias("wb"),
-    ).localCheckpoint(eager=False)
+    )
+    # no checkpoint on the 2^k-row weight table: the token stream under
+    # both consumers shares the spread() exchange, the explicit
+    # broadcast needs no size stats, and the lazy checkpoint's eager
+    # planning cost measured SLOWER end-to-end (interleaved A/B:
+    # 1.19 s vs 1.28 s with it)
     return (
         tb.join(F.broadcast(wts), "b")
         .groupBy("doc_id")

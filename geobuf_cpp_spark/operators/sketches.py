@@ -295,6 +295,11 @@ def kmv_overlap(docs_df: DataFrame, group_col: str = "source",
     itself is a broadcast inequality pairing over the bounded group
     list (declared BNLJ, same as the kNN serving shape).
     """
+    # consumed three times (groups, ra, rb) with DIFFERENT column
+    # pruning, which defeats ReuseExchange (the canonical exchange
+    # subtrees differ), so the lazy checkpoint genuinely saves two
+    # corpus scans — measured 1.20 s vs 1.33 s without it (interleaved
+    # same-session A/B), despite its ~0.5 s eager-planning cost.
     sk = kmv_sketch_grouped(docs_df, group_col, text_col, k).select(
         F.col(group_col).alias("grp"), "hash_val"
     ).localCheckpoint(eager=False)
@@ -668,7 +673,12 @@ def heavy_hitters(docs_df: DataFrame, k: int,
     Returns (tok, n) for every token with n * (k+1) > N (N = total
     token count, including tokens never near the summary).
     """
-    toks = _tokens(docs_df, text_col).localCheckpoint(eager=False)
+    # the docstring's literal two-pass shape: no materialization of the
+    # token stream (at 100 TB that buffer is the corpus) — pass 2
+    # re-reads it via the reused spread() exchange. The lazy checkpoint
+    # variant measured SLOWER end-to-end (interleaved A/B: 1.32 s vs
+    # 1.42 s with it) on top of being the wrong shape at scale.
+    toks = _tokens(docs_df, text_col)
     merged = (
         _mg_summaries(toks, int(k))
         .groupBy("tok").agg(F.sum("est").alias("est"))

@@ -234,7 +234,9 @@ def self_crossings(pings: DataFrame, entity_col: str = "user_id",
             F.lead(y_col).over(w).alias("by"),
         )
         .filter(F.col("bx").isNotNull())
-        .localCheckpoint(eager=False)
+        # no checkpoint: both join sides prune identically, so the
+        # window's exchange is reused (interleaved A/B: 0.65 s vs
+        # 0.78 s with the checkpoint)
     )
     a = steps.selectExpr(
         entity_col, "i AS ia", "ax AS a_ax", "ay AS a_ay",
