@@ -238,8 +238,13 @@ def _prep(spark: SparkSession, sf_dir: str, *tables: str) -> None:
         # was measured BOTH ways at sf0.1: it wins big on token-heavy
         # gates but taxes every cheap scan+agg with an exchange that
         # costs more than the one-core scan, netting ~zero — so plain
-        # views stay.
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        # views stay. The reader DataFrame itself is memoized
+        # (sources.readers.table_df): re-reading the footer + file
+        # listing cost ~96 ms per call x ~400 _prep registrations per
+        # bench run; the memo caches only the lazy plan, never data.
+        from geobuf_cpp_spark.sources.readers import table_df
+
+        table_df(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
 # Sibling gates share their expensive derived inputs (the CMS matrix, the
@@ -1659,12 +1664,16 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, verified at all SFs."""
     from geobuf_cpp_spark.operators.ann import cosine_neardup_blocked
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from geobuf_cpp_spark.sources.readers import table_df
+
+    emb = table_df(spark, sf_dir, "embeddings")
     return cosine_neardup_blocked(emb, COSINE_NEARDUP_T).select("id_a", "id_b")
 
 
 def _ann_queries(spark: SparkSession, sf_dir: str, n: int = 20):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from geobuf_cpp_spark.sources.readers import table_df
+
+    emb = table_df(spark, sf_dir, "embeddings")
     qp = emb.filter(F.col("vec_id") < n).orderBy("vec_id").toPandas()
     qp = qp.rename(columns={"vec_id": "query_id", "embedding": "vec"})
     return emb, qp[["query_id", "vec"]]

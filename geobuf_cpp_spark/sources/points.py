@@ -60,20 +60,23 @@ QUERIES_SELECT = (
 
 
 def points_df(spark, sf_dir: str):
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    orders.createOrReplaceTempView("orders")
+    from .readers import table_df
+
+    table_df(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(POINTS_SELECT)
 
 
 def boxes_df(spark, sf_dir: str):
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    nation.createOrReplaceTempView("nation")
+    from .readers import table_df
+
+    table_df(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     return spark.sql(BOXES_SELECT)
 
 
 def queries_df(spark, sf_dir: str):
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    nation.createOrReplaceTempView("nation")
+    from .readers import table_df
+
+    table_df(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     return spark.sql(QUERIES_SELECT)
 
 
@@ -170,8 +173,9 @@ def stars_as_wire_polygons(spark, sf_dir: str, lattice: bool = False):
     on summation order."""
     import pandas as pd
 
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    nation.createOrReplaceTempView("nation")
+    from .readers import table_df
+
+    table_df(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     c = spark.sql(
         f"SELECT CAST(n_nationkey AS BIGINT) AS admin_id, "
         f"CAST({STAR_CX_SQL} AS BIGINT) AS cx, "

@@ -10,9 +10,32 @@ the Iceberg path gives snapshot isolation + partition pruning on
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+
+# reader-plan memo: spark.read.parquet(path) pays a driver-side file
+# listing + footer schema read EVERY call (~96 ms/table here; on object
+# stores it is worse). Memoizing the returned DataFrame caches ONLY the
+# lazy plan — every action still scans the parquet from disk — which is
+# the path-based twin of the catalog listing cache the guide (§6)
+# recommends via spark.sql.hive.filesourcePartitionFileCacheSize.
+# Keyed weakly by session so a stopped session evicts its entries; the
+# benchmark tables are immutable inputs, so the cached listing cannot
+# go stale (writers in this engine use their own output dirs).
+_TABLE_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def table_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Memoized lazy reader for ``{sf_dir}/{name}.parquet``."""
+    per_session = _TABLE_MEMO.setdefault(spark, {})
+    df = per_session.get((sf_dir, name))
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        per_session[(sf_dir, name)] = df
+    return df
 
 
 def read_geobuf_dir(spark: SparkSession, location: str,

@@ -175,3 +175,29 @@ def test_source_quality_ci_no_bigint_wrap_on_large_group(spark):
         "doc_id long, source string, text string")
     out = source_quality_ci(docs).collect()
     assert len(out) == 1 and out[0].n_docs == 8
+
+
+def test_table_df_memoizes_plan_only_and_respects_sf_switch(spark, tmp_path):
+    """table_df caches the lazy reader per (session, dir, table) — same
+    object back, no data materialization — and _prep-style re-
+    registration after a directory switch must rebind the view to the
+    other directory's data."""
+    from geobuf_cpp_spark.sources.readers import table_df
+
+    d1 = str(tmp_path / "a"); d2 = str(tmp_path / "b")
+    spark.createDataFrame([(1,)], "x long").write.parquet(f"{d1}/t.parquet")
+    spark.createDataFrame([(2,)], "x long").write.parquet(f"{d2}/t.parquet")
+
+    df1 = table_df(spark, d1, "t")
+    assert table_df(spark, d1, "t") is df1          # memo hit
+    assert table_df(spark, d2, "t") is not df1      # keyed by dir
+
+    table_df(spark, d1, "t").createOrReplaceTempView("t")
+    assert spark.sql("SELECT x FROM t").collect()[0].x == 1
+    table_df(spark, d2, "t").createOrReplaceTempView("t")
+    assert spark.sql("SELECT x FROM t").collect()[0].x == 2
+    # the memoized frame is a plan, not data: a fresh write to a THIRD
+    # dir read through a fresh key still scans storage
+    d3 = str(tmp_path / "c")
+    spark.createDataFrame([(3,)], "x long").write.parquet(f"{d3}/t.parquet")
+    assert table_df(spark, d3, "t").collect()[0].x == 3
