@@ -237,7 +237,8 @@ def grid_cluster_geo(points_df: DataFrame, radius_cdeg: int,
 
     r = int(radius_cdeg)
     spark = points_df.sparkSession
-    bands = spark.createDataFrame(geo_band_widths(r), "band long, w long")
+    band_widths = geo_band_widths(r)
+    bands = spark.createDataFrame(band_widths, "band long, w long")
     dense = (
         points_df.withColumn("band", F.expr(f"iy div {r}"))
         .join(F.broadcast(bands), "band")
@@ -285,7 +286,15 @@ def grid_cluster_geo(points_df: DataFrame, radius_cdeg: int,
     # sf0.1: the banded interval graph defeats pointer-jumping's
     # log-diameter bound in practice, which is why the bounded path is
     # the default here).
-    n_dense = dense.count()
+    # the dense-cell count is bounded by the GRID itself (<= 360 deg of
+    # longitude over each band's width), a geometry constant the planar
+    # sibling also guards on STATICALLY — so the driver-UF eligibility
+    # check needs no count job at all when the whole grid fits the cap;
+    # the dynamic count remains only for geometries whose full grid
+    # exceeds it (tiny radii), where dense occupancy may still fit.
+    grid_bound = sum(36000 // w + 2 for _, w in band_widths)
+    n_dense = grid_bound if grid_bound <= GRID_UF_MAX_CELLS \
+        else dense.count()
     if n_dense <= GRID_UF_MAX_CELLS:
         node_ids = [r["cell_id"] for r in
                     dense.select("cell_id").collect()]
